@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * One parquet file per table under `\$dir/<name>.parquet`. All reads go
+  * through `spark.read.parquet` so Catalyst gets scan-level filter
+  * pushdown and column pruning for free (SURVEY §4.2).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw nanos (legacy long mode) and convert
+    * to a microsecond TimestampType column — the same truncation every
+    * Spark pipeline applies to ns data (SURVEY §7.3; fixture ns residue
+    * is 0 so no information is lost).
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts",
+      timestamp_micros((col("ts") / 1000).cast(LongType)))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Register all fixture tables as temp views so `spark.sql` queries
+    * (subqueries, EXISTS, grouping sets) can reference them by name —
+    * the same names the DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
