@@ -28,8 +28,10 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts",
-      timestamp_micros((col("ts") / 1000).cast(LongType)))
+    // integer division — `/` on Column is double division, which loses
+    // precision on epoch-nanos (≈1.7e18 > 2^53) and rounds instead of
+    // flooring like DuckDB's read does.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

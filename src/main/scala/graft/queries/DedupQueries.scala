@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline, over
+  * `documents(doc_id, text, ...)` and `embeddings(vec_id, embedding)`.
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical in
+  * Spark and DuckDB) reduced to a 60-bit integer, and all float folds are
+  * sequential left-folds (Spark `aggregate` ≙ DuckDB `list_reduce`), so
+  * the oracle comparison is bit-exact.
+  *
+  * Scale story (100 TB): exact dedup and minhash-LSH are the scale paths —
+  * one shuffle on the hash / band-bucket key, never an O(n²) compare. The
+  * all-pairs variants (ngram-jaccard, simhash pairs, embedding cosine) are
+  * written over the bounded `documents`/`embeddings` fixtures; at scale
+  * they run AFTER LSH bucketing, as the verify step inside each bucket.
+  */
+object DedupQueries {
+
+  // ── shared minhash constants (embedded in both engines' exprs) ─────
+  val P: Long = 4294967311L // prime > 2^32; keeps a*h+b < 2^63
+  val K: Int = 32 // minhash permutations
+  val BANDS: Int = 8
+  val ROWS: Int = 4 // K = BANDS * ROWS
+  val A: Seq[Long] = (1 to K).map(i => (2654435761L * i) % 1073741789L + 1L)
+  val B: Seq[Long] = (1 to K).map(i => (40503L * i * i + 2747636419L) % 1073741789L)
+
+  val JaccardTau = 0.8
+  val SimhashMaxHamming = 12
+  val CosineTau = 0.45
+
+  /** 60-bit integer from md5 — Spark SQL dialect. */
+  private def h60Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+
+  /** Same, DuckDB dialect. */
+  private def h60Duck(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** documents → (doc_id, shingles: distinct word 3-grams). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles",
+        array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+
+  private val shingledDuck =
+    """sh AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+         WHERE len(toks) >= 3)"""
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  private val jaccardDuck =
+    "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(list_concat(a.shingles, b.shingles)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── exact dedup: single shuffle on the content hash ──────────────
+    QueryDef(
+      "dedup_exact",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("canonical_id")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id"""),
+      doc = "Hash-groupBy exact dedup; the only scalable exact method."),
+
+    // ── n-gram Jaccard near-dup (all-pairs verify form) ──────────────
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingled(s, dir).select(col("doc_id"), col("shingles"))
+        val a = sh.as("a")
+        val b = sh.as("b")
+        a.join(b, col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            round(jaccard(col("a.shingles"), col("b.shingles")), 6).as("jaccard"))
+          .filter(col("jaccard") >= JaccardTau)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shingledDuck
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round($jaccardDuck, 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round($jaccardDuck, 6) >= $JaccardTau
+        ORDER BY doc_a, doc_b""")),
+
+    // ── MinHash + LSH banding: the scalable near-dup path ────────────
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => {
+        val sh = shingled(s, dir)
+          .withColumn("hs", expr(s"transform(shingles, s -> ${h60Spark("s")} % ${P}L)"))
+        // K minhash values, then BANDS band-signature strings.
+        val sigExpr = (0 until K).map { i =>
+          s"array_min(transform(hs, h -> (${A(i)}L * h + ${B(i)}L) % ${P}L))"
+        }.mkString("array(", ", ", ")")
+        val withSig = sh.withColumn("sig", expr(sigExpr))
+          .withColumn("bands", expr(
+            s"transform(sequence(0, ${BANDS - 1}), b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS), v -> cast(v as string)), '_'))"))
+        // explode to (band_idx, band_sig, doc_id) and bucket-join: this is
+        // the single shuffle that replaces the O(n^2) compare at scale.
+        val buckets = withSig
+          .select(col("doc_id"), col("shingles"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_sig")))
+        val cand = buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+          .distinct()
+        cand
+          .withColumn("jaccard",
+            round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))), 6))
+          .filter(col("jaccard") >= JaccardTau)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val sigExpr = (0 until K).map { i =>
+          s"list_min(list_transform(hs, h -> (CAST(${A(i)} AS BIGINT) * h + ${B(i)}) % $P))"
+        }.mkString("[", ", ", "]")
+        s"""WITH $shingledDuck,
+          hashed AS (
+            SELECT doc_id, shingles,
+              list_transform(shingles, s -> ${h60Duck("s")} % $P) AS hs
+            FROM sh),
+          sigs AS (
+            SELECT doc_id, shingles, $sigExpr AS sig FROM hashed),
+          banded AS (
+            SELECT doc_id, shingles,
+              unnest(range($BANDS)) AS band_idx,
+              unnest(list_transform(range($BANDS),
+                b -> array_to_string(list_transform(array_slice(sig, CAST(b * $ROWS + 1 AS INTEGER), CAST(b * $ROWS + $ROWS AS INTEGER)), v -> CAST(v AS VARCHAR)), '_'))) AS band_sig
+            FROM sigs),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.shingles AS sa, b.shingles AS sb
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+          FROM cand
+          WHERE round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6) >= $JaccardTau
+          ORDER BY doc_a, doc_b"""
+      },
+      doc = "shingle → 32 minhash perms → 8 bands × 4 rows → bucket join → exact-jaccard verify."),
+
+    // ── SimHash near-dup (60-bit, word-level) ────────────────────────
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("hs", expr(
+            s"transform(array_distinct(split(lower(text), ' ')), t -> ${h60Spark("t")})"))
+          .withColumn("simhash", expr(
+            """aggregate(sequence(0, 59), cast(0 as bigint),
+               (acc, b) -> acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
+                                 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
+          .select(col("doc_id"), col("simhash"))
+        docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+          .filter(col("hamming") <= SimhashMaxHamming)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH hashed AS (
+          SELECT doc_id,
+            list_transform(list_distinct(string_split(lower(text), ' ')), t -> ${h60Duck("t")}) AS hs
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(60),
+              b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                   THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+          FROM hashed)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+        ORDER BY doc_a, doc_b"""),
+      doc = "At scale: group by simhash bit-prefix bands instead of all-pairs."),
+
+    // ── embedding cosine near-dup ────────────────────────────────────
+    QueryDef(
+      "dedup_embedding_cosine",
+      (s, dir) => {
+        val v = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+              .as("cosine"))
+          .filter(col("cosine") >= CosineTau)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM v)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $CosineTau
+        ORDER BY vec_a, vec_b"""),
+      doc = "All-pairs verify form; the ANN path is sim_ivf_topk.")
+  )
+}

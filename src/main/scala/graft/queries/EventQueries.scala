@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Windowed event analytics over `events(event_id, ts, user_id,
+  * event_type, value, props)` — the batch forms of the Structured
+  * Streaming operators (SURVEY §2.4 ST2–ST5).
+  *
+  * The streaming implementations in `graft.streaming` run the same
+  * expressions over `readStream`; the convergence spec asserts the final
+  * streaming state equals these batch results, and the DuckDB oracle
+  * checks the batch results here.
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── ST2a tumbling window ─────────────────────────────────────────
+    QueryDef(
+      "st_tumbling_window",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("ws"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""),
+      doc = "Epoch-aligned 1h tumbling window ≙ date_trunc('hour')."),
+
+    // ── ST2b sliding window (30 min width, 10 min slide) ─────────────
+    QueryDef(
+      "st_sliding_window",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+          .orderBy(col("ws")),
+      Some("""WITH expanded AS (
+          SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) - k * 600) AS TIMESTAMP) AS ws,
+            ts, value
+          FROM events, unnest([0, 1, 2]) AS t(k))
+        SELECT ws, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM expanded
+        WHERE ts >= ws AND ts < ws + to_seconds(CAST(1800 AS BIGINT))
+        GROUP BY ws ORDER BY ws"""),
+      doc = "Each event lands in ceil(30/10)=3 windows; oracle expands explicitly."),
+
+    // ── ST3 session window (gap-based) ───────────────────────────────
+    QueryDef(
+      "st_session_window",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH marked AS (
+          SELECT user_id, ts, value, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM marked)
+        SELECT user_id,
+          min(ts) AS session_start,
+          max(ts) + INTERVAL 4 HOUR AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, session_start"""),
+      doc = "session_window(gap) ≙ gaps-and-islands; end = max(ts) + gap."),
+
+    // ── ST5 stateful dedup (batch analogue, deterministic keep-first) ─
+    QueryDef(
+      "st_dedup_events",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.load(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+          SELECT user_id, event_type, event_id, ts,
+            row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events) WHERE rn = 1
+        ORDER BY user_id, event_type"""),
+      doc = "Batch form of dropDuplicatesWithinWatermark(user_id, event_type)."),
+
+    // ── late-data semantics: watermark cutoff as a batch filter ──────
+    QueryDef(
+      "st_watermark_filter",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        // watermark = max(ts) - 10 minutes; events older than the
+        // watermark at end-of-stream would have been dropped in append
+        // mode. Batch replay: join against the scalar max.
+        val wm = ev.agg(max(col("ts")).as("max_ts"))
+        ev.crossJoin(broadcast(wm))
+          .filter(col("ts") >= col("max_ts") - expr("INTERVAL 10 MINUTES"))
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, ts, event_type FROM events
+        WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over `embeddings(vec_id, embedding array<float>)`.
+  *
+  * Two declared paths:
+  *  - `sim_brute_topk` — exact cosine top-k, the correctness baseline.
+  *    At scale this is a broadcast of the (small) query set against a
+  *    full scan of the corpus: one pass, no shuffle except the top-k.
+  *  - `sim_ivf_topk` — IVF-style ANN: assign every vector to its nearest
+  *    centroid (the "inverted file"), probe only the `NProbe` centroids
+  *    nearest to each query. At 100 TB the assignment is a one-off
+  *    clustering job and the probe prunes the scan to nprobe/ncentroids
+  *    of the data — the same partition-pruning shape Spark applies to
+  *    partitioned tables.
+  */
+object SimilarityQueries {
+
+  val TopK = 10
+  val IvfTopK = 5
+  val NProbe = 2
+  val CentroidEvery = 25 // vec_id % 25 == 0 → deterministic centroid set
+  val NQueries = 5 // vec_id < 5 are the query vectors
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+
+  private val vectorsDuck =
+    """vecs AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       nvecs AS (
+         SELECT vec_id, v, %s AS nrm FROM vecs)""".format(VectorOps.duckNorm("v"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── exact brute-force cosine top-k ───────────────────────────────
+    QueryDef(
+      "sim_brute_topk",
+      (s, dir) => {
+        val all = vectors(s, dir)
+        val q = all.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        // query side is tiny → broadcast; corpus side is one scan.
+        all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $vectorsDuck,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nvecs WHERE vec_id < $NQueries),
+          sims AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6) AS cosine
+            FROM nvecs a JOIN q ON a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= $TopK ORDER BY query_id, rank""")),
+
+    // ── IVF-bucketed approximate top-k ───────────────────────────────
+    QueryDef(
+      "sim_ivf_topk",
+      (s, dir) => {
+        val all = vectors(s, dir)
+        val cents = all.filter(col("vec_id") % CentroidEvery === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+        // inverted file: every vector → nearest centroid (exact L2,
+        // deterministic tiebreak on cent_id). Centroids broadcast.
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cent_id").asc)
+        val assign = all.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+            VectorOps.dist2(col("v"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+
+        // probe: each query searches only its NProbe nearest centroids.
+        val q = all.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("d2").asc, col("cent_id").asc)
+        val probes = q.join(broadcast(cents), lit(true))
+          .select(col("query_id"), col("qv"), col("qn"), col("cent_id"),
+            VectorOps.dist2(col("qv"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= NProbe)
+          .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        probes.join(assign, Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= IvfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $vectorsDuck,
+          cents AS (
+            SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nvecs
+            WHERE vec_id % $CentroidEvery = 0),
+          assign AS (
+            SELECT vec_id, v, nrm, cent_id FROM (
+              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM nvecs a CROSS JOIN cents c)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nvecs WHERE vec_id < $NQueries),
+          probes AS (
+            SELECT query_id, qv, qn, cent_id FROM (
+              SELECT q.query_id, q.qv, q.qn, c.cent_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM q CROSS JOIN cents c)
+            WHERE rn <= $NProbe),
+          sims AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6) AS cosine
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""))
+  )
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over
+  * `documents(doc_id, text, lang, source, n_chars)`.
+  *
+  * Everything is built-in Catalyst expressions (string + higher-order
+  * array functions) — no UDFs — so the whole stage stays codegen-friendly
+  * and scales linearly with the corpus: each query is a single
+  * narrow-transform pass over the scan (no shuffle except the final
+  * presentation sort, which a real pipeline would drop).
+  */
+object TextQueries {
+
+  /** Stopword lexicons used by quality scoring and language ID.
+    * Tiny on purpose: the heuristic (hit-rate argmax) is the declared
+    * operator; a production list would just be a bigger literal.
+    */
+  val lex: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"))
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Count of tokens present in a word list (works in both Spark SQL and
+    * DuckDB — same syntax).
+    */
+  private def hitsExpr(ws: Seq[String]): String =
+    s"size(filter(toks, t -> t IN ${sqlList(ws)}))"
+  private def hitsDuck(ws: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN ${sqlList(ws)}))"
+
+  // Language-ID decision: fixed CASE chain = deterministic alphabetical
+  // tiebreak. Same text in both dialects.
+  private def langCase(score: String => String): String = {
+    val s = Map("de" -> score("s_de"), "en" -> score("s_en"),
+      "es" -> score("s_es"), "fr" -> score("s_fr"))
+    s"""CASE
+       WHEN ${s("de")} >= ${s("en")} AND ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")} THEN 'de'
+       WHEN ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("fr")} THEN 'en'
+       WHEN ${s("es")} >= ${s("fr")} THEN 'es'
+       ELSE 'fr' END"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── token counting: whitespace + BPE-ish regex tokens ────────────
+    QueryDef(
+      "text_tokens",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(lower(col("text")), " ")).as("n_ws_tokens"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+              .as("n_re_tokens"),
+            length(col("text")).as("len_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          len(string_split(lower(text), ' ')) AS n_ws_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+          length(text) AS len_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ── quality scoring: length / punctuation / stopword / uniqueness ─
+    QueryDef(
+      "text_quality",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+        docs.select(
+            col("doc_id"),
+            length(col("text")).as("len_chars"),
+            size(col("toks")).as("n_words"),
+            (length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
+              length(col("text"))).as("punct_ratio"),
+            (expr(hitsExpr(lex("en"))).cast("double") / size(col("toks")))
+              .as("stop_ratio"),
+            (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+              .as("uniq_ratio"))
+          .withColumn("quality_score",
+            round(lit(0.25) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+              lit(0.35) * col("uniq_ratio") +
+              lit(0.25) * least(col("stop_ratio") * 5.0, lit(1.0)) +
+              lit(0.15) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+            length(text) AS len_chars,
+            len(toks) AS n_words,
+            CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+            CAST(${hitsDuck(lex("en"))} AS DOUBLE) / len(toks) AS stop_ratio,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+          FROM q)
+        SELECT doc_id, len_chars, n_words, punct_ratio, stop_ratio, uniq_ratio,
+          round(0.25 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+              + 0.35 * uniq_ratio
+              + 0.25 * least(stop_ratio * 5.0, 1.0)
+              + 0.15 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) AS quality_score
+        FROM m ORDER BY doc_id""")),
+
+    // ── language ID: stopword hit-rate argmax ────────────────────────
+    QueryDef(
+      "text_langid",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .withColumn("s_de", expr(hitsExpr(lex("de"))))
+          .withColumn("s_en", expr(hitsExpr(lex("en"))))
+          .withColumn("s_es", expr(hitsExpr(lex("es"))))
+          .withColumn("s_fr", expr(hitsExpr(lex("fr"))))
+        scored.select(
+            col("doc_id"), col("lang").as("labeled_lang"),
+            expr(langCase(identity)).as("predicted_lang"),
+            col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (
+          SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            ${hitsDuck(lex("de"))} AS s_de, ${hitsDuck(lex("en"))} AS s_en,
+            ${hitsDuck(lex("es"))} AS s_es, ${hitsDuck(lex("fr"))} AS s_fr
+          FROM q)
+        SELECT doc_id, lang AS labeled_lang, ${langCase(identity)} AS predicted_lang,
+          s_de, s_en, s_es, s_fr
+        FROM sc ORDER BY doc_id""")),
+
+    // ── document fingerprint: md5 of whitespace-normalized text ──────
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            expr("cast(conv(substring(md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))), 1, 15), 16, 10) as bigint)")
+              .as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CAST(('0x' || substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fingerprint
+        FROM documents ORDER BY doc_id"""),
+      doc = "60-bit md5 prefix = cross-engine-stable content fingerprint.")
+  )
+}

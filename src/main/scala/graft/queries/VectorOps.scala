@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, as pure Catalyst
+  * higher-order expressions (no UDFs, stays inside codegen'd stages).
+  *
+  * Determinism contract: every reduction is a sequential left-fold
+  * (`aggregate`), which is bit-identical to DuckDB's `list_reduce` over
+  * the same doubles — that's what makes cosine similarities
+  * oracle-comparable with exact equality.
+  */
+object VectorOps {
+
+  /** array<float> → array<double> (exact widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Squared euclidean distance. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity given precomputed norms. */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  // ── DuckDB dialect fragments for the oracle SQL ────────────────────
+  // list_reduce has no init arg in the target DuckDB → prepend 0.0.
+
+  def duckFoldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  def duckDot(a: String, b: String): String =
+    duckFoldSum(s"list_transform(range(len($a)), k -> $a[k+1] * $b[k+1])")
+
+  def duckNorm(a: String): String =
+    s"sqrt(${duckDot(a, a)})"
+
+  def duckDist2(a: String, b: String): String =
+    duckFoldSum(s"list_transform(range(len($a)), k -> ($a[k+1] - $b[k+1]) * ($a[k+1] - $b[k+1]))")
+}
