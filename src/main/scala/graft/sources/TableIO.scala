@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Row-iterable ⇄ Parquet I/O, mirroring the reference's capability
+  * envelope (SURVEY §2.1 S1–S5):
+  *
+  *  - S1 `read`: whole-file Parquet scan (reference: read_table,
+  *    src/parquet_demo/io.py:78-80).
+  *  - S3/S4 `write`: Parquet write with row-group-ish control — Spark
+  *    writes one file per partition, so chunked writing is partitioning
+  *    (reference: pq.write_table io.py:75; ParquetWriter loop
+  *    examples/generate_parquet_from_ddl.py:111-205).
+  *  - S5 `writeRows`: Iterable[Map] + explicit schema → table; missing
+  *    keys become null (reference: row.get(field.name),
+  *    src/parquet_demo/io.py:19) and values are coerced per §1.4.
+  */
+object TableIO {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def write(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+
+  /** Schema-driven write of row maps. Coercion rules mirror
+    * src/parquet_demo/io.py:21-66: timestamps accept datetime-likes or
+    * already-integer epoch micros; dates accept date-likes or
+    * already-integer epoch days; missing keys → null; everything else
+    * passes through to the encoder.
+    */
+  def writeRows(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      rows: Iterable[Map[String, Any]]): Unit = {
+    val data = rows.map(r => toRow(schema, r)).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, data.size / 100000 + 1)),
+      schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** One row map → Row in schema order; absent keys null (io.py:19). */
+  def toRow(schema: StructType, m: Map[String, Any]): Row =
+    Row.fromSeq(schema.fields.toSeq.map(f => coerce(m.getOrElse(f.name, null), f.dataType)))
+
+  /** §1.4 value coercion. Naive datetimes are treated as UTC — the
+    * reference converts tz-aware datetimes to UTC then drops the tz
+    * (io.py:37-42); with the session pinned to UTC, java.time types map
+    * 1:1.
+    */
+  private[graft] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: java.time.Instant, _: TimestampType) => x
+    case (x: java.sql.Timestamp, _: TimestampType) => x.toInstant
+    case (x: java.time.LocalDateTime, _: TimestampType) =>
+      x.toInstant(java.time.ZoneOffset.UTC)
+    case (x: Long, _: TimestampType) => // already epoch micros (io.py:49-50)
+      java.time.Instant.ofEpochSecond(x / 1000000L, (x % 1000000L) * 1000L)
+    case (x: java.time.LocalDate, _: DateType) => x
+    case (x: java.sql.Date, _: DateType) => x.toLocalDate
+    case (x: Int, _: DateType) => // already epoch days (io.py:54-63)
+      java.time.LocalDate.ofEpochDay(x.toLong)
+    case (x: Int, _: LongType) => x.toLong
+    case (x: Float, _: DoubleType) => x.toDouble
+    case (x: java.math.BigDecimal, d: DecimalType) =>
+      x.setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case (x: BigDecimal, d: DecimalType) =>
+      x.setScale(d.scale, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+    case (x, _) => x
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Structured Streaming forms of the event operators (SURVEY §2.4).
+  *
+  * The reference's streaming pipeline is a pull-based micro-batch loop
+  * (`iter_batches` — examples/ingest_parquet_to_mongo_stream.py:139);
+  * here that's `readStream` over a parquet directory with
+  * `maxFilesPerTrigger` as backpressure (≙ the reference's bounded
+  * queue, ingest_parquet_to_mongo_bulk.py:145).
+  *
+  * Each transform below is the SAME expression tree as the batch form in
+  * `graft.queries.EventQueries` — the convergence spec replays
+  * events.parquet through these and asserts equality with the batch
+  * answers (SURVEY §5.2.5).
+  */
+object EventStreams {
+
+  /** events schema after ns→µs normalization (streams can't infer). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos (legacy long mode)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ST1: micro-batch file stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** ST2 + ST4: watermarked tumbling window aggregation. */
+  def tumbling(events: DataFrame, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** ST2 sliding variant. */
+  def sliding(events: DataFrame, width: String = "30 minutes",
+      slide: String = "10 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+
+  /** ST3: session window per user. */
+  def sessions(events: DataFrame, gap: String = "4 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** ST5: stateful streaming dedup within the watermark. */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+
+  /** ST6: run any of the above to a named in-memory sink and wait for all
+    * available input — the synchronous smoke path for local validation.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** ST6 with side effects: foreachBatch into a DocumentSink, the
+    * streaming analogue of the reference's `as_completed` writer loop
+    * (examples/ingest_parquet_to_mongo_stream.py:163-181). Checkpointing
+    * + idempotent upsert replace the reference's manual retry advice
+    * (README.md:104-109).
+    */
+  def runToSink(events: DataFrame, sinkName: String, pk: Seq[String],
+      checkpointDir: String): Unit = {
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Ingest.bulkUpsert(batch, sinkName, pk)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Batch replay of the same event data, for convergence checks. */
+  def batchEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+}

@@ -1,0 +1,30 @@
+package graft
+
+/** Every declared query must run at sf0.001 (one test per operator —
+  * SURVEY §5.2; value-level checks are the driver's DuckDB oracle gate,
+  * exercised via graft.Verify + tools/check.py).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  // queries whose correct answer can legitimately be empty at tiny SF
+  // q09: part prices (900..920 at sf0.001) don't overlap the supplier
+  // band until sf0.01+, where the oracle checks values.
+  private val mayBeEmpty = Set("q08_join_anti", "q09_join_range",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine")
+
+  SparkEntry.allDefs.foreach { d =>
+    test(s"${d.name} runs at sf0.001") {
+      val n = d.fn(spark, sf()).count()
+      if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned 0 rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

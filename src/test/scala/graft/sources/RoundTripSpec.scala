@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Parquet write→read round-trip for every §1.2 type (SURVEY §5.2.1),
+  * mirroring the reference's tests/test_io.py and tests/test_datetime.py.
+  */
+class RoundTripSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("ratio", FloatType),
+    StructField("flag", BooleanType),
+    StructField("ts", TimestampType),
+    StructField("d", DateType),
+    StructField("amount", DecimalType(38, 10))))
+
+  private val ts = java.time.Instant.parse("2023-01-02T03:04:05.123456Z")
+  private val d = java.time.LocalDate.of(2023, 1, 2)
+
+  test("full-width round trip preserves values exactly") {
+    val rows = Seq(
+      Map[String, Any]("id" -> 1L, "name" -> "Alice", "score" -> 9.5,
+        "ratio" -> 0.25f, "flag" -> true, "ts" -> ts, "d" -> d,
+        "amount" -> BigDecimal("12345.6789")),
+      Map[String, Any]("id" -> 2L, "name" -> "Bob", "score" -> 7.3,
+        "ratio" -> 0.5f, "flag" -> false, "ts" -> ts, "d" -> d,
+        "amount" -> BigDecimal("-1.0000000001")))
+    val path = tmpDir("roundtrip") + "/t.parquet"
+    TableIO.writeRows(spark, path, schema, rows)
+    val back = TableIO.read(spark, path).orderBy("id").collect()
+    assert(back.length == 2)
+    val r = back(0)
+    assert(r.getAs[Long]("id") == 1L)
+    assert(r.getAs[String]("name") == "Alice")
+    assert(r.getAs[Double]("score") == 9.5)
+    assert(r.getAs[Float]("ratio") == 0.25f)
+    assert(r.getAs[Boolean]("flag"))
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant == ts)
+    assert(r.getAs[java.sql.Date]("d").toLocalDate == d)
+    assert(r.getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("12345.6789")) == 0)
+  }
+
+  test("missing keys become nulls (io.py:19 semantics)") {
+    val rows = Seq(
+      Map[String, Any]("id" -> 1L, "name" -> "only-two-fields"),
+      Map[String, Any]("id" -> 2L, "score" -> 1.5))
+    val path = tmpDir("nulls") + "/t.parquet"
+    TableIO.writeRows(spark, path, schema, rows)
+    val back = TableIO.read(spark, path).orderBy("id").collect()
+    assert(back(0).isNullAt(back(0).fieldIndex("score")))
+    assert(back(1).isNullAt(back(1).fieldIndex("name")))
+    assert(back(1).isNullAt(back(1).fieldIndex("ts")))
+  }
+
+  test("integer epoch values pass through timestamp/date coercion (io.py:49-50)") {
+    val rows = Seq(Map[String, Any](
+      "id" -> 1L,
+      "ts" -> 1672628645123456L, // epoch micros
+      "d" -> 19359)) // epoch days
+    val path = tmpDir("epoch") + "/t.parquet"
+    TableIO.writeRows(spark, path, schema, rows)
+    val r = TableIO.read(spark, path).collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.ofEpochSecond(1672628645L, 123456000L))
+    assert(r.getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19359L))
+  }
+
+  test("tz-aware datetimes normalize to UTC (io.py:37-42)") {
+    val zoned = java.time.ZonedDateTime.of(2023, 6, 1, 12, 0, 0, 0,
+      java.time.ZoneId.of("America/New_York"))
+    val rows = Seq(Map[String, Any]("id" -> 1L, "ts" -> zoned.toInstant))
+    val path = tmpDir("tz") + "/t.parquet"
+    TableIO.writeRows(spark, path, schema, rows)
+    val r = TableIO.read(spark, path).collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.parse("2023-06-01T16:00:00Z"))
+  }
+}

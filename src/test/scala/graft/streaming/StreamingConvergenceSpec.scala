@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.queries.EventQueries
+
+/** SURVEY §5.2.5: replay events.parquet as a file stream; the final
+  * streaming state must equal the batch computation.
+  */
+class StreamingConvergenceSpec extends SparkSpec {
+
+  private def batchQuery(name: String): DataFrame =
+    EventQueries.defs.find(_.name == name).get.fn(spark, sf())
+
+  private def assertSameRows(streamed: DataFrame, batch: DataFrame): Unit = {
+    val cols = batch.columns.sorted.map(org.apache.spark.sql.functions.col)
+    val s = streamed.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted
+    val b = batch.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted
+    assert(s.length == b.length, s"row count ${s.length} != ${b.length}")
+    assert(s.sameElements(b))
+  }
+
+  // The streaming file source needs a DIRECTORY; stage the fixture file
+  // into one (also how new files would arrive incrementally in prod).
+  private lazy val eventsDir: String = {
+    import java.nio.file.{Files, Paths}
+    val d = tmpDir("events-stream")
+    Files.copy(Paths.get(s"${sf()}/events.parquet"),
+      Paths.get(d, "events.parquet"))
+    d
+  }
+
+  private def streamEvents(): DataFrame =
+    EventStreams.readEvents(spark, eventsDir)
+
+  test("ST2 tumbling window converges to the batch answer") {
+    val got = EventStreams.runToMemory(
+      EventStreams.tumbling(streamEvents()), "conv_tumbling", "complete")
+    assertSameRows(got, batchQuery("st_tumbling_window"))
+  }
+
+  test("ST2 sliding window converges to the batch answer") {
+    val got = EventStreams.runToMemory(
+      EventStreams.sliding(streamEvents()), "conv_sliding", "complete")
+    assertSameRows(got, batchQuery("st_sliding_window"))
+  }
+
+  test("ST3 session window converges to the batch answer") {
+    val got = EventStreams.runToMemory(
+      EventStreams.sessions(streamEvents()), "conv_sessions", "complete")
+    assertSameRows(got, batchQuery("st_session_window"))
+  }
+
+  test("ST5 streaming dedup keeps exactly one row per key") {
+    val got = EventStreams.runToMemory(
+      EventStreams.dedup(streamEvents()), "conv_dedup", "append")
+    val batch = batchQuery("st_dedup_events")
+    // dropDuplicatesWithinWatermark keeps the FIRST ARRIVED row per key —
+    // on an unordered replay that's not necessarily the earliest-ts row,
+    // so convergence here is on the key set, not row identity.
+    assert(got.count() == batch.count())
+    val gotKeys = got.select("user_id", "event_type").collect().map(_.toString).sorted
+    val expKeys = batch.select("user_id", "event_type").collect().map(_.toString).sorted
+    assert(gotKeys.sameElements(expKeys))
+  }
+
+  test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
+    graft.sources.InMemorySink.clear("t_stream_sink")
+    EventStreams.runToSink(
+      streamEvents().select("user_id", "event_type", "event_id", "ts"),
+      "t_stream_sink", pk = Seq("user_id", "event_type"),
+      checkpointDir = tmpDir("ckpt"))
+    val expected = batchQuery("st_dedup_events").count()
+    assert(graft.sources.InMemorySink("t_stream_sink").count() == expected)
+  }
+}
