@@ -103,29 +103,40 @@ object DedupQueries {
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val sh = shingled(s, dir)
+        // Persist each narrow stage: without the InMemoryRelation
+        // barriers, CollapseProject inlines the shingle-hash expression
+        // into all 32 permutation mins and both join sides — a
+        // multiplicative expression-tree blowup that took minutes to
+        // optimize/execute even at sf0.001.
+        val sh = shingled(s, dir).select(col("doc_id"), col("shingles")).persist()
+        val hs = sh
           .withColumn("hs", expr(s"transform(shingles, s -> ${h60Spark("s")} % ${P}L)"))
+          .select(col("doc_id"), col("hs")).persist()
         // K minhash values, then BANDS band-signature strings.
         val sigExpr = (0 until K).map { i =>
           s"array_min(transform(hs, h -> (${A(i)}L * h + ${B(i)}L) % ${P}L))"
         }.mkString("array(", ", ", ")")
-        val withSig = sh.withColumn("sig", expr(sigExpr))
-          .withColumn("bands", expr(
-            s"transform(sequence(0, ${BANDS - 1}), b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS), v -> cast(v as string)), '_'))"))
         // explode to (band_idx, band_sig, doc_id) and bucket-join: this is
         // the single shuffle that replaces the O(n^2) compare at scale.
-        val buckets = withSig
-          .select(col("doc_id"), col("shingles"),
-            posexplode(col("bands")).as(Seq("band_idx", "band_sig")))
+        // Buckets stay NARROW (no shingles) — candidate pairs join back to
+        // the shingle table for the verify step, so the band shuffle moves
+        // only (doc_id, band_idx, band_sig).
+        val buckets = hs
+          .withColumn("sig", expr(sigExpr))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, ${BANDS - 1}), b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS), v -> cast(v as string)), '_'))"))
+            .as(Seq("band_idx", "band_sig")))
+          .persist()
         val cand = buckets.as("a")
           .join(buckets.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
             col("a.band_sig") === col("b.band_sig") &&
             col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         cand
+          .join(sh.toDF("doc_a", "sa"), "doc_a")
+          .join(sh.toDF("doc_b", "sb"), "doc_b")
           .withColumn("jaccard",
             round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
               size(array_union(col("sa"), col("sb"))), 6))
