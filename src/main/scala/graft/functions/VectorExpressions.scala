@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen'd vector folds over `array<double>` columns.
+  *
+  * The built-in route (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) is a
+  * HigherOrderFunction: per-element lambda dispatch, never inside
+  * whole-stage codegen. For similarity search the dot product is the
+  * innermost loop over the entire corpus — at 100 TB it runs trillions of
+  * times — so it is the one place a custom `Expression` with `doGenCode`
+  * is warranted (SURVEY §2.5 policy: built-ins first, codegen'd
+  * Expression only for the measured hot path).
+  *
+  * Determinism contract: a strict sequential left-fold, bit-identical to
+  * the `aggregate`-based fold and to DuckDB's `list_reduce` — results
+  * stay oracle-comparable with exact equality.
+  *
+  * Null semantics match the built-in composition: null array → null;
+  * any null element → null (null propagates through `x * y` then the sum).
+  * Lengths may differ; the fold runs over the shorter prefix, matching
+  * `zip_with`'s null-padding + null-propagation only when the caller
+  * guarantees equal lengths (embedding corpora do).
+  */
+abstract class VectorFold extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  /** Per-element term in Java source, over double vars `x` and `y`. */
+  protected def termJava(x: String, y: String): String
+  protected def term(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val n = math.min(arrA.numElements(), arrB.numElements())
+    var sum = 0.0
+    var k = 0
+    while (k < n) {
+      if (arrA.isNullAt(k) || arrB.isNullAt(k)) return null
+      sum += term(arrA.getDouble(k), arrB.getDouble(k))
+      k += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val sum = ctx.freshName("sum")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; break; }
+         |  double $x = $a.getDouble($k);
+         |  double $y = $b.getDouble($k);
+         |  $sum += ${termJava(x, y)};
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+}
+
+/** Sequential-fold dot product: sum(a[k] * b[k]). */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override protected def termJava(x: String, y: String): String = s"$x * $y"
+  override protected def term(x: Double, y: Double): Double = x * y
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sequential-fold squared euclidean distance: sum((a[k]-b[k])^2). */
+case class SquaredDistance(left: Expression, right: Expression) extends VectorFold {
+  override protected def termJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def term(x: Double, y: Double): Double = (x - y) * (x - y)
+  override def prettyName: String = "vec_dist2"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

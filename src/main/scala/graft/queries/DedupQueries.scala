@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,17 +79,41 @@ object DedupQueries {
         FROM documents GROUP BY md5(text) ORDER BY canonical_id"""),
       doc = "Hash-groupBy exact dedup; the only scalable exact method."),
 
-    // ── n-gram Jaccard near-dup (all-pairs verify form) ──────────────
+    // ── n-gram Jaccard near-dup (prefix-filtered set-similarity join) ─
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingled(s, dir).select(col("doc_id"), col("shingles"))
-        val a = sh.as("a")
-        val b = sh.as("b")
-        a.join(b, col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            round(jaccard(col("a.shingles"), col("b.shingles")), 6).as("jaccard"))
+        // AllPairs/PPJoin prefix filtering: under a global token order
+        // (ascending document frequency, then lexicographic), any pair
+        // with jaccard >= τ must share a token within each side's first
+        // p = |S| - ⌈τ·|S|⌉ + 1 tokens — so indexing only prefixes loses
+        // no answers (proof: the smallest shared token t* would otherwise
+        // leave |S∩T| <= ⌈τ|S|⌉ - 1 < τ|S|). Replaces the O(n²) cross
+        // join with a shuffle on prefix tokens; rare-token-first ordering
+        // also kills bucket skew. p uses integer math (τ = 4/5): doubles
+        // would over-shrink the prefix (0.8 is not exact in binary).
+        val sh = shingled(s, dir).select(col("doc_id"), col("shingles")).persist()
+        val posting = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+          explode(col("shingles")).as("shingle"))
+        val freq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("shingle").asc)
+        val prefix = posting.join(freq, "shingle")
+          .withColumn("rn", row_number().over(wDoc))
+          .filter(expr("rn <= sz - ((4 * sz + 4) div 5) + 1"))
+          .select(col("doc_id"), col("shingle"))
+          .persist()
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.toDF("doc_a", "sa"), "doc_a")
+          .join(sh.toDF("doc_b", "sb"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
           .filter(col("jaccard") >= JaccardTau)
           .orderBy(col("doc_a"), col("doc_b"))
       },

@@ -1,15 +1,22 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, as pure Catalyst
-  * higher-order expressions (no UDFs, stays inside codegen'd stages).
+import graft.functions.{DotProduct, SquaredDistance}
+
+/** Vector math over `array<float>` embedding columns.
   *
-  * Determinism contract: every reduction is a sequential left-fold
-  * (`aggregate`), which is bit-identical to DuckDB's `list_reduce` over
-  * the same doubles — that's what makes cosine similarities
-  * oracle-comparable with exact equality.
+  * Reductions are the native codegen'd expressions in
+  * `graft.functions.VectorExpressions` — the built-in
+  * `aggregate(zip_with(...))` composition is semantically identical but
+  * runs per-element interpreted lambdas, which dominated the similarity
+  * benchmarks (the dot product is the innermost corpus-scan loop).
+  *
+  * Determinism contract: every reduction is a strict sequential
+  * left-fold, bit-identical to DuckDB's `list_reduce` over the same
+  * doubles — that's what makes cosine similarities oracle-comparable
+  * with exact equality.
   */
 object VectorOps {
 
@@ -18,14 +25,16 @@ object VectorOps {
 
   /** Sequential-fold dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Squared euclidean distance. */
   def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    GraftColumnBridge.column(SquaredDistance(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Cosine similarity given precomputed norms. */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
