@@ -212,6 +212,11 @@ object DedupQueries {
                (acc, b) -> acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
                                  THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
           .select(col("doc_id"), col("simhash"))
+          // a single parquet file scans as ONE partition: persist the
+          // (tiny) signature table so the interpreted aggregate runs once,
+          // and spread the all-pairs stream side across all cores.
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
         docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -243,6 +248,9 @@ object DedupQueries {
         val v = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
+          // single-file scan = one partition; spread the O(n²) stream side
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
         v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan assertions (SURVEY §4.2): the declarative queries must
+  * actually get the Catalyst treatment the scale story relies on —
+  * broadcast joins for dims, parquet filter pushdown, column pruning.
+  * These are the properties that decide whether a plan survives a 100×
+  * scale-up, so they are pinned as tests, not just eyeballed once.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q04 dimension joins are all broadcast (single shuffle on lineitem)") {
+    val p = plan("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge join")
+  }
+
+  test("q02 predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      "shipdate bounds must be pushed:\n" + p.take(2000))
+  }
+
+  test("q01 scan reads only the projected columns (ReadSchema pruning)") {
+    val p = plan("q01_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_name"))
+    assert(!readSchema.contains("p_retailprice"),
+      s"scan must not read unprojected columns: $readSchema")
+  }
+
+  test("q10 flagship aggregation is whole-stage codegen'd with partial agg") {
+    val df = SparkEntry.queries("q10_agg_basic")(spark, sf())
+    df.collect() // finalize the AQE plan so codegen markers are visible
+    val p = df.queryExecution.executedPlan.toString
+    // whole-stage codegen spans render as "*(n) Operator" in the final plan
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    // partial (map-side) aggregation before the exchange
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("sim_brute_topk broadcasts the query side, scans corpus once") {
+    val p = plan("sim_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("native vec_dot appears in the similarity plan (not interpreted HOF)") {
+    val p = plan("sim_brute_topk")
+    assert(p.contains("vec_dot"), p.take(2000))
+  }
+}
