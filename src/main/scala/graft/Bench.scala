@@ -8,10 +8,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // size scan splits to the benchmark SF: the fixtures are single
+      // ~1-40 MB parquet files, which at the default 128 MB split arrive
+      // as ONE partition and serialize the scan; 4 MB splits restore scan
+      // parallelism (the knob a 100 TB deployment would tune the other
+      // way, toward fewer+larger splits)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet // optional query-name filter (dev loop)
+    // Warm up codegen/classloading/parquet-footer paths once so the cost
+    // isn't attributed to whichever query happens to run first.
+    try SparkEntry.queries("q10_agg_basic")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

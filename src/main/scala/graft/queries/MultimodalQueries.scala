@@ -74,6 +74,24 @@ object MultimodalQueries {
         FROM documents ORDER BY doc_id"""),
       doc = "Binary column + deterministic fake decode; codec is a stub by design."),
 
+    // ── decode stage via mapPartitions (the codec drop-in seam) ──────
+    QueryDef(
+      "mm_decode_stub",
+      (s, dir) =>
+        decodeImages(
+          Tables.load(s, dir, "documents")
+            .withColumn("payload", col("text").cast(BinaryType)))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+          CAST(octet_length(encode(text)) // 640 % 480 + 1 AS INTEGER) AS height,
+          CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        FROM documents ORDER BY doc_id"""),
+      doc = "Same metadata as mm_binary_meta but produced by the " +
+        "partition-parallel mapPartitions decode stage — proves the " +
+        "binary-column plumbing a real codec would drop into."),
+
     // ── frame-sampling shape: explode per-asset frame indexes ────────
     QueryDef(
       "mm_frame_sample",
