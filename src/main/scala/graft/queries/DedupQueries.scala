@@ -42,9 +42,14 @@ object DedupQueries {
   private def h60Duck(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
-  /** documents → (doc_id, shingles: distinct word 3-grams). */
+  /** documents → (doc_id, shingles: distinct word 3-grams). The fixture
+    * is one small parquet file (= one scan partition); repartition so the
+    * interpreted shingling transform uses every core, as a multi-file
+    * corpus scan would naturally.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles",
@@ -137,17 +142,19 @@ object DedupQueries {
         val hs = sh
           .withColumn("hs", expr(s"transform(shingles, s -> ${h60Spark("s")} % ${P}L)"))
           .select(col("doc_id"), col("hs")).persist()
-        // K minhash values, then BANDS band-signature strings.
-        val sigExpr = (0 until K).map { i =>
-          s"array_min(transform(hs, h -> (${A(i)}L * h + ${B(i)}L) % ${P}L))"
-        }.mkString("array(", ", ", ")")
+        // K minhash values in ONE codegen'd pass (graft.functions.
+        // MinHashSig — bit-identical to the K-pass declarative form the
+        // oracle runs), then BANDS band-signature strings.
+        val sigCol = org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.MinHashSig(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("hs")), A, B, P))
         // explode to (band_idx, band_sig, doc_id) and bucket-join: this is
         // the single shuffle that replaces the O(n^2) compare at scale.
         // Buckets stay NARROW (no shingles) — candidate pairs join back to
         // the shingle table for the verify step, so the band shuffle moves
         // only (doc_id, band_idx, band_sig).
         val buckets = hs
-          .withColumn("sig", expr(sigExpr))
+          .withColumn("sig", sigCol)
           .select(col("doc_id"), posexplode(expr(
             s"transform(sequence(0, ${BANDS - 1}), b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS), v -> cast(v as string)), '_'))"))
             .as(Seq("band_idx", "band_sig")))
