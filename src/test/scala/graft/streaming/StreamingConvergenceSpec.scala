@@ -65,6 +65,22 @@ class StreamingConvergenceSpec extends SparkSpec {
     assert(gotKeys.sameElements(expKeys))
   }
 
+  test("ST1/ST4 multi-file replay (several micro-batches) still converges") {
+    // Split events into 4 files: maxFilesPerTrigger=1 forces 4 separate
+    // micro-batches through the watermark/window state machinery —
+    // the real incremental-arrival shape, not one catch-all batch.
+    val d = tmpDir("events-multi")
+    graft.Tables.load(spark, sf(), "events")
+      .repartition(4).write.mode("overwrite").parquet(d)
+    val streamed = spark.readStream
+      .schema(graft.Tables.load(spark, sf(), "events").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d)
+    val got = EventStreams.runToMemory(
+      EventStreams.tumbling(streamed), "conv_multi_tumbling", "complete")
+    assertSameRows(got, batchQuery("st_tumbling_window"))
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
