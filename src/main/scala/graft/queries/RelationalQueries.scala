@@ -397,6 +397,31 @@ object RelationalQueries {
           FROM orders) WHERE rn <= 3
         ORDER BY o_orderstatus, rn""")),
 
+    // ── Q14b top-k per group via typed Aggregator (the scale path) ───
+    QueryDef(
+      "q19_topk_agg",
+      (s, dir) => {
+        // Same answer as q19_topk_per_group, different physical shape:
+        // the window form shuffles+sorts every row of each group; the
+        // Aggregator keeps a k-row buffer per group and merges map-side,
+        // shipping at most k rows per group per partition — the shape
+        // that survives a billion-row hot group (SURVEY §2.5).
+        val topk = udaf(graft.operators.TopKAgg(3))
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+          .select(col("o_orderstatus"), posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("o_orderstatus"), (col("pos") + 1).cast("int").as("rn"),
+            col("x.tag").as("o_orderkey"), col("x.value").as("o_totalprice"))
+          .orderBy(col("o_orderstatus"), col("rn"))
+      },
+      Some("""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_orderstatus, rn"""),
+      doc = "Typed Aggregator top-k: map-side partial heaps, k rows per group per partition over the wire."),
+
     // ── Q20 global top-k (sort + limit) ──────────────────────────────
     QueryDef(
       "q20_limit",
