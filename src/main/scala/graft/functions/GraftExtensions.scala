@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.queries.DedupQueries
+
+/** SQL-surface registration for the engine's native expressions.
+  *
+  * Two entry points:
+  *  - `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  *    `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`)
+  *    for new sessions — the standard extension hook;
+  *  - `GraftFunctions.register(spark)` for an existing session.
+  *
+  * After either, `SELECT vec_dot(a, b)`, `vec_dist2(a, b)` and
+  * `minhash_sig(hs)` work from plain SQL — the same codegen'd
+  * expressions the DataFrame helpers in `graft.queries.VectorOps` build.
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot(a, b) takes two arguments")
+        DotProduct(children.head, children(1))
+      }),
+    (new FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "vec_dist2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dist2(a, b) takes two arguments")
+        SquaredDistance(children.head, children(1))
+      }),
+    // minhash_sig uses the engine's declared permutation constants: the
+    // coefficients are part of the operator contract (DedupQueries).
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minhash_sig(hs) takes one argument")
+        MinHashSig(children.head, DedupQueries.A, DedupQueries.B, DedupQueries.P)
+      }))
+
+  /** Imperative registration on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      GraftColumnBridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The native functions must be callable from plain SQL after
+  * registration (`GraftFunctions.register` on the shared session; the
+  * `withExtensions`/`spark.sql.extensions` path runs the identical
+  * injectFunction list at session build time).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("vec_dot / vec_dist2 are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "vec_dist2(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS e").collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 8.0)
+  }
+
+  test("minhash_sig is callable from SQL and matches the query-layer constants") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql("SELECT minhash_sig(array(42L, 7L)) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == graft.queries.DedupQueries.K)
+    val a = graft.queries.DedupQueries.A
+    val b = graft.queries.DedupQueries.B
+    val p = graft.queries.DedupQueries.P
+    val expected0 = math.min((a(0) * 42L + b(0)) % p, (a(0) * 7L + b(0)) % p)
+    assert(sig.head == expected0)
+  }
+
+  test("extension class exposes the same function list") {
+    assert(GraftFunctions.all.map(_._1.funcName).sorted ==
+      Seq("minhash_sig", "vec_dist2", "vec_dot"))
+    // constructing the extensions class must not throw
+    new GraftExtensions
+  }
+}
