@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -114,4 +114,58 @@ object EventStreams {
   /** Batch replay of the same event data, for convergence checks. */
   def batchEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
+
+  // ── custom state: mapGroupsWithState ───────────────────────────────
+
+  /** Running per-user state maintained by the engine's own logic rather
+    * than a built-in aggregate — the `mapGroupsWithState` surface for
+    * state machines the declarative API can't express. Sums are kept as
+    * scaled-long cents so incremental (per-trigger) accumulation is
+    * bit-identical to the batch answer regardless of arrival order.
+    */
+  final case class UserState(n: Long, sumCents: Long, maxTsMicros: Long)
+  final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double,
+      last_ts: java.sql.Timestamp)
+
+  def statefulUserAgg(events: DataFrame): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    events
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          rows.foreach { case (_, v, tsUs) =>
+            s = UserState(
+              s.n + 1,
+              s.sumCents + math.round(v * 100.0),
+              math.max(s.maxTsMicros, tsUs))
+          }
+          state.update(s)
+          UserAgg(uid, s.n, s.sumCents / 100.0, microsToTs(s.maxTsMicros))
+      }
+  }
+
+  /** Epoch micros → Timestamp preserving microsecond precision. */
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Batch form of the same state machine (identical cents arithmetic),
+    * the convergence oracle for `statefulUserAgg`.
+    */
+  def batchUserAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100.0).cast("long")) / 100.0).as("sum_value"),
+        max(col("ts")).as("last_ts"))
 }

@@ -81,6 +81,32 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(got, batchQuery("st_tumbling_window"))
   }
 
+  test("mapGroupsWithState running per-user state converges to the batch answer") {
+    // update-mode memory sink records one row per (key, trigger); the
+    // FINAL state per key must equal the batch computation. Multi-file
+    // replay forces several triggers so state genuinely accumulates.
+    val d = tmpDir("events-state")
+    graft.Tables.load(spark, sf(), "events")
+      .repartition(4).write.mode("overwrite").parquet(d)
+    val streamed = spark.readStream
+      .schema(graft.Tables.load(spark, sf(), "events").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d)
+    val updates = EventStreams.runToMemory(
+      EventStreams.statefulUserAgg(streamed).toDF(), "conv_state", "update")
+    // last update per user = final state (n_events strictly grows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("user_id"))
+      .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+    val finalState = updates
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .drop("rn")
+    val batch = EventStreams.batchUserAgg(
+      graft.Tables.load(spark, sf(), "events"))
+    assertSameRows(finalState, batch)
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
