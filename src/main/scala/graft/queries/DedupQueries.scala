@@ -106,12 +106,16 @@ object DedupQueries {
         val prefix = posting.join(freq, "shingle")
           .withColumn("rn", row_number().over(wDoc))
           .filter(expr("rn <= sz - ((4 * sz + 4) div 5) + 1"))
-          .select(col("doc_id"), col("shingle"))
+          .select(col("doc_id"), col("shingle"), col("sz"))
           .persist()
+        // length filter (also lossless): jaccard >= τ forces
+        // min(|A|,|B|) >= τ·max(|A|,|B|), i.e. 5·each >= 4·other.
         val cand = prefix.as("a")
           .join(prefix.as("b"),
             col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 5 >= col("b.sz") * 4 &&
+            col("b.sz") * 5 >= col("a.sz") * 4)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         cand
