@@ -109,6 +109,38 @@ object EventQueries {
         ORDER BY user_id, event_type"""),
       doc = "Batch form of dropDuplicatesWithinWatermark(user_id, event_type)."),
 
+    // ── as-of (attribution) join: purchase → latest prior click ──────
+    QueryDef(
+      "ev_asof_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin.backward(
+            purchases, clicks, key = "user_id",
+            leftTs = "ts", rightTs = "ts",
+            rightPayload = Seq("event_id"), rightTiebreak = "event_id")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+          c.click_id, c.click_ts
+        FROM events p
+        LEFT JOIN LATERAL (
+          SELECT c0.event_id AS click_id, c0.ts AS click_ts
+          FROM events c0
+          WHERE c0.event_type = 'click' AND c0.user_id = p.user_id AND c0.ts <= p.ts
+          ORDER BY c0.ts DESC, c0.event_id DESC LIMIT 1) c ON true
+        WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id"""),
+      doc = "Backward as-of join (union + single key shuffle + ordered " +
+        "window), the scalable shape for time-series attribution; oracle " +
+        "is the per-row LATERAL formulation."),
+
     // ── late-data semantics: watermark cutoff as a batch filter ──────
     QueryDef(
       "st_watermark_filter",
