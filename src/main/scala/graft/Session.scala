@@ -26,6 +26,8 @@ object Session {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native functions (vec_dot, vec_dist2, minhash_sig) on the SQL surface
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }
