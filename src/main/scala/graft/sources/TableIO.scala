@@ -62,6 +62,14 @@ object TableIO {
       x.toInstant(java.time.ZoneOffset.UTC)
     case (x: Long, _: TimestampType) => // already epoch micros (io.py:49-50)
       java.time.Instant.ofEpochSecond(x / 1000000L, (x % 1000000L) * 1000L)
+    // NTZ: naive timestamps are UTC by convention (io.py:37-39)
+    case (x: java.time.LocalDateTime, _: TimestampNTZType) => x
+    case (x: java.time.Instant, _: TimestampNTZType) =>
+      java.time.LocalDateTime.ofInstant(x, java.time.ZoneOffset.UTC)
+    case (x: Long, _: TimestampNTZType) =>
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(x / 1000000L, (x % 1000000L) * 1000L),
+        java.time.ZoneOffset.UTC)
     case (x: java.time.LocalDate, _: DateType) => x
     case (x: java.sql.Date, _: DateType) => x.toLocalDate
     case (x: Int, _: DateType) => // already epoch days (io.py:54-63)

@@ -72,6 +72,25 @@ class RoundTripSpec extends SparkSpec {
       java.time.LocalDate.ofEpochDay(19359L))
   }
 
+  test("timestamp_ntz round-trips naive datetimes (reference naive-UTC convention)") {
+    val ntzSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts_ntz", TimestampNTZType)))
+    val naive = java.time.LocalDateTime.of(2023, 1, 2, 3, 4, 5, 123456000)
+    val rows = Seq(
+      Map[String, Any]("id" -> 1L, "ts_ntz" -> naive),
+      Map[String, Any]("id" -> 2L, "ts_ntz" -> ts), // Instant treated as UTC wall-clock
+      Map[String, Any]("id" -> 3L, "ts_ntz" -> 1672628645123456L)) // epoch micros
+    val path = tmpDir("ntz") + "/t.parquet"
+    TableIO.writeRows(spark, path, ntzSchema, rows)
+    val back = TableIO.read(spark, path).orderBy("id").collect()
+    assert(back(0).getAs[java.time.LocalDateTime]("ts_ntz") == naive)
+    assert(back(1).getAs[java.time.LocalDateTime]("ts_ntz") ==
+      java.time.LocalDateTime.ofInstant(ts, java.time.ZoneOffset.UTC))
+    assert(back(2).getAs[java.time.LocalDateTime]("ts_ntz") ==
+      java.time.LocalDateTime.of(2023, 1, 2, 3, 4, 5, 123456000))
+  }
+
   test("tz-aware datetimes normalize to UTC (io.py:37-42)") {
     val zoned = java.time.ZonedDateTime.of(2023, 6, 1, 12, 0, 0, 0,
       java.time.ZoneId.of("America/New_York"))
