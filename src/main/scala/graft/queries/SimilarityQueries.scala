@@ -27,6 +27,20 @@ object SimilarityQueries {
   val CentroidEvery = 25 // vec_id % 25 == 0 → deterministic centroid set
   val NQueries = 5 // vec_id < 5 are the query vectors
 
+  // ── random-hyperplane LSH constants ────────────────────────────────
+  // NBits sign-bits → 2^NBits buckets. Hyperplane components are a pure
+  // arithmetic sequence (no RNG), computed once here and interpolated
+  // VERBATIM into both the Spark plan and the oracle SQL — identical
+  // doubles ⇒ identical dot signs ⇒ identical buckets in both engines.
+  val NBits = 8
+  val Dim = 64
+  val Hyperplanes: Seq[Seq[Double]] =
+    (0 until NBits).map { b =>
+      (0 until Dim).map { d =>
+        ((2654435761L * (b * Dim + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
+      }
+    }
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -73,6 +87,63 @@ object SimilarityQueries {
             FROM sims)
         SELECT query_id, rank, neighbor_id, cosine FROM ranked
         WHERE rank <= $TopK ORDER BY query_id, rank""")),
+
+    // ── LSH-bucketed approximate top-k (random hyperplane signs) ─────
+    QueryDef(
+      "sim_lsh_topk",
+      (s, dir) => {
+        // bucket = Σ 2^b · [dot(v, h_b) ≥ 0]: one narrow pass over the
+        // corpus (native vec_dot against literal hyperplanes), then the
+        // probe is an equi-join on the bucket — the same
+        // partition-pruning shape as IVF but with a data-independent
+        // index (no clustering job), which is what you want when the
+        // corpus churns faster than you can recluster.
+        val bucketCol = (0 until NBits).map { b =>
+          when(VectorOps.dot(col("v"), typedLit(Hyperplanes(b))) >= 0.0,
+            lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val all = vectors(s, dir).withColumn("bucket", bucketCol)
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
+        val q = all.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        all.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= IvfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val bucketSql = (0 until NBits).map { b =>
+          val lits = Hyperplanes(b).mkString("[", ", ", "]")
+          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $vectorsDuck,
+          bucketed AS (
+            SELECT vec_id, v, nrm, $bucketSql AS bucket FROM nvecs),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+                FROM bucketed WHERE vec_id < $NQueries),
+          sims AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6) AS cosine
+            FROM bucketed a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+      },
+      doc = "Sign-LSH bucketing: data-independent ANN index; identical " +
+        "hyperplane literals in both engines ⇒ identical buckets."),
 
     // ── IVF-bucketed approximate top-k ───────────────────────────────
     QueryDef(
