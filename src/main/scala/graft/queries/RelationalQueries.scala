@@ -589,7 +589,7 @@ object RelationalQueries {
           .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
           .orderBy(col("event_type")),
       Some("""SELECT event_type,
-          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
