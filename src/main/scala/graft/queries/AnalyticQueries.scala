@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-2 widening of the relational surface (SURVEY §2.3 continued):
+  * pivot/unpivot, statistical and percentile aggregates, string distance,
+  * extra window analytics, map functions, IN/NOT-IN subqueries, multiset
+  * set-ops, a stream-stream interval join (batch form), radius similarity
+  * search, and corpus n-gram frequency.
+  *
+  * Same contract as everywhere else: identical column aliases on both
+  * sides, a total ORDER BY, exact DECIMAL paths for float aggregation,
+  * round(x, 6) on any double derived from commutative-but-not-associative
+  * float math.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Q32 pivot (wide conditional aggregation) ─────────────────────
+    QueryDef(
+      "q32_pivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          // explicit pivot values: no extra distinct-collect job, and the
+          // plan is a single partial-agg + one shuffle, same as a plain
+          // groupBy — the shape that survives any scale.
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(dec2(col("l_quantity"))).cast(DoubleType))
+          .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+          CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+          CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+      doc = "pivot with explicit values = one shuffle; no distinct-values pre-job."),
+
+    // ── Q33 unpivot / melt ───────────────────────────────────────────
+    QueryDef(
+      "q33_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price")),
+            "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric")),
+      Some("""WITH agg AS (
+          SELECT l_returnflag,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+        ORDER BY l_returnflag, metric"""),
+      doc = "unpivot is a narrow per-row expand (Expand node) — no shuffle."),
+
+    // ── Q34 statistical aggregates ───────────────────────────────────
+    // Small-magnitude inputs (quantity ~[1,50], discount ~[0,0.1]) keep
+    // round(·,6) far above float merge-order noise.
+    QueryDef(
+      "q34_stats_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          round(stddev_samp(l_quantity), 6) AS sd_qty,
+          round(var_samp(l_quantity), 6) AS var_qty,
+          round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+          round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── Q35 exact percentiles (interpolated) + median ────────────────
+    QueryDef(
+      "q35_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+            round(expr("median(l_quantity)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+            round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+          round(median(l_quantity), 6) AS p50,
+          round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+          round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Exact linear-interpolation percentiles; the sketch path is q15 (HLL) / percentile_approx."),
+
+    // ── Q36 string distance (edit-distance pairs) ────────────────────
+    QueryDef(
+      "q36_string_distance",
+      (s, dir) => {
+        // Deterministic ~1% sample via key modulus (pushed to the scan),
+        // then all-pairs edit distance. At scale the sample IS the
+        // operator's contract (fuzzy-match candidate scoring after a
+        // blocking join); all-pairs over the full corpus never ships.
+        val p = t(s, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey"), col("p_name"))
+        p.as("a")
+          .join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+          .select(
+            col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
+          .filter(col("lev") <= 15)
+          .orderBy(col("pa"), col("pb"))
+      },
+      Some("""SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+          levenshtein(a.p_name, b.p_name) AS lev
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_partkey % 97 = 0 AND b.p_partkey % 97 = 0
+          AND levenshtein(a.p_name, b.p_name) <= 15
+        ORDER BY pa, pb""")),
+
+    // ── Q37 window analytics round 2: percent_rank/cume_dist/nth ─────
+    QueryDef(
+      "q37_window_extra",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume,
+          nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ── Q38 map functions (map build + lookup) ───────────────────────
+    QueryDef(
+      "q38_map_funcs",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          // sort_array makes the collect_list order (and thus the map)
+          // deterministic under any partitioning.
+          .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("m"))
+          .select(
+            col("user_id"),
+            size(col("m")).cast(LongType).as("n_types"),
+            element_at(col("m"), "click").as("n_click"),
+            element_at(col("m"), "purchase").as("n_purchase"),
+            element_at(col("m"), "error").as("n_error"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+          count(DISTINCT event_type) AS n_types,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "map_from_entries/element_at; absent key → NULL ≙ SUM(CASE) over empty set."),
+
+    // ── Q39 IN / NOT-IN subqueries (null-aware anti join) ────────────
+    QueryDef(
+      "q39_in_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT p_partkey, p_name FROM part
+          WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+            AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)
+          ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)
+        ORDER BY p_partkey"""),
+      doc = "IN → left-semi; NOT IN → null-aware left-anti (Catalyst decorrelation)."),
+
+    // ── Q40 multiset set-ops: INTERSECT ALL / EXCEPT ALL ─────────────
+    QueryDef(
+      "q40_setops_all",
+      (s, dir) => {
+        val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val sk = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        val inter = ck.intersectAll(sk).select(lit("intersect_all").as("op"), col("k"))
+        val diff = ck.exceptAll(sk).select(lit("except_all").as("op"), col("k"))
+        inter.unionByName(diff).orderBy(col("op"), col("k"))
+      },
+      Some("""SELECT 'intersect_all' AS op, k FROM
+          (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all' AS op, k FROM
+          (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+        ORDER BY op, k""")),
+
+    // ── interval join: purchase ← clicks within preceding 30 min ─────
+    // Batch form of a stream-stream interval join (watermarked join in
+    // Structured Streaming). Physical shape: one shuffle on user_id, then
+    // the range predicate filters inside each key group — never a BNLJ.
+    QueryDef(
+      "ev_interval_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        p.join(c, Seq("user_id"))
+          .filter(
+            col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") > col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+          .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+            col("click_id"), col("click_ts"))
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
+      // epoch_us comparisons: Spark reads the ns fixture truncated to µs,
+      // so the oracle must apply the range predicate at µs precision too.
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+          c.event_id AS click_id, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
+        ORDER BY purchase_id, click_id""")),
+
+    // ── radius similarity search (one-vs-all within cosine radius) ───
+    QueryDef(
+      "sim_radius_search",
+      (s, dir) => {
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val q = v.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qnrm"))
+        // broadcast the single query row; the corpus side streams — the
+        // same shape serves a 100 TB corpus with a list of query vectors.
+        v.filter(col("vec_id") > 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorOps.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+              .as("cosine"))
+          .filter(col("cosine") >= 0.2)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM v),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+        SELECT vec_id,
+          round(${VectorOps.duckDot("n.v", "q.qv")} / (n.nrm * q.qnrm), 6) AS cosine
+        FROM n, q
+        WHERE vec_id > 0
+          AND round(${VectorOps.duckDot("n.v", "q.qv")} / (n.nrm * q.qnrm), 6) >= 0.2
+        ORDER BY vec_id""")),
+
+    // ── corpus bigram frequency (top-20) ─────────────────────────────
+    QueryDef(
+      "text_ngram_freq",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .repartition(4) // single-file scan = one partition otherwise
+          .select(explode(expr(
+            """transform(sequence(0, size(split(lower(text), ' ')) - 2),
+               i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i+1]))"""))
+            .as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(20),
+      Some("""WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS tk FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(len(tk) - 1),
+            i -> tk[i+1] || ' ' || tk[i+2])) AS bigram
+          FROM toks)
+        SELECT bigram, count(*) AS n FROM bg
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""),
+      doc = "explode → partial-agg count → TakeOrderedAndProject top-k.")
+  )
+}

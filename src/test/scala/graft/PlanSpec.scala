@@ -53,4 +53,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("sim_brute_topk")
     assert(p.contains("vec_dot"), p.take(2000))
   }
+
+  test("q32 pivot with explicit values is a single hash-agg pass (no distinct pre-job)") {
+    val p = plan("q32_pivot")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_"), "pivot must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
+  test("ev_interval_join hash-joins on user_id (range predicate is post-join filter, not BNLJ)") {
+    val p = plan("ev_interval_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must keep the equi-key:\n" + p.take(2000))
+  }
+
+  test("sim_radius_search broadcasts the single query vector") {
+    val p = plan("sim_radius_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("q36 sample predicate is pushed to both scan sides") {
+    val p = plan("q36_string_distance")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+  }
 }
