@@ -285,6 +285,48 @@ object AnalyticQueries {
           AND round(${VectorOps.duckDot("n.v", "q.qv")} / (n.nrm * q.qnrm), 6) >= 0.2
         ORDER BY vec_id""")),
 
+    // ── q15b: approx-distinct accuracy invariant (oracle-checkable) ──
+    // q15_approx_distinct's raw HLL++ values are impl-specific (rows-only
+    // check); this variant checks the INVARIANT both engines' sketches
+    // must satisfy — approx within 15% (3× the default rsd) of exact —
+    // which is hash-comparable across engines.
+    QueryDef(
+      "q15b_approx_bounds",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_exact"),
+            approx_count_distinct(col("l_partkey")).as("approx"))
+          .select(
+            col("l_returnflag"), col("n_exact"),
+            (abs(col("approx") - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.15)
+              .as("approx_ok"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS n_exact,
+          abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+            / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.15 AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── q31b: sampling bounds invariant (oracle-checkable) ───────────
+    // q31_sample's rows are seed/partitioning-specific; the checkable
+    // contract is the Bernoulli bound: n/N within [0.07, 0.13] for
+    // fraction 0.1 (±30σ at sf0.01 — deterministically true).
+    QueryDef(
+      "q31b_sample_bounds",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val n = li.sample(withReplacement = false, fraction = 0.1, seed = 42)
+          .agg(count(lit(1)).as("n"))
+        val tot = li.agg(count(lit(1)).as("total"))
+        n.crossJoin(tot)
+          .select(col("total"),
+            (col("n").cast(DoubleType) / col("total")).between(0.07, 0.13)
+              .as("in_bounds"))
+      },
+      Some("SELECT count(*) AS total, true AS in_bounds FROM lineitem")),
+
     // ── corpus bigram frequency (top-20) ─────────────────────────────
     QueryDef(
       "text_ngram_freq",

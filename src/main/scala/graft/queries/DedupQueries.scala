@@ -100,10 +100,14 @@ object DedupQueries {
         val sh = shingled(s, dir).select(col("doc_id"), col("shingles")).persist()
         val posting = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
           explode(col("shingles")).as("shingle"))
-        val freq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // document frequency via count-over-window (one shuffle on the
+        // shingle) instead of groupBy + join-back (two exchanges + SMJ):
+        // the window with no frame computes the whole-partition count.
+        val wShingle = Window.partitionBy(col("shingle"))
         val wDoc = Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("shingle").asc)
-        val prefix = posting.join(freq, "shingle")
+        val prefix = posting
+          .withColumn("df", count(lit(1)).over(wShingle))
           .withColumn("rn", row_number().over(wDoc))
           .filter(expr("rn <= sz - ((4 * sz + 4) div 5) + 1"))
           .select(col("doc_id"), col("shingle"), col("sz"))
@@ -143,9 +147,14 @@ object DedupQueries {
         // multiplicative expression-tree blowup that took minutes to
         // optimize/execute even at sf0.001.
         val sh = shingled(s, dir).select(col("doc_id"), col("shingles")).persist()
+        // hs is referenced exactly once (by the sig expression), so this
+        // stage stays unpersisted: CollapseProject inlines it a single
+        // time — no multiplicative blowup (unlike shingled/buckets, which
+        // ARE multi-referenced and stay persisted). Measured: persisting
+        // it costs ~0.8 s at sf0.1 (extra materialization round).
         val hs = sh
           .withColumn("hs", expr(s"transform(shingles, s -> ${h60Spark("s")} % ${P}L)"))
-          .select(col("doc_id"), col("hs")).persist()
+          .select(col("doc_id"), col("hs"))
         // K minhash values in ONE codegen'd pass (graft.functions.
         // MinHashSig — bit-identical to the K-pass declarative form the
         // oracle runs), then BANDS band-signature strings.

@@ -111,6 +111,31 @@ object EventStreams {
     q.stop()
   }
 
+  /** Stream-stream interval join: purchases matched to clicks by the same
+    * user within the preceding `window`. Both sides carry watermarks and
+    * the join condition bounds click_ts on both ends, so the engine can
+    * evict state — the scalable shape for streaming attribution. Same
+    * expression tree as the `ev_interval_join` batch query (the
+    * convergence oracle).
+    */
+  def intervalJoin(events: DataFrame, window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Batch replay of the same event data, for convergence checks. */
   def batchEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

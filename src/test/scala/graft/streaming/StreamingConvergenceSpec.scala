@@ -107,6 +107,14 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(finalState, batch)
   }
 
+  test("stream-stream interval join converges to the batch answer") {
+    val got = EventStreams.runToMemory(
+      EventStreams.intervalJoin(streamEvents()), "conv_ijoin", "append")
+    val batch = graft.queries.AnalyticQueries.defs
+      .find(_.name == "ev_interval_join").get.fn(spark, sf())
+    assertSameRows(got, batch)
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
