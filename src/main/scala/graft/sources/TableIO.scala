@@ -27,6 +27,40 @@ object TableIO {
       .parquet(path)
   }
 
+  // ── other columnar/row formats (engine-completeness surface) ───────
+  // The reference is parquet-only; a drop-in engine also has to move the
+  // same tables through the interchange formats Spark supports natively.
+  // All readers take an EXPLICIT schema (inference is a scan of its own
+  // at 100 TB, and CSV/JSON inference is lossy for timestamps/decimals).
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      // default JSON timestamp pattern drops sub-millisecond precision
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Schema-driven write of row maps. Coercion rules mirror
     * src/parquet_demo/io.py:21-66: timestamps accept datetime-likes or
     * already-integer epoch micros; dates accept date-likes or

@@ -46,6 +46,31 @@ class RoundTripSpec extends SparkSpec {
       .compareTo(new java.math.BigDecimal("12345.6789")) == 0)
   }
 
+  test("CSV / JSON / ORC round-trips preserve the full-width row set") {
+    val rows = Seq(
+      Map[String, Any]("id" -> 1L, "name" -> "Alice", "score" -> 9.5,
+        "ratio" -> 0.25f, "flag" -> true, "ts" -> ts, "d" -> d,
+        "amount" -> BigDecimal("12345.6789")),
+      Map[String, Any]("id" -> 2L, "name" -> "Bob", "score" -> 0.1,
+        "ratio" -> 0.5f, "flag" -> false, "ts" -> ts, "d" -> d,
+        "amount" -> BigDecimal("-1.0000000001")))
+    val base = tmpDir("formats")
+    TableIO.writeRows(spark, base + "/p.parquet", schema, rows)
+    val df = TableIO.read(spark, base + "/p.parquet")
+
+    TableIO.writeCsv(df, base + "/t.csv")
+    TableIO.writeJson(df, base + "/t.json")
+    TableIO.writeOrc(df, base + "/t.orc")
+
+    val expected = df.orderBy("id").collect().toSeq
+    val viaCsv = TableIO.readCsv(spark, base + "/t.csv", schema).orderBy("id").collect().toSeq
+    val viaJson = TableIO.readJson(spark, base + "/t.json", schema).orderBy("id").collect().toSeq
+    val viaOrc = TableIO.readOrc(spark, base + "/t.orc").orderBy("id").collect().toSeq
+    assert(viaCsv == expected, s"csv: $viaCsv != $expected")
+    assert(viaJson == expected, s"json: $viaJson != $expected")
+    assert(viaOrc == expected, s"orc: $viaOrc != $expected")
+  }
+
   test("missing keys become nulls (io.py:19 semantics)") {
     val rows = Seq(
       Map[String, Any]("id" -> 1L, "name" -> "only-two-fields"),
