@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md content: prints the AQE-final physical plan of
+  * each named query (args, or the default flagship set) at sf0.001.
+  *
+  * Usage: sbt "runMain graft.Plans [queryName...]" > plans.txt
+  */
+object Plans {
+  val flagships: Seq[String] = Seq(
+    "q02_filter", "q04_join_broadcast", "q10_agg_basic", "sim_brute_topk",
+    "dedup_ngram_jaccard", "ev_asof_attribution",
+    "q32_pivot", "ev_interval_join", "sim_radius_search")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else flagships
+    val dir = "/root/testdata/sf0.001"
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize AQE so the printed plan is the executed one
+      println(s"\n===== $name =====")
+      println(df.queryExecution.executedPlan.toString.take(8000))
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

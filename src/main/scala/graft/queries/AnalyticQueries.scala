@@ -114,6 +114,27 @@ object AnalyticQueries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "Exact linear-interpolation percentiles; the sketch path is q15 (HLL) / percentile_approx."),
 
+    // ── Q35b approx percentile (sketch path) accuracy invariant ──────
+    // Like q15b: the raw sketch values differ per engine (Spark =
+    // rank-accuracy histogram, DuckDB = t-digest), so the oracle checks
+    // the shared invariant — approx within ±1.0 of the exact interpolated
+    // quantile on the [1,50] quantity domain.
+    QueryDef(
+      "q35b_approx_percentile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("exact_p50"),
+            expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx"))
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("approx") - col("exact_p50")) <= 1.0).as("approx_ok"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+          abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5)) <= 1.0 AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── Q36 string distance (edit-distance pairs) ────────────────────
     QueryDef(
       "q36_string_distance",
