@@ -27,6 +27,16 @@ object TableIO {
       .parquet(path)
   }
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partitionCols`. At 100 TB this is what makes date/tenant-scoped
+    * queries read 1/1000th of the data — the scan planner prunes whole
+    * directories (`PartitionFilters` in the plan) before reading a byte.
+    * Pruning is asserted by `PartitionedWriteSpec`.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   // ── other columnar/row formats (engine-completeness surface) ───────
   // The reference is parquet-only; a drop-in engine also has to move the
   // same tables through the interchange formats Spark supports natively.
