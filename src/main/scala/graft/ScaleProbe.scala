@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: replicates the sf0.1 documents/embeddings
+  * corpus ×m with per-replica perturbations that kill cross-replica
+  * similarity (rotated alphabet for text, one flipped dimension for
+  * vectors), then times the declared dedup/similarity queries on the
+  * scaled corpus. Comparing m=1 vs m=10 timings shows which operators
+  * scale ~linearly (the declared 100 TB paths: exact hash, minhash-LSH,
+  * prefix-filtered ngram join, sign-LSH / IVF probes) versus the
+  * quadratic all-pairs verify forms (simhash, embedding-cosine) — the
+  * measured basis for BASELINE.md's scale framing.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe <m> [query...]"
+  */
+object ScaleProbe {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-replica character rotation: replica 0 is the identity; others
+    * share no words (hence no shingles/tokens) with any other replica.
+    */
+  private def rot(i: Int): String = {
+    val k = (i * 7) % 26
+    alpha.drop(k) + alpha.take(k)
+  }
+
+  def scaleCorpus(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+
+    val docs = Tables.load(spark, src, "documents")
+    (0 until m).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), alpha, rot(i))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .repartition(math.max(4, m))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val vecs = Tables.load(spark, src, "embeddings")
+    (0 until m).map { i =>
+      vecs.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(s"transform(embedding, (x, j) -> CASE WHEN j % ${m + 1} = $i THEN -x ELSE x END)"))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .repartition(math.max(4, m))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    new java.io.File(fs, "_DONE").createNewFile()
+    ()
+  }
+
+  val scalePath: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "sim_lsh_topk", "sim_ivf_topk", "sim_brute_topk",
+    "text_tokens", "text_fingerprint", "text_ngram_freq")
+  val allPairs: Seq[String] = Seq("dedup_simhash", "dedup_embedding_cosine")
+
+  def main(args: Array[String]): Unit = {
+    val m = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else if (m <= 3) scalePath ++ allPairs else scalePath
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft_scale_x$m"
+    scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
+
+    // warm up codegen/scan paths
+    try SparkEntry.queries("dedup_exact")(spark, dir).count()
+    catch { case _: Throwable => () }
+
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      val n = try SparkEntry.queries(name)(spark, dir).count()
+        catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, dt, n)
+    }
+    val qs = results.map { case (k, v, n) =>
+      s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","multiplier":$m,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -244,6 +244,58 @@ object AnalyticQueries {
           (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
         ORDER BY op, k""")),
 
+    // ── Q41 RANGE window frame (value-based running aggregation) ─────
+    QueryDef(
+      "q41_range_frame",
+      (s, dir) => {
+        // RANGE frame: all orders within ±5000 of this order's price in
+        // the same status — value-based, not row-count-based.
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-5000L, 5000L)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_near"),
+            sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("near_sum"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+          count(*) OVER w AS n_near,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_sum
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                     RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+        ORDER BY o_orderkey""")),
+
+    // ── Q42 array aggregation (deterministically ordered) ────────────
+    QueryDef(
+      "q42_array_agg",
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .groupBy(col("s_nationkey"))
+          .agg(
+            sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
+            sort_array(collect_set(col("s_name"))).as("supp_names"))
+          .orderBy(col("s_nationkey")),
+      Some("""SELECT s_nationkey,
+          list_sort(list(s_suppkey)) AS supp_keys,
+          list_sort(list(DISTINCT s_name)) AS supp_names
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      doc = "collect_list/collect_set with sort_array for cross-engine determinism."),
+
+    // ── Q43 string aggregation ───────────────────────────────────────
+    QueryDef(
+      "q43_string_agg",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy(col("n_regionkey")),
+      Some("""SELECT n_regionkey,
+          string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // ── interval join: purchase ← clicks within preceding 30 min ─────
     // Batch form of a stream-stream interval join (watermarked join in
     // Structured Streaming). Physical shape: one shuffle on user_id, then
