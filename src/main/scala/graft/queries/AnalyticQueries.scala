@@ -405,10 +405,15 @@ object AnalyticQueries {
       "text_ngram_freq",
       (s, dir) =>
         Tables.load(s, dir, "documents")
-          .repartition(4) // single-file scan = one partition otherwise
+          // tokenize ONCE into a materialized array column, with the
+          // repartition as a CollapseProject barrier: inlining split()
+          // into the per-element lambda would re-split the text for every
+          // bigram — O(words²) per document (measured ×23 at a ×10
+          // corpus before this form).
+          .select(split(lower(col("text")), " ").as("tk"))
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(expr(
-            """transform(sequence(0, size(split(lower(text), ' ')) - 2),
-               i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i+1]))"""))
+            "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))"))
             .as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))

@@ -110,16 +110,28 @@ object DedupQueries {
           .withColumn("df", count(lit(1)).over(wShingle))
           .withColumn("rn", row_number().over(wDoc))
           .filter(expr("rn <= sz - ((4 * sz + 4) div 5) + 1"))
-          .select(col("doc_id"), col("shingle"), col("sz"))
+          .select(col("doc_id"), col("shingle"), col("sz"), col("rn"))
           .persist()
-        // length filter (also lossless): jaccard >= τ forces
-        // min(|A|,|B|) >= τ·max(|A|,|B|), i.e. 5·each >= 4·other.
+        // Two more lossless prunes on the candidate join:
+        //  - length filter: jaccard >= τ forces min(|A|,|B|) >= τ·max,
+        //    i.e. 5·each >= 4·other (τ = 4/5);
+        //  - PPJoin positional filter: jaccard >= τ needs overlap
+        //    o >= ⌈τ/(1+τ)·(|A|+|B|)⌉ = ⌈4(|A|+|B|)/9⌉. For the FIRST
+        //    token the pair shares in the canonical order (positions
+        //    pa, pb), every overlapping token sits at/after it, so
+        //    o <= 1 + min(|A|-pa, |B|-pb). Join rows violating
+        //    9·(1+min) >= 4·(|A|+|B|) can't be that first shared token
+        //    of a qualifying pair — dropping them keeps ≥1 join row per
+        //    true pair (the distinct() collapses the rest). Cuts the
+        //    candidate set ~3× on a duplicate-heavy corpus (ScaleProbe).
         val cand = prefix.as("a")
           .join(prefix.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id") &&
             col("a.sz") * 5 >= col("b.sz") * 4 &&
-            col("b.sz") * 5 >= col("a.sz") * 4)
+            col("b.sz") * 5 >= col("a.sz") * 4 &&
+            (lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) * 9 >=
+              (col("a.sz") + col("b.sz")) * 4)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         cand

@@ -25,6 +25,12 @@ object SimilarityQueries {
   val IvfTopK = 5
   val NProbe = 2
   val CentroidEvery = 25 // vec_id % 25 == 0 → deterministic centroid set
+  // Cap the centroid count: centroids come from the first CentroidEvery ×
+  // CentroidCap ids (≙ k-means trained on a fixed sample). Without the cap
+  // the centroid count grows with the corpus and the assignment step turns
+  // O(n²/CentroidEvery) — measured superlinear in ScaleProbe (1.1 s → 12.5 s
+  // at ×10). With it, assignment is O(n·C): 12.5 s → ~2 s at ×10.
+  val CentroidCap = 64
   val NQueries = 5 // vec_id < 5 are the query vectors
 
   // ── random-hyperplane LSH constants ────────────────────────────────
@@ -150,7 +156,8 @@ object SimilarityQueries {
       "sim_ivf_topk",
       (s, dir) => {
         val all = vectors(s, dir)
-        val cents = all.filter(col("vec_id") % CentroidEvery === 0)
+        val cents = all.filter(col("vec_id") % CentroidEvery === 0 &&
+            col("vec_id") < CentroidEvery * CentroidCap)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
 
         // inverted file: every vector → nearest centroid (exact L2,
@@ -192,7 +199,8 @@ object SimilarityQueries {
       Some(s"""WITH $vectorsDuck,
           cents AS (
             SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nvecs
-            WHERE vec_id % $CentroidEvery = 0),
+            WHERE vec_id % $CentroidEvery = 0
+              AND vec_id < ${CentroidEvery * CentroidCap}),
           assign AS (
             SELECT vec_id, v, nrm, cent_id FROM (
               SELECT a.vec_id, a.v, a.nrm, c.cent_id,
