@@ -49,8 +49,13 @@ object DedupQueries {
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      // tokenize BEFORE the repartition: the exchange is a CollapseProject
+      // barrier, so the shingle lambda below references the materialized
+      // toks array instead of re-splitting the text per element (which
+      // would be O(words²) per doc — same inlining trap ScaleProbe caught
+      // in text_ngram_freq).
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles",
         array_distinct(expr(
