@@ -327,6 +327,53 @@ object AnalyticQueries {
          AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
         ORDER BY purchase_id, click_id""")),
 
+    // ── time-series resample + forward fill (gap-fill) ───────────────
+    // Per-user hourly resampling of event values onto a dense hour grid
+    // (min..max hour of that user), forward-filling empty hours from the
+    // last observed hour. Scale shape: one shuffle to the hourly agg, the
+    // grid explode is narrow per user, and the fill is a single ordered
+    // window — no self-join, no driver-side loop.
+    QueryDef(
+      "ev_resample_ffill",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("hour_sum"))
+        val grid = ev
+          .groupBy(col("user_id"))
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"),
+            col("hour_sum"),
+            last(col("hour_sum"), ignoreNulls = true).over(w).as("filled_sum"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      Some("""WITH hourly AS (
+          SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_sum
+          FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        bounds AS (
+          SELECT user_id,
+            CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+            CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+          FROM events WHERE user_id < 20 GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds)
+        SELECT g.user_id, g.hour, h.hour_sum,
+          last_value(h.hour_sum IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+        ORDER BY g.user_id, g.hour""")),
+
     // ── radius similarity search (one-vs-all within cosine radius) ───
     QueryDef(
       "sim_radius_search",
