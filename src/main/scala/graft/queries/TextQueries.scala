@@ -135,6 +135,87 @@ object TextQueries {
           s_de, s_en, s_es, s_fr
         FROM sc ORDER BY doc_id""")),
 
+    // ── PII redaction (emails / IPv4s / phone-ish numbers) ───────────
+    // The fixture text is PII-free, so each doc gets a deterministic
+    // synthetic contact line appended (same expression in both engines)
+    // before redaction — the patterns are genuinely exercised on every
+    // row. RE2 (DuckDB) and java.util.regex agree on this pattern subset
+    // (no backrefs, no lookaround).
+    QueryDef(
+      "text_pii_redact",
+      (s, dir) => {
+        val withPii = Tables.load(s, dir, "documents")
+          .withColumn("raw", concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+            col("doc_id"), lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7 ok")))
+        withPii.select(
+            col("doc_id"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"),
+                  "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+                "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+              "\\+?\\d[\\d\\s-]{7,}\\d", "[PHONE]")
+              .as("redacted"))
+          .withColumn("n_redacted",
+            size(split(col("redacted"), "\\[EMAIL\\]|\\[IP\\]|\\[PHONE\\]")) - 1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+            substring(text, 1, 40) || ' contact user' || doc_id ||
+            '@example.com or +1-555-01' || doc_id || ' at 10.0.' ||
+            (doc_id % 256) || '.7 ok' AS raw
+          FROM documents),
+        red AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(raw,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+              '\+?\d[\d\s-]{7,}\d', '[PHONE]', 'g') AS redacted
+          FROM raw)
+        SELECT doc_id, redacted,
+          len(string_split_regex(redacted, '\[EMAIL\]|\[IP\]|\[PHONE\]')) - 1 AS n_redacted
+        FROM red ORDER BY doc_id"""),
+      doc = "Email/IP/phone redaction — the curation stage every training-data pipeline runs; single narrow codegen'd pass."),
+
+    // ── end-to-end curation pipeline (filter → dedup → stats) ────────
+    // Composition query: quality-gate the corpus, exact-dedup survivors
+    // (keep lowest doc_id per content hash), then per-language stats.
+    // Shape: one narrow scoring pass, one shuffle on the content hash,
+    // one shuffle on lang — the whole curation funnel in three stages.
+    QueryDef(
+      "pipe_curate",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .withColumn("uniq_ratio",
+            size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .filter(col("uniq_ratio") >= 0.5 && size(col("toks")) >= 10)
+        val deduped = scored
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        deduped.join(scored.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, lang, md5(text) AS h
+          FROM (SELECT doc_id, lang, text,
+                  string_split(lower(text), ' ') AS toks FROM documents)
+          WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.5
+            AND len(toks) >= 10),
+        deduped AS (
+          SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY h)
+        SELECT s.lang, count(*) AS n_docs
+        FROM deduped d JOIN scored s ON d.doc_id = s.doc_id
+        GROUP BY s.lang ORDER BY s.lang"""),
+      doc = "Quality-gate → exact-dedup → per-language stats: the curation funnel as one declarative plan."),
+
     // ── document fingerprint: md5 of whitespace-normalized text ──────
     QueryDef(
       "text_fingerprint",
