@@ -49,13 +49,16 @@ object DedupQueries {
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      // tokenize BEFORE the repartition: the exchange is a CollapseProject
-      // barrier, so the shingle lambda below references the materialized
-      // toks array instead of re-splitting the text per element (which
-      // would be O(words²) per doc — same inlining trap ScaleProbe caught
-      // in text_ngram_freq).
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      // repartition the RAW rows first (cheap: doc_id + text), THEN
+      // tokenize+shingle on every core. Tokenizing before the exchange
+      // looks harmless but (a) runs split() on the single scan partition
+      // of a small-file corpus and (b) ships the token arrays through the
+      // shuffle — measured 2× slower at sf0.1. The toks column is written
+      // ONCE here and referenced by name in the lambda (never re-split
+      // per element — that textual-inlining trap is what made
+      // text_ngram_freq O(words²) before round 2).
       .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles",
         array_distinct(expr(
