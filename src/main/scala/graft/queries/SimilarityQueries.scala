@@ -23,7 +23,7 @@ object SimilarityQueries {
 
   val TopK = 10
   val IvfTopK = 5
-  val NProbe = 2
+  val NProbe = 4 // probe 4 of the (≤64) cells — recall@5 0.36 → 0.56 on the fixture
   val CentroidEvery = 25 // vec_id % 25 == 0 → deterministic centroid set
   // Cap the centroid count: centroids come from the first CentroidEvery ×
   // CentroidCap ids (≙ k-means trained on a fixed sample). Without the cap
@@ -111,9 +111,17 @@ object SimilarityQueries {
         val all = vectors(s, dir).withColumn("bucket", bucketCol)
           .repartition(s.sparkContext.defaultParallelism)
           .persist()
+        // Multi-probe: each query also probes the NBits buckets at
+        // Hamming distance 1 (one sign bit flipped) — the standard fix
+        // for sign-LSH's near-empty-bucket recall collapse when
+        // 2^NBits ≫ corpus/bucket density. Probe count (1 + NBits) is
+        // independent of corpus size, so the scan stays pruned.
+        val probeCol = array(
+          (col("bucket") +: (0 until NBits).map(b =>
+            col("bucket").bitwiseXOR(lit(1 << b)))): _*)
         val q = all.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"), col("bucket"))
+            col("nrm").as("qn"), explode(probeCol).as("bucket"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)
         all.join(broadcast(q), Seq("bucket"))
@@ -135,7 +143,11 @@ object SimilarityQueries {
         s"""WITH $vectorsDuck,
           bucketed AS (
             SELECT vec_id, v, nrm, $bucketSql AS bucket FROM nvecs),
-          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+                  unnest(${(0 to NBits).map {
+                    case 0 => "bucket"
+                    case b => s"xor(bucket, ${1 << (b - 1)})"
+                  }.mkString("[", ", ", "]")}) AS bucket
                 FROM bucketed WHERE vec_id < $NQueries),
           sims AS (
             SELECT q.query_id, a.vec_id AS neighbor_id,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** Quality properties of the approximate (LSH/IVF) paths.
+  *
+  * MinHash-LSH is sound-but-incomplete by design: the exact-Jaccard
+  * verify step makes every reported pair true (soundness — asserted
+  * exactly), while banding makes recall probabilistic
+  * (P[caught] = 1−(1−j^rows)^bands ≈ 98.5% at j = 0.8, 8×4) — asserted
+  * as a floor over planted near-duplicates.
+  *
+  * ANN top-k (sign-LSH / IVF) recall is measured against the exact
+  * brute-force top-k on the driver fixture and pinned as a regression
+  * floor — the number a 100 TB deployment would monitor.
+  */
+class LshRecallSpec extends SparkSpec {
+
+  private def shingles(text: String): Set[String] = {
+    val toks = text.toLowerCase.split(" ", -1)
+    if (toks.length < 3) Set.empty
+    else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+  }
+
+  private def jaccard6(a: Set[String], b: Set[String]): Double = {
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("minhash-LSH: every reported pair is a true near-dup; recall >= 80% on planted dups") {
+    val rnd = new Random(4242)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      val len = 12 + rnd.nextInt(25)
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // plant high-similarity variants (drop one trailing word)
+    val variants = base.map(t => t.split(" ").dropRight(1).mkString(" "))
+    val docs = (base ++ variants).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    val dir = tmpDir("lsh-recall")
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "'gen' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = DedupQueries.defs.find(_.name == "dedup_minhash_lsh").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sh = docs.map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    val truth = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      if jaccard6(sa, sb) >= DedupQueries.JaccardTau
+    } yield (ia, ib)).toSet
+
+    assert(truth.size >= 20, s"weak fixture: only ${truth.size} true pairs")
+    // soundness: the verify step admits no false positives
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    // recall floor (theoretical per-pair catch rate ~98.5% at j=0.8)
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, f"LSH recall $recall%.2f below floor over ${truth.size} true pairs")
+  }
+
+  test("ANN top-k recall vs exact brute force on the fixture (regression floor)") {
+    val dir = sf()
+    def topk(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_._2).take(SimilarityQueries.IvfTopK).map(_._3).toSet
+        }
+    val brute = topk("sim_brute_topk")
+    // Floors are honest regression pins for THIS fixture: the driver's
+    // embeddings are near-random (no cluster structure), the worst case
+    // for any ANN index. Measured: IVF(nprobe=4) 0.52, multi-probe
+    // sign-LSH 0.24 (was 0.00 before Hamming-1 multi-probe).
+    val floors = Map("sim_ivf_topk" -> 0.4, "sim_lsh_topk" -> 0.2)
+    for ((name, floor) <- floors.toSeq.sortBy(_._1)) {
+      val approx = topk(name)
+      val recalls = brute.keys.toSeq.sorted.map { q =>
+        val b = brute(q)
+        approx.get(q).map(a => a.intersect(b).size.toDouble / b.size).getOrElse(0.0)
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= floor, f"$name mean recall@${SimilarityQueries.IvfTopK} = $mean%.2f")
+      info(f"$name mean recall@${SimilarityQueries.IvfTopK} = $mean%.2f over ${recalls.size} queries")
+    }
+  }
+}
