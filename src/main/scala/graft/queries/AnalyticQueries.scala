@@ -327,6 +327,70 @@ object AnalyticQueries {
          AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
         ORDER BY purchase_id, click_id""")),
 
+    // ── Q44 calendar functions round 2 ───────────────────────────────
+    QueryDef(
+      "q44_datetime_more",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            last_day(to_date(col("o_orderdate"))).as("month_end"),
+            add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+            quarter(col("o_orderdate")).as("qtr"),
+            dayofyear(col("o_orderdate")).as("doy"))
+          .orderBy(col("o_orderkey")),
+      // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based.
+      Some("""SELECT o_orderkey,
+          weekofyear(o_orderdate) AS iso_week,
+          dayofweek(o_orderdate) + 1 AS dow,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+          quarter(o_orderdate) AS qtr,
+          dayofyear(o_orderdate) AS doy
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── Q45 bitwise functions ────────────────────────────────────────
+    QueryDef(
+      "q45_bitwise",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_orderkey").bitwiseAND(255)).as("and255"),
+            (col("l_orderkey").bitwiseOR(7)).as("or7"),
+            (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
+            shiftleft(col("l_linenumber"), 3).as("shl3"),
+            shiftright(col("l_orderkey"), 2).as("shr2"),
+            expr("bit_count(l_orderkey)").as("popcount"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          l_orderkey & 255 AS and255,
+          l_orderkey | 7 AS or7,
+          xor(l_orderkey, l_partkey) AS xor_pk,
+          CAST(l_linenumber << 3 AS INTEGER) AS shl3,
+          l_orderkey >> 2 AS shr2,
+          bit_count(l_orderkey) AS popcount
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── Q46 struct expressions (build + field access) ────────────────
+    QueryDef(
+      "q46_struct_funcs",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("info"))
+          .select(
+            col("c_custkey"),
+            col("info.name").as("name"),
+            (col("info.bal") * 2).as("bal2"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+          (struct_pack(name := c_name, bal := c_acctbal)).name AS name,
+          (struct_pack(name := c_name, bal := c_acctbal)).bal * 2 AS bal2
+        FROM customer ORDER BY c_custkey""")),
+
     // ── time-series resample + forward fill (gap-fill) ───────────────
     // Per-user hourly resampling of event values onto a dense hour grid
     // (min..max hour of that user), forward-filling empty hours from the
