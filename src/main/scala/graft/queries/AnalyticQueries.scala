@@ -391,6 +391,74 @@ object AnalyticQueries {
           (struct_pack(name := c_name, bal := c_acctbal)).bal * 2 AS bal2
         FROM customer ORDER BY c_custkey""")),
 
+    // ── Q47 binary / encoding functions ──────────────────────────────
+    QueryDef(
+      "q47_binary_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            base64(col("p_name").cast(BinaryType)).as("b64"),
+            lower(hex(col("p_name").cast(BinaryType))).as("hexed"),
+            md5(col("p_name")).as("md5sum"),
+            octet_length(col("p_name")).as("n_bytes"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+          to_base64(CAST(p_name AS BLOB)) AS b64,
+          lower(hex(CAST(p_name AS BLOB))) AS hexed,
+          md5(p_name) AS md5sum,
+          CAST(octet_length(CAST(p_name AS BLOB)) AS INTEGER) AS n_bytes
+        FROM part ORDER BY p_partkey""")),
+
+    // ── Q48 string functions round 2 ─────────────────────────────────
+    QueryDef(
+      "q48_string_funcs2",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "0").as("brand_pad"),
+            rpad(col("p_type"), 30, ".").as("type_pad"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("caps_vowels"),
+            reverse(col("p_name")).as("rev_name"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+            instr(col("p_name"), "e").as("first_e"),
+            repeat(lit("ab"), 3).as("ab3"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+          lpad(p_brand, 12, '0') AS brand_pad,
+          rpad(p_type, 30, '.') AS type_pad,
+          translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels,
+          reverse(p_name) AS rev_name,
+          concat_ws('-', p_brand, p_type) AS joined,
+          CAST(instr(p_name, 'e') AS INTEGER) AS first_e,
+          repeat('ab', 3) AS ab3
+        FROM part ORDER BY p_partkey""")),
+
+    // ── Q49 array functions round 2 (slice/reverse/position/flatten) ─
+    QueryDef(
+      "q49_array_funcs2",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            element_at(slice(col("embedding"), 2, 3), 1).as("second_dim"),
+            element_at(reverse(col("embedding")), 1).as("last_dim"),
+            array_position(col("embedding"), element_at(col("embedding"), 5))
+              .cast(LongType).as("pos_of_5th"),
+            size(flatten(array(col("embedding"), slice(col("embedding"), 1, 2))))
+              .as("flat_n"),
+            array_contains(col("embedding"), element_at(col("embedding"), 7))
+              .as("has_7th"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+          list_slice(embedding, 2, 3)[1] AS second_dim,
+          list_reverse(embedding)[1] AS last_dim,
+          CAST(list_position(embedding, embedding[5]) AS BIGINT) AS pos_of_5th,
+          len(flatten([embedding, list_slice(embedding, 1, 2)])) AS flat_n,
+          list_contains(embedding, embedding[7]) AS has_7th
+        FROM embeddings ORDER BY vec_id""")),
+
     // ── time-series resample + forward fill (gap-fill) ───────────────
     // Per-user hourly resampling of event values onto a dense hour grid
     // (min..max hour of that user), forward-filling empty hours from the
