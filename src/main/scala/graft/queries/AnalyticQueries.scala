@@ -459,6 +459,45 @@ object AnalyticQueries {
           list_contains(embedding, embedding[7]) AS has_7th
         FROM embeddings ORDER BY vec_id""")),
 
+    // ── Q50 union by name with missing columns ───────────────────────
+    QueryDef(
+      "q50_union_byname",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(lit("c").as("src"), col("c_custkey").as("k"),
+            col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val sup = t(s, dir, "supplier")
+          .select(lit("s").as("src"), col("s_suppkey").as("k"),
+            col("s_name").as("name"))
+        c.unionByName(sup, allowMissingColumns = true)
+          .orderBy(col("src"), col("k"))
+      },
+      Some("""SELECT * FROM (
+          SELECT 'c' AS src, c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer
+          UNION ALL BY NAME
+          SELECT 's' AS src, s_suppkey AS k, s_name AS name FROM supplier)
+        ORDER BY src, k"""),
+      doc = "Schema-evolution-tolerant union: absent columns null-fill on both engines."),
+
+    // ── Q51 JSON generation (to_json over struct) ────────────────────
+    QueryDef(
+      "q51_to_json",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            to_json(
+              struct(col("c_custkey").as("id"), col("c_name").as("name"),
+                col("c_mktsegment").as("seg"),
+                nullif(col("c_mktsegment"), col("c_mktsegment")).as("always_null")),
+              // keep nulls: DuckDB's to_json always serializes them
+              java.util.Collections.singletonMap("ignoreNullFields", "false"))
+              .as("doc"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+          to_json(struct_pack(id := c_custkey, name := c_name, seg := c_mktsegment,
+            always_null := NULLIF(c_mktsegment, c_mktsegment))) AS doc
+        FROM customer ORDER BY c_custkey""")),
+
     // ── time-series resample + forward fill (gap-fill) ───────────────
     // Per-user hourly resampling of event values onto a dense hour grid
     // (min..max hour of that user), forward-filling empty hours from the
