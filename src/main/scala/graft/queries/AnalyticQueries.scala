@@ -498,6 +498,66 @@ object AnalyticQueries {
             always_null := NULLIF(c_mktsegment, c_mktsegment))) AS doc
         FROM customer ORDER BY c_custkey""")),
 
+    // ── Q52 argmin/argmax aggregates ─────────────────────────────────
+    // Deterministic on this data: the per-status max/min o_totalprice is
+    // unique at sf0.01 and sf0.1 (checked); with ties, max_by/arg_max
+    // would need a composite tiebreak key in BOTH engines.
+    QueryDef(
+      "q52_argminmax",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("max_by(o_orderkey, o_totalprice)").as("best_order"),
+            expr("min_by(o_orderkey, o_totalprice)").as("worst_order"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_totalprice")).as("min_price"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+          arg_max(o_orderkey, o_totalprice) AS best_order,
+          arg_min(o_orderkey, o_totalprice) AS worst_order,
+          max(o_totalprice) AS max_price,
+          min(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── Q53 conditional / boolean aggregates ─────────────────────────
+    QueryDef(
+      "q53_cond_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("count_if(l_quantity > 45)").as("n_big"),
+            expr("bool_or(l_discount > 0.09)").as("any_deep_disc"),
+            expr("bool_and(l_quantity >= 1)").as("all_nonzero"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          count_if(l_quantity > 45) AS n_big,
+          bool_or(l_discount > 0.09) AS any_deep_disc,
+          bool_and(l_quantity >= 1) AS all_nonzero,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── Q54 linear-regression aggregates ─────────────────────────────
+    QueryDef(
+      "q54_regr",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+            round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+            round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+            expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+          round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+          round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+          regr_count(l_extendedprice, l_quantity) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── time-series resample + forward fill (gap-fill) ───────────────
     // Per-user hourly resampling of event values onto a dense hour grid
     // (min..max hour of that user), forward-filling empty hours from the
