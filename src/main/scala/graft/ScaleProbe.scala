@@ -67,6 +67,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
+    // the 26-letter rotation is only collision-free for 26 replicas;
+    // past that, replica pairs share a rotation and become exact dups,
+    // which silently turns the probe into a duplicate-explosion workload
+    require(m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
     val names = if (args.length > 1) args.drop(1).toSeq
       else if (m <= 3) scalePath ++ allPairs else scalePath
     val spark = SparkSession.builder()
