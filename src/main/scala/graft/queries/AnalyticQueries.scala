@@ -558,6 +558,54 @@ object AnalyticQueries {
           regr_count(l_extendedprice, l_quantity) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ── Q55 outer generator (explode_outer keeps empty/null input) ───
+    QueryDef(
+      "q55_explode_outer",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            // empty array for every 10th doc: the outer explode must
+            // keep those rows with a null token
+            when(pmod(col("doc_id"), lit(10)) === 0, array().cast("array<string>"))
+              .otherwise(slice(split(lower(col("text")), " "), 1, 3)).as("toks"))
+          .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+          .orderBy(col("doc_id"), col("tok")),
+      Some("""WITH prepped AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0 THEN []
+                 ELSE list_slice(string_split(lower(text), ' '), 1, 3) END AS toks
+          FROM documents),
+        outered AS (
+          SELECT doc_id,
+            unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+          FROM prepped)
+        SELECT doc_id, tok FROM outered ORDER BY doc_id, tok"""),
+      doc = "explode_outer ≙ unnest of [NULL]-padded lists: empty groups survive."),
+
+    // ── Q56 higher-order array functions (exists/forall/zip/reduce) ──
+    QueryDef(
+      "q56_hof",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            exists(col("embedding"), x => x > lit(2.0f)).as("any_gt2"),
+            forall(col("embedding"), x => abs(x) < lit(10.0f)).as("all_small"),
+            element_at(zip_with(col("embedding"), reverse(col("embedding")),
+              (a, b) => a + b), 1).as("palindrome_sum"),
+            round(aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast(DoubleType)), 6).as("sum_dims"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+          len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_gt2,
+          len(list_filter(embedding, x -> NOT (abs(x) < 10.0))) = 0 AS all_small,
+          list_transform(list_zip(embedding, list_reverse(embedding)),
+            s -> s[1] + s[2])[1] AS palindrome_sum,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 6) AS sum_dims
+        FROM embeddings ORDER BY vec_id"""),
+      doc = "exists/forall/zip_with/aggregate ≙ list_filter/list_zip/list_reduce; left-fold order matches."),
+
     // ── time-series resample + forward fill (gap-fill) ───────────────
     // Per-user hourly resampling of event values onto a dense hour grid
     // (min..max hour of that user), forward-filling empty hours from the
