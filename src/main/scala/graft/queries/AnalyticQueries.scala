@@ -606,6 +606,50 @@ object AnalyticQueries {
         FROM embeddings ORDER BY vec_id"""),
       doc = "exists/forall/zip_with/aggregate ≙ list_filter/list_zip/list_reduce; left-fold order matches."),
 
+    // ── Q57 error-tolerant expressions (try_* semantics) ─────────────
+    QueryDef(
+      "q57_try_arith",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            expr("try_cast(p_name AS INT)").as("name_as_int"),
+            expr("try_cast(cast(p_size AS STRING) AS INT)").as("size_rt"),
+            expr("try_divide(p_retailprice, p_size - p_size)").as("div_by_zero"),
+            expr("try_divide(p_retailprice, 2.0)").as("half_price"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+          TRY_CAST(p_name AS INTEGER) AS name_as_int,
+          TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_rt,
+          p_retailprice / NULLIF(p_size - p_size, 0) AS div_by_zero,
+          p_retailprice / 2.0 AS half_price
+        FROM part ORDER BY p_partkey"""),
+      doc = "try_cast/try_divide: NULL-on-error semantics instead of task failure."),
+
+    // ── Q58 decimal(38,10) aggregation (the reference's DDL type) ────
+    // The reference's 11 numeric(38,10) columns (SURVEY §1.2) make exact
+    // wide-decimal aggregation a first-class requirement; sums here are
+    // exact integers in 10^-10 units — no float rounding anywhere.
+    QueryDef(
+      "q58_decimal_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast(DecimalType(38, 10)).as("qd"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("qd")).cast(DecimalType(38, 10)).as("sum_d"),
+            min(col("qd")).as("min_d"),
+            max(col("qd")).as("max_d"),
+            count(col("qd")).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sum_d,
+          min(CAST(l_quantity AS DECIMAL(38,10))) AS min_d,
+          max(CAST(l_quantity AS DECIMAL(38,10))) AS max_d,
+          count(l_quantity) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── time-series resample + forward fill (gap-fill) ───────────────
     // Per-user hourly resampling of event values onto a dense hour grid
     // (min..max hour of that user), forward-filling empty hours from the
