@@ -33,6 +33,12 @@ object GraftFunctions {
         require(children.length == 2, "vec_dist2(a, b) takes two arguments")
         SquaredDistance(children.head, children(1))
       }),
+    (new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaccard_sim(a, b) takes two arguments")
+        JaccardSim(children.head, children(1))
+      }),
     // minhash_sig uses the engine's declared permutation constants: the
     // coefficients are part of the operator contract (DedupQueries).
     (new FunctionIdentifier("minhash_sig"),

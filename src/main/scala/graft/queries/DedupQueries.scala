@@ -72,8 +72,16 @@ object DedupQueries {
          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
          WHERE len(toks) >= 3)"""
 
+  /** Single-pass codegen'd |A∩B|/|A∪B| (graft.functions.JaccardSim) —
+    * bit-identical to size(array_intersect)/size(array_union) (integer
+    * cardinalities, one double division; pinned by JaccardSimSpec) but
+    * allocates no intermediate arrays in the verify-join inner loop.
+    */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.JaccardSim(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   private val jaccardDuck =
     "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(list_concat(a.shingles, b.shingles)))"
@@ -202,9 +210,7 @@ object DedupQueries {
         cand
           .join(sh.toDF("doc_a", "sa"), "doc_a")
           .join(sh.toDF("doc_b", "sb"), "doc_b")
-          .withColumn("jaccard",
-            round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              size(array_union(col("sa"), col("sb"))), 6))
+          .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
           .filter(col("jaccard") >= JaccardTau)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
