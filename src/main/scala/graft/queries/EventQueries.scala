@@ -141,6 +141,75 @@ object EventQueries {
         "window), the scalable shape for time-series attribution; oracle " +
         "is the per-row LATERAL formulation."),
 
+    // ── funnel analysis: view → click → purchase, strictly ordered ───
+    // Per user, each stage's timestamp must follow the previous stage's.
+    // Shape: three filtered aggs + two equi-joins on user_id — every
+    // stage shrinks the key set, so the joins get cheaper as the funnel
+    // narrows; no window over the full event stream.
+    QueryDef(
+      "ev_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+        val v = stage("view").groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t_view"))
+        val c = stage("click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = stage("purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        val one = (df: org.apache.spark.sql.DataFrame, nm: String, ord: Int) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(ord).as("stage_no"), lit(nm).as("stage"), col("n_users"))
+        one(v, "view", 1).unionByName(one(c, "view>click", 2))
+          .unionByName(one(p, "view>click>purchase", 3))
+          .orderBy(col("stage_no"))
+      },
+      Some("""WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        SELECT 1 AS stage_no, 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 2, 'view>click', count(*) FROM c
+        UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM p
+        ORDER BY stage_no""")),
+
+    // ── cohort retention: first-seen day × active-on-day-N ───────────
+    QueryDef(
+      "ev_retention",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+        val activity = ev.distinct()
+        cohort.join(activity, "user_id")
+          .groupBy(col("cohort_day"))
+          .agg(
+            countDistinct(col("user_id")).as("cohort_size"),
+            countDistinct(when(col("d") === date_add(col("cohort_day"), 1),
+              col("user_id"))).as("retained_d1"),
+            countDistinct(when(col("d") === date_add(col("cohort_day"), 3),
+              col("user_id"))).as("retained_d3"))
+          .orderBy(col("cohort_day"))
+      },
+      Some("""WITH ev AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        cohort AS (
+          SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+        SELECT cohort_day,
+          count(DISTINCT ev.user_id) AS cohort_size,
+          count(DISTINCT CASE WHEN ev.d = cohort_day + 1 THEN ev.user_id END) AS retained_d1,
+          count(DISTINCT CASE WHEN ev.d = cohort_day + 3 THEN ev.user_id END) AS retained_d3
+        FROM cohort JOIN ev USING (user_id)
+        GROUP BY cohort_day ORDER BY cohort_day"""),
+      doc = "Cohort = first-seen day; one shuffle to cohorts, one to the report."),
+
     // ── late-data semantics: watermark cutoff as a batch filter ──────
     QueryDef(
       "st_watermark_filter",
