@@ -176,6 +176,49 @@ object EventStreams {
       }
   }
 
+  // ── custom state, Spark 4 API: transformWithState ──────────────────
+
+  /** Same per-user state machine as [[statefulUserAgg]], on the Spark 4
+    * `transformWithState` arbitrary-state API (typed `ValueState` handle,
+    * RocksDB-backed store). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` on the query; identical cents
+    * arithmetic keeps it bit-convergent with the batch oracle.
+    */
+  class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double, Long), UserAgg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("agg",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double, Long)],
+        timerValues: TimerValues): Iterator[UserAgg] = {
+      var s = if (state.exists()) state.get() else UserState(0L, 0L, Long.MinValue)
+      rows.foreach { case (_, v, tsUs) =>
+        s = UserState(s.n + 1, s.sumCents + math.round(v * 100.0),
+          math.max(s.maxTsMicros, tsUs))
+      }
+      state.update(s)
+      Iterator.single(UserAgg(key, s.n, s.sumCents / 100.0, microsToTs(s.maxTsMicros)))
+    }
+  }
+
+  def statefulUserAggTws(events: DataFrame): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Epoch micros → Timestamp preserving microsecond precision. */
   private def microsToTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000L)

@@ -32,7 +32,7 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extension class exposes the same function list") {
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
-      Seq("minhash_sig", "vec_dist2", "vec_dot"))
+      Seq("jaccard_sim", "minhash_sig", "vec_dist2", "vec_dot"))
     // constructing the extensions class must not throw
     new GraftExtensions
   }

@@ -107,6 +107,37 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(finalState, batch)
   }
 
+  test("transformWithState (Spark 4 API, RocksDB store) converges to the batch answer") {
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val d = tmpDir("events-tws")
+      graft.Tables.load(spark, sf(), "events")
+        .repartition(4).write.mode("overwrite").parquet(d)
+      val streamed = spark.readStream
+        .schema(graft.Tables.load(spark, sf(), "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+      val updates = EventStreams.runToMemory(
+        EventStreams.statefulUserAggTws(streamed).toDF(), "conv_tws", "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.col("user_id"))
+        .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+      val finalState = updates
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("rn") === 1)
+        .drop("rn")
+      assertSameRows(finalState,
+        EventStreams.batchUserAgg(graft.Tables.load(spark, sf(), "events")))
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join converges to the batch answer") {
     val got = EventStreams.runToMemory(
       EventStreams.intervalJoin(streamEvents()), "conv_ijoin", "append")
