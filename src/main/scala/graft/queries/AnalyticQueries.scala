@@ -606,6 +606,40 @@ object AnalyticQueries {
         FROM embeddings ORDER BY vec_id"""),
       doc = "exists/forall/zip_with/aggregate ≙ list_filter/list_zip/list_reduce; left-fold order matches."),
 
+    // ── Q59 range join, binned (the scale path for q09's BNLJ) ───────
+    // Same answer as q09_join_range, different physical shape: the
+    // interval [s_acctbal/10, s_acctbal/10+20) is exploded into
+    // fixed-width bins, parts join on their single bin (equi shuffle),
+    // and the exact range predicate filters inside the bin groups. BNLJ
+    // is O(|part|·|supplier|); this is O(|part| + |supplier|·bins) with
+    // one hash shuffle — the shape that survives when the build side
+    // outgrows the broadcast threshold.
+    QueryDef(
+      "q59_range_join_binned",
+      (s, dir) => {
+        val binW = 20.0
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), (col("s_acctbal") / 10).as("lo"))
+          .withColumn("hi", col("lo") + binW)
+          // interval spans at most 2 fixed-width bins (width == binW)
+          .withColumn("bin", explode(sequence(
+            floor(col("lo") / binW).cast(LongType),
+            floor(col("hi") / binW).cast(LongType))))
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"),
+            floor(col("p_retailprice") / binW).cast(LongType).as("bin"))
+        p.join(sup, Seq("bin"))
+          .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_parts
+        FROM part JOIN supplier
+          ON p_retailprice >= s_acctbal / 10 AND p_retailprice < s_acctbal / 10 + 20.0
+        GROUP BY s_suppkey ORDER BY s_suppkey"""),
+      doc = "Binned equi-join form of the q09 range join; identical answer, shuffle instead of BNLJ."),
+
     // ── Q57 error-tolerant expressions (try_* semantics) ─────────────
     QueryDef(
       "q57_try_arith",
