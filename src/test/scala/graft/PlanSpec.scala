@@ -78,4 +78,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q36_string_distance")
     assert(p.contains("PushedFilters: ["), p.take(2000))
   }
+
+  test("q59 binned range join is an equi-join (no nested-loop over the pair space)") {
+    val p = plan("q59_range_join_binned")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binned form must join on the bin key:\n" + p.take(2000))
+  }
 }
