@@ -640,6 +640,28 @@ object AnalyticQueries {
         GROUP BY s_suppkey ORDER BY s_suppkey"""),
       doc = "Binned equi-join form of the q09 range join; identical answer, shuffle instead of BNLJ."),
 
+    // ── Q60 stratified sampling (per-stratum bounds invariant) ───────
+    // sampleBy draws a different Bernoulli fraction per stratum; like
+    // q31b, the rows are seed-specific, so the oracle checks the
+    // invariant: each stratum's sampled share within ±30σ of its target.
+    QueryDef(
+      "q60_stratified_bounds",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val fractions = Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1)
+        val sampled = li.stat.sampleBy("l_returnflag", fractions, seed = 42L)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_sampled"))
+        val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
+        val target = typedLit(fractions)
+        totals.join(sampled, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"), col("n_total"),
+            (abs(coalesce(col("n_sampled"), lit(0L)).cast(DoubleType) / col("n_total") -
+              element_at(target, col("l_returnflag"))) <= 0.05).as("share_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_total, true AS share_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── Q57 error-tolerant expressions (try_* semantics) ─────────────
     QueryDef(
       "q57_try_arith",
