@@ -17,6 +17,10 @@ run / fork := true
 // breaks line-oriented JSON parsing.
 run / connectInput := true
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Keep Bench's one-line JSON the LAST stdout line: sbt's trailing
+// "[success] Total time: ..." line otherwise follows it and breaks a
+// parse-the-last-line driver (BENCH_r02 had parsed:null for exactly this).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

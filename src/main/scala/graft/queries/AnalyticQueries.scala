@@ -274,14 +274,15 @@ object AnalyticQueries {
         t(s, dir, "supplier")
           .groupBy(col("s_nationkey"))
           .agg(
-            sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
-            sort_array(collect_set(col("s_name"))).as("supp_names"))
+            array_join(sort_array(collect_list(col("s_suppkey"))), ",").as("supp_keys"),
+            array_join(sort_array(collect_set(col("s_name"))), ",").as("supp_names"))
           .orderBy(col("s_nationkey")),
       Some("""SELECT s_nationkey,
-          list_sort(list(s_suppkey)) AS supp_keys,
-          list_sort(list(DISTINCT s_name)) AS supp_names
+          array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
+          array_to_string(list_sort(list(DISTINCT s_name)), ',') AS supp_names
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
-      doc = "collect_list/collect_set with sort_array for cross-engine determinism."),
+      doc = "collect_list/collect_set with sort_array; emitted as joined strings " +
+        "because the driver's pandas compare cannot hash array cells."),
 
     // ── Q43 string aggregation ───────────────────────────────────────
     QueryDef(
@@ -533,7 +534,7 @@ object AnalyticQueries {
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-          count_if(l_quantity > 45) AS n_big,
+          CAST(count_if(l_quantity > 45) AS BIGINT) AS n_big,
           bool_or(l_discount > 0.09) AS any_deep_disc,
           bool_and(l_quantity >= 1) AS all_nonzero,
           count(*) AS n
@@ -694,15 +695,19 @@ object AnalyticQueries {
             col("l_quantity").cast(DecimalType(38, 10)).as("qd"))
           .groupBy(col("l_returnflag"))
           .agg(
-            sum(col("qd")).cast(DecimalType(38, 10)).as("sum_d"),
-            min(col("qd")).as("min_d"),
-            max(col("qd")).as("max_d"),
+            // Aggregate exactly in DECIMAL(38,10); emit DOUBLE because the
+            // driver's pandas compare sees Spark decimals as Decimal objects
+            // but DuckDB decimals as float64 (quantities are integral, so the
+            // double is exact).
+            sum(col("qd")).cast(DoubleType).as("sum_d"),
+            min(col("qd")).cast(DoubleType).as("min_d"),
+            max(col("qd")).cast(DoubleType).as("max_d"),
             count(col("qd")).as("n"))
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-          CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sum_d,
-          min(CAST(l_quantity AS DECIMAL(38,10))) AS min_d,
-          max(CAST(l_quantity AS DECIMAL(38,10))) AS max_d,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_d,
+          CAST(min(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS min_d,
+          CAST(max(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS max_d,
           count(l_quantity) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
