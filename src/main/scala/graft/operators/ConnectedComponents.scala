@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge set — the step that turns
+  * near-duplicate PAIRS (from LSH / simhash / cosine candidates) into
+  * duplicate CLUSTERS, so a curation pipeline can keep one canonical
+  * document per cluster instead of dropping both ends of every pair.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labelled
+  * with itself; each round every node takes the min of its own label and
+  * its neighbours' labels; fixpoint when no label changes. Each round is
+  * ONE shuffle (a groupBy on node id after an equi-join on the adjacency
+  * list), and the number of rounds is bounded by the cluster diameter.
+  *
+  * Scale note (100 TB): near-dup clusters are overwhelmingly tiny
+  * (pairs/triples — diameter ≤ 3), so min-propagation converges in a
+  * handful of rounds over edge sets billions of rows wide; every round is
+  * an embarrassingly-parallel shuffle with map-side combine. For
+  * adversarial graphs with long chains, swap the propagation step for the
+  * alternating large-star/small-star rounds of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond" (SoCC'14) — O(log² n)
+  * rounds — behind the same interface. The per-round driver sync is a
+  * single changed-row count (the same pattern GraphX/GraphFrames use).
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no graph or dedup
+  * logic at all (its only transforms are the type conversions in
+  * examples/ingest_parquet_to_mongo_stream.py:61-81); this operator is
+  * part of the [EXT] training-data-pipeline surface (SURVEY §2.7).
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame (src, dst) of undirected edges;
+    *              column names are positional, self-loops and duplicates
+    *              are tolerated.
+    * @return (node, cluster_id) — cluster_id = min node id reachable.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.toDF("u", "v")
+    // symmetrize once; every propagation round joins against this.
+    val adj = e.union(e.select(col("v"), col("u")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbour labels: adj(u,v) ⋈ labels(v) → candidate labels for u
+      val candidates = adj.join(labels, adj("v") === labels("node"))
+        .select(adj("u").as("node"), col("label"))
+        .union(labels)
+      // localCheckpoint (not persist): it truncates the LOGICAL plan too.
+      // With plain persist the per-round plan embeds every previous
+      // round's plan, so analysis/optimization time grows linearly with
+      // the iteration count — on a long-diameter graph that dominates
+      // the actual (tiny) shuffles. On a real cluster use reliable
+      // checkpoint() every few rounds instead if executor loss matters.
+      val next = candidates.groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    adj.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+}

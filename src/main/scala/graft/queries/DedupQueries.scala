@@ -86,6 +86,93 @@ object DedupQueries {
   private val jaccardDuck =
     "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(list_concat(a.shingles, b.shingles)))"
 
+  /** MinHash-LSH near-duplicate pairs (doc_a < doc_b, jaccard ≥ τ),
+    * unordered — shared by `dedup_minhash_lsh` (pair listing) and
+    * `dedup_cluster_cc` (component resolution over the pair graph).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Persist each narrow stage: without the InMemoryRelation barriers,
+    // CollapseProject inlines the shingle-hash expression into all 32
+    // permutation mins and both join sides — a multiplicative
+    // expression-tree blowup that took minutes to optimize/execute even
+    // at sf0.001.
+    val sh = shingled(s, dir).select(col("doc_id"), col("shingles")).persist()
+    // hs is referenced exactly once (by the sig expression), so this
+    // stage stays unpersisted: CollapseProject inlines it a single
+    // time — no multiplicative blowup (unlike shingled/buckets, which
+    // ARE multi-referenced and stay persisted). Measured: persisting
+    // it costs ~0.8 s at sf0.1 (extra materialization round).
+    val hs = sh
+      .withColumn("hs", expr(s"transform(shingles, s -> ${h60Spark("s")} % ${P}L)"))
+      .select(col("doc_id"), col("hs"))
+    // K minhash values in ONE codegen'd pass (graft.functions.
+    // MinHashSig — bit-identical to the K-pass declarative form the
+    // oracle runs), then BANDS band-signature strings.
+    val sigCol = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("hs")), A, B, P))
+    // explode to (band_idx, band_sig, doc_id) and bucket-join: this is
+    // the single shuffle that replaces the O(n^2) compare at scale.
+    // Buckets stay NARROW (no shingles) — candidate pairs join back to
+    // the shingle table for the verify step, so the band shuffle moves
+    // only (doc_id, band_idx, band_sig).
+    val buckets = hs
+      .withColumn("sig", sigCol)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${BANDS - 1}), b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS), v -> cast(v as string)), '_'))"))
+        .as(Seq("band_idx", "band_sig")))
+      .persist()
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.toDF("doc_a", "sa"), "doc_a")
+      .join(sh.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= JaccardTau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * oracle mirror of [[minhashPairs]]; callers append their own final
+    * SELECT (and further CTEs).
+    */
+  private val minhashPairsDuckBody: String = {
+    val sigExpr = (0 until K).map { i =>
+      s"list_min(list_transform(hs, h -> (CAST(${A(i)} AS BIGINT) * h + ${B(i)}) % $P))"
+    }.mkString("[", ", ", "]")
+    val jac = "round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6)"
+    s"""$shingledDuck,
+      hashed AS (
+        SELECT doc_id, shingles,
+          list_transform(shingles, s -> ${h60Duck("s")} % $P) AS hs
+        FROM sh),
+      sigs AS (
+        SELECT doc_id, shingles, $sigExpr AS sig FROM hashed),
+      banded AS (
+        SELECT doc_id, shingles,
+          unnest(range($BANDS)) AS band_idx,
+          unnest(list_transform(range($BANDS),
+            b -> array_to_string(list_transform(array_slice(sig, CAST(b * $ROWS + 1 AS INTEGER), CAST(b * $ROWS + $ROWS AS INTEGER)), v -> CAST(v AS VARCHAR)), '_'))) AS band_sig
+        FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.shingles AS sa, b.shingles AS sb
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b, $jac AS jaccard
+        FROM cand WHERE $jac >= $JaccardTau)"""
+  }
+
+  private val minhashPairsDuckCte = s"WITH $minhashPairsDuckBody"
+  private val minhashPairsDuckCteRecursive = s"WITH RECURSIVE $minhashPairsDuckBody"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact dedup: single shuffle on the content hash ──────────────
@@ -168,83 +255,46 @@ object DedupQueries {
     // ── MinHash + LSH banding: the scalable near-dup path ────────────
     QueryDef(
       "dedup_minhash_lsh",
-      (s, dir) => {
-        // Persist each narrow stage: without the InMemoryRelation
-        // barriers, CollapseProject inlines the shingle-hash expression
-        // into all 32 permutation mins and both join sides — a
-        // multiplicative expression-tree blowup that took minutes to
-        // optimize/execute even at sf0.001.
-        val sh = shingled(s, dir).select(col("doc_id"), col("shingles")).persist()
-        // hs is referenced exactly once (by the sig expression), so this
-        // stage stays unpersisted: CollapseProject inlines it a single
-        // time — no multiplicative blowup (unlike shingled/buckets, which
-        // ARE multi-referenced and stay persisted). Measured: persisting
-        // it costs ~0.8 s at sf0.1 (extra materialization round).
-        val hs = sh
-          .withColumn("hs", expr(s"transform(shingles, s -> ${h60Spark("s")} % ${P}L)"))
-          .select(col("doc_id"), col("hs"))
-        // K minhash values in ONE codegen'd pass (graft.functions.
-        // MinHashSig — bit-identical to the K-pass declarative form the
-        // oracle runs), then BANDS band-signature strings.
-        val sigCol = org.apache.spark.sql.GraftColumnBridge.column(
-          graft.functions.MinHashSig(
-            org.apache.spark.sql.GraftColumnBridge.expression(col("hs")), A, B, P))
-        // explode to (band_idx, band_sig, doc_id) and bucket-join: this is
-        // the single shuffle that replaces the O(n^2) compare at scale.
-        // Buckets stay NARROW (no shingles) — candidate pairs join back to
-        // the shingle table for the verify step, so the band shuffle moves
-        // only (doc_id, band_idx, band_sig).
-        val buckets = hs
-          .withColumn("sig", sigCol)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, ${BANDS - 1}), b -> array_join(transform(slice(sig, b * $ROWS + 1, $ROWS), v -> cast(v as string)), '_'))"))
-            .as(Seq("band_idx", "band_sig")))
-          .persist()
-        val cand = buckets.as("a")
-          .join(buckets.as("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(sh.toDF("doc_a", "sa"), "doc_a")
-          .join(sh.toDF("doc_b", "sb"), "doc_b")
-          .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
-          .filter(col("jaccard") >= JaccardTau)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some {
-        val sigExpr = (0 until K).map { i =>
-          s"list_min(list_transform(hs, h -> (CAST(${A(i)} AS BIGINT) * h + ${B(i)}) % $P))"
-        }.mkString("[", ", ", "]")
-        s"""WITH $shingledDuck,
-          hashed AS (
-            SELECT doc_id, shingles,
-              list_transform(shingles, s -> ${h60Duck("s")} % $P) AS hs
-            FROM sh),
-          sigs AS (
-            SELECT doc_id, shingles, $sigExpr AS sig FROM hashed),
-          banded AS (
-            SELECT doc_id, shingles,
-              unnest(range($BANDS)) AS band_idx,
-              unnest(list_transform(range($BANDS),
-                b -> array_to_string(list_transform(array_slice(sig, CAST(b * $ROWS + 1 AS INTEGER), CAST(b * $ROWS + $ROWS AS INTEGER)), v -> CAST(v AS VARCHAR)), '_'))) AS band_sig
-            FROM sigs),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              a.shingles AS sa, b.shingles AS sb
-            FROM banded a JOIN banded b
-              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-             AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b,
-            round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
-          FROM cand
-          WHERE round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6) >= $JaccardTau
-          ORDER BY doc_a, doc_b"""
-      },
+      (s, dir) =>
+        minhashPairs(s, dir)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""$minhashPairsDuckCte
+          SELECT doc_a, doc_b, jaccard FROM pairs
+          ORDER BY doc_a, doc_b"""),
       doc = "shingle → 32 minhash perms → 8 bands × 4 rows → bucket join → exact-jaccard verify."),
+
+    // ── duplicate-cluster resolution: LSH pairs → connected components ─
+    // The last step of the dedup story: pairs alone can't drive corpus
+    // pruning (dropping both ends of every pair over-deletes; keeping
+    // arbitrary ends under-deletes on A-B-C chains). Components give one
+    // canonical (min) doc per cluster. Iterative min-label propagation,
+    // one shuffle per round, rounds ≤ cluster diameter (see
+    // graft.operators.ConnectedComponents for the 100 TB notes).
+    QueryDef(
+      "dedup_cluster_cc",
+      (s, dir) => {
+        val edges = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        val labels = graft.operators.ConnectedComponents.run(edges)
+        val w = Window.partitionBy(col("cluster_id"))
+        labels
+          .select(col("cluster_id"), col("node").as("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy(col("cluster_id"), col("doc_id"))
+      },
+      Some(s"""$minhashPairsDuckCteRecursive,
+          und AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT cluster_id, doc_id,
+          count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lbl ORDER BY cluster_id, doc_id"""),
+      doc = "Min-label propagation over the LSH candidate graph; oracle is " +
+        "a recursive-CTE transitive closure (tractable at fixture scale)."),
 
     // ── SimHash near-dup (60-bit, word-level) ────────────────────────
     QueryDef(

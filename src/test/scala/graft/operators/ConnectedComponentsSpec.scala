@@ -1,0 +1,70 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property tests for min-label-propagation connected components against a
+  * driver-side union-find ground truth.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical label = min member id of each component
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, triangle, star, and singleton-pair components resolve to min-id labels") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain: all -> 1
+      (10L, 11L), (11L, 12L), (12L, 10L),    // triangle: all -> 10
+      (20L, 21L), (20L, 22L), (20L, 23L),    // star: all -> 20
+      (30L, 31L))                            // pair: both -> 30
+    assert(ccOf(edges) == unionFind(edges))
+  }
+
+  test("random graphs match union-find ground truth") {
+    val rnd = new Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(ccOf(edges) == unionFind(edges))
+    }
+  }
+
+  test("duplicate and reversed edges don't change the result") {
+    val base = Seq((1L, 2L), (2L, 3L))
+    val noisy = base ++ base.map(_.swap) ++ base
+    assert(ccOf(noisy) == unionFind(base))
+  }
+
+  test("long chain converges within the diameter bound") {
+    val edges = (0L until 20L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 21)
+  }
+}
