@@ -14,9 +14,9 @@ object SparkEntry {
 
   /** All declared capability groups, in SURVEY §2 order. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ AnalyticQueries.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs
+    RelationalQueries.defs ++ AnalyticQueries.defs ++ ExtendedQueries.defs ++
+      EventQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → project → hash agg → sort.
