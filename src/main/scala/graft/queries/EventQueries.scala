@@ -210,6 +210,39 @@ object EventQueries {
         GROUP BY cohort_day ORDER BY cohort_day"""),
       doc = "Cohort = first-seen day; one shuffle to cohorts, one to the report."),
 
+    // ── EWMA per user (α = 1/2) — time-series smoothing ──────────────
+    // e_i = α·v_i + (1−α)·e_{i−1} is inherently sequential, so it runs
+    // as an ordered left-fold per key: collect the (tiny) per-user event
+    // sequence and fold with the codegen'd `aggregate` HOF — one shuffle
+    // on user_id, no window-function state. α = 1/2 keeps every weight a
+    // power of two (exact in binary), and both engines fold in the same
+    // order, so the doubles are bit-identical. At 100 TB the per-key
+    // sequences stay bounded (sessions/devices), not corpus-sized; for
+    // unbounded keys the streaming form is transformWithState
+    // (EventStreams.statefulUserAggTws) with the same recurrence.
+    QueryDef(
+      "ev_ewma",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+          .select(col("user_id"),
+            expr("round(aggregate(seq, cast(0.0 as double), (acc, x) -> 0.5 * x.value + 0.5 * acc), 6)")
+              .as("ewma"),
+            size(col("seq")).cast("bigint").as("n_events"))
+          .orderBy(col("user_id")),
+      Some("""WITH seq AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+            (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma,
+          len(vs) AS n_events
+        FROM seq ORDER BY user_id"""),
+      doc = "DuckDB list_reduce seeds from the head element, so the oracle " +
+        "prepends the 0.0 init to make the folds element-for-element identical."),
+
     // ── late-data semantics: watermark cutoff as a batch filter ──────
     QueryDef(
       "st_watermark_filter",

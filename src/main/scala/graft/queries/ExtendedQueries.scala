@@ -222,6 +222,98 @@ object ExtendedQueries {
           CAST(0 AS BIGINT) AS bloom_missed, TRUE AS cms_all_ge
         FROM lineitem""")),
 
+    // ── q68: MERGE-style keyed upsert (batch form of sink S7) ────────
+    // The batch analogue of the reference's ReplaceOne(upsert=True) bulk
+    // ingest (examples/ingest_parquet_to_mongo_bulk.py:108-113): target
+    // FULL OUTER JOIN delta on the PK, delta wins on conflict. One
+    // shuffle on the key; with a bucketed target it is shuffle-free on
+    // the target side. The delta is synthesized deterministically from
+    // the target (updates: keys ≡ 0 mod 10 re-priced; inserts: negated
+    // keys ≡ 0 mod 97).
+    QueryDef(
+      "q68_merge_upsert",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+        val delta = o.filter(col("k") % 10 === 0)
+          .select(col("k"), (col("p") + 100).as("p"))
+          .unionByName(o.filter(col("k") % 97 === 0)
+            .select((-col("k")).as("k"), col("p")))
+        o.as("t").join(delta.as("d"), col("t.k") === col("d.k"), "full_outer")
+          .select(
+            coalesce(col("d.k"), col("t.k")).as("o_orderkey"),
+            coalesce(col("d.p"), col("t.p")).cast(DoubleType).as("price"),
+            when(col("d.k").isNotNull && col("t.k").isNotNull, "updated")
+              .when(col("d.k").isNotNull, "inserted")
+              .otherwise("kept").as("src"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        delta AS (
+          SELECT k, p + 100 AS p FROM o WHERE k % 10 = 0
+          UNION ALL SELECT -k, p FROM o WHERE k % 97 = 0)
+        SELECT COALESCE(d.k, t.k) AS o_orderkey,
+          CAST(COALESCE(d.p, t.p) AS DOUBLE) AS price,
+          CASE WHEN d.k IS NOT NULL AND t.k IS NOT NULL THEN 'updated'
+               WHEN d.k IS NOT NULL THEN 'inserted' ELSE 'kept' END AS src
+        FROM o t FULL OUTER JOIN delta d ON t.k = d.k
+        ORDER BY o_orderkey""")),
+
+    // ── q69: array set operations (order-normalized) ─────────────────
+    // Spark's array_intersect/union/except preserve first-argument order
+    // while DuckDB's list_* make no order promise — both sides sort +
+    // dedup + join to strings, so only SET semantics are compared.
+    QueryDef(
+      "q69_array_setops",
+      (s, dir) => {
+        val stop = array(Seq("the", "of", "and", "a", "to").map(lit): _*)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            slice(split(lower(col("text")), " "), 1, 5).as("tk5"))
+          .select(col("doc_id"),
+            array_join(sort_array(array_distinct(array_intersect(col("tk5"), stop))), ",").as("inter_s"),
+            array_join(sort_array(array_distinct(array_union(col("tk5"), stop))), ",").as("union_s"),
+            array_join(sort_array(array_distinct(array_except(col("tk5"), stop))), ",").as("except_s"),
+            arrays_overlap(col("tk5"), stop).as("has_stop"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ')[1:5] AS tk5,
+            ['the', 'of', 'and', 'a', 'to'] AS stop
+          FROM documents)
+        SELECT doc_id,
+          COALESCE(array_to_string(list_sort(list_distinct(list_intersect(tk5, stop))), ','), '') AS inter_s,
+          COALESCE(array_to_string(list_sort(list_distinct(list_concat(tk5, stop))), ','), '') AS union_s,
+          COALESCE(array_to_string(list_sort(list_distinct(list_filter(tk5, t -> NOT list_contains(stop, t)))), ','), '') AS except_s,
+          len(list_intersect(tk5, stop)) > 0 AS has_stop
+        FROM d ORDER BY doc_id""")),
+
+    // ── q70: grouping() / grouping_id() under rollup ─────────────────
+    QueryDef(
+      "q70_grouping_id",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+            grouping_id().as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+            col("n"), col("g_rf"), col("gid"))
+          .orderBy(col("gid"), col("rf"), col("ls")),
+      Some("""SELECT
+          COALESCE(l_returnflag, '<all>') AS rf,
+          COALESCE(l_linestatus, '<all>') AS ls,
+          count(*) AS n,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls"""),
+      doc = "grouping_id() ≙ bit-packed GROUPING flags (MSB = leftmost key)."),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —

@@ -86,4 +86,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "binned form must join on the bin key:\n" + p.take(2000))
   }
+
+  test("runtime bloom-filter injection prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB this is the semi-join reduction that keeps a selective
+    // dim filter from forcing a full fact-table shuffle: Catalyst's
+    // InjectRuntimeFilter plants bloom_filter_agg on the filtered side
+    // and might_contain on the probe-side scan. Thresholds are sized for
+    // real tables, so pin them down to fixture scale for the assertion.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val li = Tables.load(spark, sf(), "lineitem")
+      val o = Tables.load(spark, sf(), "orders")
+        .filter(col("o_totalprice") > 400000.0) // selective creation side
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "expected a runtime bloom filter on the probe side:\n" + p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
