@@ -55,6 +55,19 @@ object ExtendedQueries {
       round(((CAST(n AS DOUBLE) - 1) / ((n - 2) * (n - 3))) * ((n + 1) * (m4 / (m2 * m2) - 3) + 6), 6) AS kurt_samp
     FROM c ORDER BY l_returnflag"""
 
+  /** Shared Spark/DuckDB SQL for q71 — a bounded recursive walk
+    * (k → (3k+1) mod 100) seeded from real supplier keys. UNION ALL
+    * recursion with an explicit step bound; cycles are fine because the
+    * bound terminates the iteration, and the aggregation collapses the
+    * multiplicity deterministically.
+    */
+  val recursiveWalkSql: String = """WITH RECURSIVE walk(k, step) AS (
+      SELECT CAST(s_suppkey AS BIGINT), 0 FROM supplier WHERE s_suppkey <= 3
+      UNION ALL
+      SELECT (w.k * 3 + 1) % 100, w.step + 1 FROM walk w WHERE w.step < 20)
+    SELECT k, count(*) AS n, min(step) AS first_step
+    FROM walk GROUP BY k ORDER BY k"""
+
   /** Shared Spark/DuckDB SQL for q63 — correlated LATERAL aggregate;
     * Catalyst decorrelates it into an aggregate + left outer join (one
     * shuffle on o_custkey), never a per-row re-scan.
@@ -313,6 +326,76 @@ object ExtendedQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY gid, rf, ls"""),
       doc = "grouping_id() ≙ bit-packed GROUPING flags (MSB = leftmost key)."),
+
+    // ── q71: recursive CTE (Spark 4 WITH RECURSIVE) ──────────────────
+    // Bounded multiplicative walk seeded from real keys; UNION ALL
+    // recursion with a step bound is the form both engines share (Spark
+    // 4.1 does not yet do UNION-distinct recursion). Spark executes each
+    // recursive step as a distributed union — at scale this is the
+    // iterative-join pattern ConnectedComponents hand-rolls, with
+    // Catalyst managing the loop.
+    QueryDef(
+      "q71_recursive_cte",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(recursiveWalkSql)
+      },
+      Some(recursiveWalkSql)),
+
+    // ── q72: listagg / string_agg (SQL:2023 ordered string agg) ──────
+    QueryDef(
+      "q72_listagg",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT s_nationkey,
+            listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS names
+          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+      },
+      Some("""SELECT s_nationkey,
+          string_agg(s_name, '|' ORDER BY s_name) AS names
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      doc = "Built-in ordered listagg (q43 is the pre-4.0 array_join form)."),
+
+    // ── q73: VARIANT ingestion (Spark 4 semi-structured type) ────────
+    // parse_json → VARIANT → typed variant_get extraction; the shredded
+    // VARIANT is the 100 TB path for heterogeneous JSON (no per-query
+    // re-parse, columnar substructure pushdown). Oracle extracts the
+    // same fields with DuckDB's JSON operators.
+    QueryDef(
+      "q73_variant_json",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            parse_json(col("props")).as("v"))
+          .select(col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
+            expr("cast(variant_get(v, '$.missing', 'string') as string)").as("k_missing"),
+            expr("is_variant_null(try_variant_get(v, '$.k'))").as("k_is_null"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+          CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+          CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS k_missing,
+          FALSE AS k_is_null
+        FROM events ORDER BY event_id""")),
+
+    // ── q74: approx_top_k — exact when cardinality ≤ sketch capacity ─
+    // The heavy-hitter sketch (Spark 4 approx_top_k): with 3 distinct
+    // values and default capacity 10000 the counts are exact, so the
+    // oracle is a plain top-k GROUP BY — a real equality check, not just
+    // an invariant. At 100 TB the sketch replaces a full groupBy+sort
+    // with one mergeable-state pass.
+    QueryDef(
+      "q74_approx_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT t.entry.item AS item, t.entry.count AS cnt
+          FROM (SELECT explode(approx_top_k(l_returnflag, 3)) AS entry
+                FROM lineitem) t
+          ORDER BY cnt DESC, item ASC""")
+      },
+      Some("""SELECT l_returnflag AS item, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY cnt DESC, item ASC LIMIT 3""")),
 
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
