@@ -328,6 +328,38 @@ object AnalyticQueries {
          AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
         ORDER BY purchase_id, click_id""")),
 
+    // ── interval join, LEFT OUTER: unattributed purchases kept ───────
+    // The range predicate must live in the JOIN condition (a post-filter
+    // would turn left-outer into inner); streaming form is
+    // EventStreams.intervalJoinLeftOuter with the same expression tree.
+    QueryDef(
+      "ev_interval_join_outer",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("purchase_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("click_ts"))
+        p.join(c,
+            col("p_user") === col("c_user") &&
+            col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") > col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+            "left_outer")
+          .select(col("purchase_id"), col("p_user").as("user_id"),
+            col("purchase_ts"), col("click_id"), col("click_ts"))
+          .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_last)
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+          c.event_id AS click_id, c.ts AS click_ts
+        FROM events p LEFT JOIN events c
+          ON p.user_id = c.user_id AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
+        WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id, click_id NULLS LAST""")),
+
     // ── Q44 calendar functions round 2 ───────────────────────────────
     QueryDef(
       "q44_datetime_more",

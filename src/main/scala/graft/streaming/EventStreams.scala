@@ -136,6 +136,31 @@ object EventStreams {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Left-outer stream-stream interval join: like [[intervalJoin]] but
+    * unattributed purchases are kept (null click columns). The engine can
+    * only emit a null-extended row once the watermark proves no matching
+    * click can still arrive, so rows near end-of-stream are withheld —
+    * the convergence spec accounts for that frontier.
+    */
+  def intervalJoinLeftOuter(events: DataFrame, window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $window"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Batch replay of the same event data, for convergence checks. */
   def batchEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

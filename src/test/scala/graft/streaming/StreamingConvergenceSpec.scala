@@ -146,6 +146,36 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(got, batch)
   }
 
+  test("ST7 left-outer interval join: inner rows match batch exactly; " +
+      "null-extended rows appear iff unmatched, modulo the watermark frontier") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.runToMemory(
+      EventStreams.intervalJoinLeftOuter(streamEvents()), "conv_ojoin", "append")
+    val batch = graft.queries.AnalyticQueries.defs
+      .find(_.name == "ev_interval_join_outer").get.fn(spark, sf())
+    // 1. matched (inner) rows are identical to the batch inner subset
+    assertSameRows(got.filter(col("click_id").isNotNull),
+      batch.filter(col("click_id").isNotNull))
+    // 2. every streamed null-extended row is unmatched in batch too
+    val streamedNull = got.filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    val batchNull = batch.filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(streamedNull.subsetOf(batchNull),
+      s"spurious null-extended rows: ${streamedNull.diff(batchNull).take(5)}")
+    // 3. unmatched purchases safely below the final watermark MUST have
+    // been emitted (the engine only withholds rows it cannot yet prove
+    // final — those within the watermark delay of end-of-stream).
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0).getTime
+    val safeCutoff = new java.sql.Timestamp(maxTs - 2L * 3600 * 1000)
+    val mustEmit = batch.filter(col("click_id").isNull &&
+      col("purchase_ts") < lit(safeCutoff))
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(mustEmit.subsetOf(streamedNull),
+      s"withheld rows below the frontier: ${mustEmit.diff(streamedNull).take(5)}")
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
