@@ -90,7 +90,7 @@ object DedupQueries {
     * unordered — shared by `dedup_minhash_lsh` (pair listing) and
     * `dedup_cluster_cc` (component resolution over the pair graph).
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Persist each narrow stage: without the InMemoryRelation barriers,
     // CollapseProject inlines the shingle-hash expression into all 32
     // permutation mins and both join sides — a multiplicative
@@ -171,7 +171,7 @@ object DedupQueries {
   }
 
   private val minhashPairsDuckCte = s"WITH $minhashPairsDuckBody"
-  private val minhashPairsDuckCteRecursive = s"WITH RECURSIVE $minhashPairsDuckBody"
+  private[queries] val minhashPairsDuckCteRecursive = s"WITH RECURSIVE $minhashPairsDuckBody"
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -216,6 +216,59 @@ object TextQueries {
         GROUP BY s.lang ORDER BY s.lang"""),
       doc = "Quality-gate → exact-dedup → per-language stats: the curation funnel as one declarative plan."),
 
+    // ── curation with NEAR-dup cluster resolution ────────────────────
+    // The end-to-end corpus-curation shape for a training-data pipeline:
+    // exact dedup (content hash), then minhash-LSH near-dup pairs over
+    // the survivors, connected components to form duplicate clusters,
+    // keep one canonical (min-id) doc per cluster, report per-language
+    // survivor counts. Everything before the (tiny) component loop is
+    // single-shuffle-per-stage; the oracle replays the whole pipeline in
+    // SQL with a recursive-CTE closure.
+    QueryDef(
+      "pipe_curate_cc",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val surv = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val pairs = DedupQueries.minhashPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .join(surv.toDF("doc_a"), "doc_a")
+          .join(surv.toDF("doc_b"), "doc_b")
+        val labels = graft.operators.ConnectedComponents.run(edges)
+        val drop = labels.filter(col("node") =!= col("cluster_id"))
+          .select(col("node").as("doc_id"))
+        surv.join(drop, Seq("doc_id"), "left_anti")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""${DedupQueries.minhashPairsDuckCteRecursive},
+          surv AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          e AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE doc_a IN (SELECT doc_id FROM surv)
+              AND doc_b IN (SELECT doc_id FROM surv)),
+          und AS (
+            SELECT doc_a AS u, doc_b AS v FROM e
+            UNION SELECT doc_b, doc_a FROM e),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u),
+          lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          kept AS (
+            SELECT s.doc_id FROM surv s LEFT JOIN lbl l ON s.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL OR l.cluster_id = s.doc_id)
+        SELECT d.lang, count(*) AS n_docs
+        FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+        GROUP BY d.lang ORDER BY d.lang"""),
+      doc = "pipe_curate upgraded with near-dup CLUSTER removal (exact hash → " +
+        "LSH pairs → components → canonical-only)."),
+
     // ── document fingerprint: md5 of whitespace-normalized text ──────
     QueryDef(
       "text_fingerprint",
