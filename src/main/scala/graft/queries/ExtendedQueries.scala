@@ -221,10 +221,13 @@ object ExtendedQueries {
         val bf = orders.stat.bloomFilter("o_orderkey", nOrders, 0.01)
         val bfB = s.sparkContext.broadcast(bf)
         val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-        val probes = li.select(col("l_orderkey")).distinct().persist()
-        val nProbes = probes.count()
-        val nMissed = probes.filter(!mightContain(col("l_orderkey"))).count()
-        probes.unpersist()
+        // probe count + miss count in ONE pass over the distinct keys
+        val probeRow = li.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n"),
+            sum(when(!mightContain(col("l_orderkey")), 1L).otherwise(0L)).as("missed"))
+          .collect().head
+        val nProbes = probeRow.getLong(0)
+        val nMissed = probeRow.getLong(1)
         val cms = li.stat.countMinSketch("l_returnflag", 0.01, 0.99, 42)
         val exact = li.groupBy(col("l_returnflag")).count().collect()
         val allGe = exact.forall(r => cms.estimateCount(r.getString(0)) >= r.getLong(1))
