@@ -61,6 +61,7 @@ object ScaleProbe {
 
   val scalePath: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_cluster_cc", "pipe_curate_cc",
     "sim_lsh_topk", "sim_ivf_topk", "sim_brute_topk",
     "text_tokens", "text_fingerprint", "text_ngram_freq")
   val allPairs: Seq[String] = Seq("dedup_simhash", "dedup_embedding_cosine")

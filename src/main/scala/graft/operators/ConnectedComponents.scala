@@ -39,8 +39,13 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.toDF("u", "v")
-    // symmetrize once; every propagation round joins against this.
-    val adj = e.union(e.select(col("v"), col("u")))
+    // symmetrize in ONE scan (explode both directions per input row):
+    // union(e, e.swap) reads the upstream edge pipeline twice, which is
+    // expensive when edges come straight off an LSH join.
+    val adj = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = adj.select(col("u").as("node")).distinct()

@@ -228,9 +228,12 @@ object TextQueries {
       "pipe_curate_cc",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // surv is referenced three times (both edge endpoints + the final
+        // anti-join) — persist the (narrow) key set once.
         val surv = docs.groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
+          .persist()
         val pairs = DedupQueries.minhashPairs(s, dir)
           .select(col("doc_a"), col("doc_b"))
         val edges = pairs
