@@ -243,6 +243,39 @@ object EventQueries {
       doc = "DuckDB list_reduce seeds from the head element, so the oracle " +
         "prepends the 0.0 init to make the folds element-for-element identical."),
 
+    // ── per-event session assignment (gaps-and-islands) ──────────────
+    // st_session_window AGGREGATES sessions; this emits the session
+    // NUMBER on every event row (the form downstream featurization
+    // joins against). Two stacked windows on the same (user_id, ts)
+    // ordering — one shuffle, the second window reuses the sort.
+    QueryDef(
+      "ev_session_ids",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.load(s, dir, "events")
+          .withColumn("new_session",
+            when(col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+              > 4 * 3600 || lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("session_no",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("event_id"), col("user_id"), col("ts"), col("session_no"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, ts,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        FROM (
+          SELECT event_id, user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        ORDER BY event_id"""),
+      doc = "4h-gap sessionization emitting per-row session numbers; " +
+        "Spark's long cast is seconds, the oracle compares at µs."),
+
     // ── late-data semantics: watermark cutoff as a batch filter ──────
     QueryDef(
       "st_watermark_filter",

@@ -400,6 +400,35 @@ object ExtendedQueries {
         FROM lineitem GROUP BY l_returnflag
         ORDER BY cnt DESC, item ASC LIMIT 3""")),
 
+    // ── q75: histogram binning + ratio-to-report ─────────────────────
+    // width_bucket assigns fixed-width bins in the scan pass (narrow,
+    // codegen'd); the share-of-total is a windowed sum over the tiny
+    // aggregated result — no second pass over the data. The oracle
+    // reproduces width_bucket arithmetically (DuckDB lacks it for
+    // doubles-with-count signature parity).
+    QueryDef(
+      "q75_histogram",
+      (s, dir) => {
+        val binned = t(s, dir, "lineitem")
+          .select(expr("width_bucket(l_quantity, 1.0, 51.0, 10)").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        binned
+          .withColumn("share",
+            round(col("n").cast(DoubleType) /
+              sum(col("n")).over(Window.partitionBy()), 6))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH b AS (
+          SELECT CASE WHEN l_quantity < 1.0 THEN 0
+                      WHEN l_quantity >= 51.0 THEN 11
+                      ELSE CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) + 1 END AS bin
+          FROM lineitem),
+        g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+        SELECT bin, n,
+          round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+        FROM g ORDER BY bin"""),
+      doc = "width_bucket(x, 1, 51, 10) ≙ floor((x-1)/5)+1 inside the range."),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
