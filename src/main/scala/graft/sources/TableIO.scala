@@ -37,6 +37,29 @@ object TableIO {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Small-file compaction: rewrite a directory of many small parquet
+    * files into ~`targetFileBytes`-sized ones. The 100 TB operational
+    * companion to streaming ingest — micro-batch sinks produce one file
+    * per partition per trigger, and scan/driver overhead at read time is
+    * per-FILE, so periodic compaction is what keeps a long-lived table
+    * scannable. File count is estimated from the on-disk footprint (not
+    * a count() pass); the rewrite goes to a NEW path — atomically swap
+    * directories (or use a table format's transactional rewrite) in
+    * production.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(inPath)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   // ── other columnar/row formats (engine-completeness surface) ───────
   // The reference is parquet-only; a drop-in engine also has to move the
   // same tables through the interchange formats Spark supports natively.

@@ -126,4 +126,27 @@ class RoundTripSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("ts").toInstant ==
       java.time.Instant.parse("2023-06-01T16:00:00Z"))
   }
+
+  test("compact rewrites a many-small-file table into the target file count, losslessly") {
+    import org.apache.spark.sql.functions._
+    val inDir = tmpDir("compact-in")
+    val outDir = tmpDir("compact-out")
+    // 64 tiny files
+    spark.range(64L * 1000).withColumn("v", col("id") * 2)
+      .repartition(64).write.mode("overwrite").parquet(inDir)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(inDir) == 64)
+    val totalBytes = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = totalBytes / 4 // aim for ~4 files
+    val planned = TableIO.compact(spark, inDir, outDir, target)
+    val got = parquetFiles(outDir)
+    assert(got == planned.toInt, s"planned $planned files, wrote $got")
+    assert(got <= 6, s"expected ~4-5 compacted files, got $got")
+    // lossless: same rows
+    val a = spark.read.parquet(inDir).agg(count(lit(1)), sum(col("v"))).collect().head
+    val b = spark.read.parquet(outDir).agg(count(lit(1)), sum(col("v"))).collect().head
+    assert(a == b)
+  }
 }
