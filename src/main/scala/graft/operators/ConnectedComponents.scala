@@ -51,9 +51,16 @@ object ConnectedComponents {
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Convergence test: every node's label is non-increasing, so the
+    // label SUM strictly decreases until the fixpoint — comparing sums
+    // is one scalar aggregation over the just-checkpointed result,
+    // instead of a shuffle join of consecutive label tables (which
+    // dominated the loop cost on wide graphs). DECIMAL(38,0) so the sum
+    // cannot overflow at any realistic node count × id magnitude.
+    var prevSum: java.math.BigDecimal = null
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // neighbour labels: adj(u,v) ⋈ labels(v) → candidate labels for u
       val candidates = adj.join(labels, adj("v") === labels("node"))
         .select(adj("u").as("node"), col("label"))
@@ -67,10 +74,10 @@ object ConnectedComponents {
       val next = candidates.groupBy(col("node"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
+      val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect().head.getDecimal(0)
+      changed = prevSum == null || s.compareTo(prevSum) != 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
