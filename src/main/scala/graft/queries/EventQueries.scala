@@ -17,6 +17,25 @@ import graft.Tables
   */
 object EventQueries {
 
+  /** Shared Spark/DuckDB SQL for `ev_anomaly` — identical text so the
+    * IEEE op order matches; the window sums are exact decimals.
+    */
+  val anomalySql: String = """WITH st AS (
+      SELECT event_id, user_id, value,
+        count(*) OVER w AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+      FROM events WINDOW w AS (PARTITION BY user_id)),
+    z AS (
+      SELECT event_id, value, n,
+        s1 / n AS mu,
+        CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) ELSE 0.0 END AS va
+      FROM st)
+    SELECT event_id,
+      round(CASE WHEN va > 0 THEN (value - mu) / sqrt(va) ELSE 0.0 END, 6) AS z,
+      CASE WHEN va > 0 AND abs((value - mu) / sqrt(va)) > 2.0 THEN TRUE ELSE FALSE END AS is_outlier
+    FROM z ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── ST2a tumbling window ─────────────────────────────────────────
@@ -275,6 +294,19 @@ object EventQueries {
         ORDER BY event_id"""),
       doc = "4h-gap sessionization emitting per-row session numbers; " +
         "Spark's long cast is seconds, the oracle compares at µs."),
+
+    // ── per-user z-score anomaly flags ───────────────────────────────
+    // Outlier detection over each user's value distribution. Mean and
+    // variance come from EXACT decimal sums over an unordered window
+    // (float accumulation order would differ between engines), converted
+    // to double through one shared expression text — bit-identical z.
+    QueryDef(
+      "ev_anomaly",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(anomalySql)
+      },
+      Some(anomalySql)),
 
     // ── late-data semantics: watermark cutoff as a batch filter ──────
     QueryDef(

@@ -238,6 +238,35 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM sims)
         SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""))
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank""")),
+
+    // ── int8 vector quantization (compression for ANN at scale) ──────
+    // Normalize to unit length, scale to [-127, 127], round to integers —
+    // the standard 4× memory compression before an ANN index. All
+    // arithmetic is the shared IEEE recipe (sequential-fold norm, same
+    // op order both engines) so the quantized codes are bit-identical;
+    // emitted as a joined string because the driver compare can't hash
+    // array cells.
+    QueryDef(
+      "sim_quantize",
+      (s, dir) =>
+        graft.Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+          .filter(col("nrm") > 0)
+          .select(col("vec_id"),
+            expr("array_join(transform(v, x -> cast(cast(round(x / nrm * 127.0, 0) as bigint) as string)), ',')")
+              .as("q_str"),
+            size(col("v")).cast("bigint").as("dim"))
+          .orderBy(col("vec_id")),
+      Some(s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM v)
+        SELECT vec_id,
+          array_to_string(list_transform(v,
+            x -> CAST(CAST(round(x / nrm * 127.0, 0) AS BIGINT) AS VARCHAR)), ',') AS q_str,
+          len(v) AS dim
+        FROM n WHERE nrm > 0 ORDER BY vec_id"""))
   )
 }
