@@ -429,6 +429,73 @@ object ExtendedQueries {
         FROM g ORDER BY bin"""),
       doc = "width_bucket(x, 1, 51, 10) ≙ floor((x-1)/5)+1 inside the range."),
 
+    // ── q78: interval arithmetic + timestamp/date constructors ───────
+    // timestampdiff/date_diff are deliberately absent: Spark counts full
+    // elapsed periods while DuckDB counts boundary crossings — an
+    // engine-semantics trap, not an implementation detail. The portable
+    // forms are interval shifts and epoch arithmetic (q24/q44/epoch_us).
+    QueryDef(
+      "q78_intervals",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            (col("o_orderdate") + expr("INTERVAL 3 HOURS")).as("plus3h"),
+            (col("o_orderdate") - expr("INTERVAL 90 MINUTES")).as("minus90m"),
+            make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+              dayofmonth(col("o_orderdate"))).as("rebuilt_date"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+          o_orderdate + INTERVAL 3 HOUR AS plus3h,
+          o_orderdate - INTERVAL 90 MINUTE AS minus90m,
+          make_date(CAST(year(o_orderdate) AS BIGINT), CAST(month(o_orderdate) AS BIGINT),
+            CAST(day(o_orderdate) AS BIGINT)) AS rebuilt_date
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── q79: string predicate family ─────────────────────────────────
+    QueryDef(
+      "q79_string_predicates",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("text").ilike("the%").as("p_ilike"),
+            col("text").startsWith("the").as("p_starts"),
+            col("text").endsWith(".").as("p_ends"),
+            col("text").contains("data").as("p_contains"),
+            col("text").rlike("[0-9]{2,}").as("p_rlike"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          text ILIKE 'the%' AS p_ilike,
+          starts_with(text, 'the') AS p_starts,
+          ends_with(text, '.') AS p_ends,
+          contains(text, 'data') AS p_contains,
+          regexp_matches(text, '[0-9]{2,}') AS p_rlike
+        FROM documents ORDER BY doc_id""")),
+
+    // ── q80: null-handling semantics ─────────────────────────────────
+    QueryDef(
+      "q80_null_semantics",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            nullif(col("l_returnflag"), lit("N")).as("nulled"),
+            expr("nvl2(nullif(l_returnflag, 'N'), 'returned', 'kept')").as("nvl2_tag"),
+            (nullif(col("l_returnflag"), lit("N")) <=> lit("R")).as("nullsafe_eq_r"),
+            isnan(when(col("l_quantity") > 25, expr("cast('NaN' as double)"))
+              .otherwise(lit(1.0)) * col("l_extendedprice")).as("isnan_flag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          NULLIF(l_returnflag, 'N') AS nulled,
+          CASE WHEN NULLIF(l_returnflag, 'N') IS NOT NULL THEN 'returned' ELSE 'kept' END AS nvl2_tag,
+          NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM 'R' AS nullsafe_eq_r,
+          isnan((CASE WHEN l_quantity > 25 THEN CAST('NaN' AS DOUBLE) ELSE 1.0 END) * l_extendedprice) AS isnan_flag
+        FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      doc = "<=> ≙ IS NOT DISTINCT FROM; nvl2 ≙ IS-NOT-NULL CASE; NaN literal " +
+        "propagation + isnan (0/0 errors under ANSI mode — Spark 4 default — " +
+        "so the probe uses an explicit NaN, which both engines propagate)."),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
