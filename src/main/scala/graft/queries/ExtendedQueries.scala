@@ -496,6 +496,27 @@ object ExtendedQueries {
         "propagation + isnan (0/0 errors under ANSI mode — Spark 4 default — " +
         "so the probe uses an explicit NaN, which both engines propagate)."),
 
+    // ── q81: JSON aggregation (ordered array-of-structs serialization) ─
+    // The export shape for feeding grouped results to downstream JSON
+    // consumers; sort_array makes the aggregation order deterministic so
+    // the serialized string is hash-comparable.
+    QueryDef(
+      "q81_json_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("l_returnflag"))
+          .agg(to_json(sort_array(collect_list(
+            struct(col("l_linestatus").as("ls"), col("n"))))).as("j"))
+          .orderBy(col("l_returnflag")),
+      Some("""WITH g AS (
+          SELECT l_returnflag, l_linestatus AS ls, count(*) AS n
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag,
+          to_json(list(struct_pack(ls := ls, n := n) ORDER BY ls, n)) AS j
+        FROM g GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
