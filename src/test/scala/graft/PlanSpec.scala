@@ -87,6 +87,30 @@ class PlanSpec extends SparkSpec {
       "binned form must join on the bin key:\n" + p.take(2000))
   }
 
+  test("q68 merge-upsert is a key equi-join (no nested loop over target × delta)") {
+    val p = plan("q68_merge_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "merge must join on the PK:\n" + p.take(2000))
+  }
+
+  test("pipe_profile profiles every column in ONE pass (single Expand, no per-column scans)") {
+    val p = plan("pipe_profile")
+    // multi-countDistinct compiles to one Expand over one scan
+    assert(p.contains("Expand"), p.take(2000))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single orders scan, saw $scans:\n" + p.take(3000))
+  }
+
+  test("ev_session_ids computes both windows over one (user_id) shuffle") {
+    val p = plan("ev_session_ids")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(shuffles == 1,
+      s"stacked session windows must reuse one user_id exchange, saw $shuffles:\n" + p.take(3000))
+  }
+
   test("runtime bloom-filter injection prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB this is the semi-join reduction that keeps a selective
