@@ -272,6 +272,35 @@ object TextQueries {
       doc = "pipe_curate upgraded with near-dup CLUSTER removal (exact hash → " +
         "LSH pairs → components → canonical-only)."),
 
+    // ── sliding-window document chunking (64-token, stride 48) ───────
+    // The pre-tokenization step of a training pipeline: long documents
+    // become overlapping fixed-size chunks (overlap keeps boundary
+    // context). One narrow pass + a generator — rows out ≈ tokens/stride,
+    // no shuffle at all; chunk_idx is the deterministic position key.
+    QueryDef(
+      "text_chunk",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr(
+              """transform(
+                   sequence(0, greatest(cast(ceil((n - 64) / 48.0) as int), 0)),
+                   i -> array_join(slice(toks, i * 48 + 1, 64), ' '))"""))
+              .as(Seq("chunk_idx", "chunk")))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            len(string_split(text, ' ')) AS n
+          FROM documents)
+        SELECT doc_id, n, u.i AS chunk_idx,
+          array_to_string(toks[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS chunk
+        FROM d, unnest(range(0, greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT), 0) + 1)) u(i)
+        ORDER BY doc_id, chunk_idx"""),
+      doc = "Last chunk starts at ceil((n-64)/48)·48 so coverage reaches the " +
+        "end; both engines' slices clamp identically at the boundary."),
+
     // ── document fingerprint: md5 of whitespace-normalized text ──────
     QueryDef(
       "text_fingerprint",
