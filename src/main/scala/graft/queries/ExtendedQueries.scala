@@ -517,6 +517,55 @@ object ExtendedQueries {
           to_json(list(struct_pack(ls := ls, n := n) ORDER BY ls, n)) AS j
         FROM g GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ── q82: string functions round 3 ────────────────────────────────
+    QueryDef(
+      "q82_string_funcs3",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            ascii(split_part(col("text"), lit(" "), lit(1))).cast(LongType).as("first_ascii"),
+            chr(lit(65) + pmod(col("doc_id"), lit(26))).as("bucket_chr"),
+            expr("left(text, 10)").as("l10"),
+            expr("right(text, 8)").as("r8"),
+            format_string("%s-%04d", col("lang"), col("doc_id")).as("tag"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          ascii(split_part(text, ' ', 1)) AS first_ascii,
+          chr(CAST(65 + doc_id % 26 AS INTEGER)) AS bucket_chr,
+          left(text, 10) AS l10,
+          right(text, 8) AS r8,
+          printf('%s-%04d', lang, doc_id) AS tag
+        FROM documents ORDER BY doc_id""")),
+
+    // ── q83: math functions round 3 ──────────────────────────────────
+    // Transcendentals are rounded to 6 decimals (cross-libm tolerance,
+    // same treatment as q25); sign/factorial are cast to BIGINT because
+    // the engines' native return widths differ.
+    QueryDef(
+      "q83_math_funcs3",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(log2(col("l_quantity")), 6).as("lg2"),
+            round(log10(col("l_extendedprice")), 6).as("lg10"),
+            round(cbrt(col("l_quantity")), 6).as("cbrt_q"),
+            signum(col("l_discount") - 0.05).cast(LongType).as("disc_sign"),
+            greatest(col("l_quantity"), lit(25.0)).as("q_hi"),
+            least(col("l_quantity"), lit(25.0)).as("q_lo"),
+            factorial(pmod(col("l_linenumber"), lit(10)).cast("int")).cast(LongType).as("fact"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          round(log2(l_quantity), 6) AS lg2,
+          round(log10(l_extendedprice), 6) AS lg10,
+          round(cbrt(l_quantity), 6) AS cbrt_q,
+          CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+          greatest(l_quantity, 25.0) AS q_hi,
+          least(l_quantity, 25.0) AS q_lo,
+          CAST(factorial(CAST(l_linenumber % 10 AS INTEGER)) AS BIGINT) AS fact
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —

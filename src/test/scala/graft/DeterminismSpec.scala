@@ -1,0 +1,35 @@
+package graft
+
+/** Partitioning-invariance: the float-bearing queries must return
+  * IDENTICAL rows whatever the shuffle partition count, or the driver's
+  * hash gate (and any 1000-executor deployment) would see different
+  * answers per topology. This is the property the exact-decimal-sums /
+  * sequential-fold / round(6) recipes exist to guarantee — pinned here
+  * by running the same query under very different partition counts.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val floatHeavy = Seq(
+    "q10_agg_basic", "q34_stats_agg", "q62_skew_kurt",
+    "ev_anomaly", "ev_ewma", "dedup_embedding_cosine", "sim_quantize")
+
+  private def rowsAt(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try SparkEntry.queries(name)(spark, sf()).collect().map(_.toString).toSeq
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      spark.catalog.clearCache()
+    }
+  }
+
+  floatHeavy.foreach { name =>
+    test(s"$name returns identical rows at 3 and 23 shuffle partitions") {
+      val a = rowsAt(name, 3)
+      val b = rowsAt(name, 23)
+      assert(a.length == b.length, s"row counts ${a.length} vs ${b.length}")
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"row $i differs:\n  p3:  $x\n  p23: $y")
+      }
+    }
+  }
+}
