@@ -566,6 +566,73 @@ object ExtendedQueries {
           CAST(factorial(CAST(l_linenumber % 10 AS INTEGER)) AS BIGINT) AS fact
         FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
+    // ── q84: IGNORE NULLS window navigation ──────────────────────────
+    // lag/last_value over a column with injected nulls — the gap-filling
+    // idiom (ev_resample_ffill uses the same primitive on a time grid).
+    QueryDef(
+      "q84_ignore_nulls_window",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_orderkey, l_linenumber,
+            lag(v) IGNORE NULLS OVER w AS prev_v,
+            last_value(v) IGNORE NULLS OVER
+              (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_v
+          FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE l_quantity END AS v
+                FROM lineitem)
+          WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice)
+          ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          lag(v IGNORE NULLS) OVER w AS prev_v,
+          last_value(v IGNORE NULLS) OVER
+            (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_v
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE l_quantity END AS v
+              FROM lineitem)
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice)
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""),
+      doc = "Same semantics, different IGNORE NULLS placement: Spark takes it " +
+        "after the call, DuckDB inside the argument list. The fixture has " +
+        "duplicate (orderkey, linenumber) rows, so the window order " +
+        "tie-breaks on quantity and price for a total order."),
+
+    // ── q85: percentile_cont / percentile_disc (SQL standard forms) ──
+    QueryDef(
+      "q85_percentile_cont_disc",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+            percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_cont,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+            percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_cont
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS p50_cont,
+          quantile_disc(l_quantity, 0.5) AS p50_disc,
+          quantile_cont(l_quantity, 0.9) AS p90_cont
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Integral quantities keep the interpolation exact in binary."),
+
+    // ── q86: bitwise aggregates ──────────────────────────────────────
+    QueryDef(
+      "q86_bit_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("bit_and(l_orderkey % 256)").as("band"),
+            expr("bit_or(l_orderkey % 256)").as("bor"),
+            expr("bit_xor(l_orderkey % 256)").as("bxor"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          bit_and(o) AS band, bit_or(o) AS bor, bit_xor(o) AS bxor
+        FROM (SELECT l_returnflag, l_orderkey % 256 AS o FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
