@@ -68,6 +68,15 @@ object ExtendedQueries {
     SELECT k, count(*) AS n, min(step) AS first_step
     FROM walk GROUP BY k ORDER BY k"""
 
+  /** Shared Spark/DuckDB SQL for q88 — customers with no order above a
+    * threshold; the correlated NOT EXISTS becomes a left-anti join.
+    */
+  val notExistsSql: String = """SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    ORDER BY c_custkey"""
+
   /** Shared Spark/DuckDB SQL for q63 — correlated LATERAL aggregate;
     * Catalyst decorrelates it into an aggregate + left outer join (one
     * shuffle on o_custkey), never a per-row re-scan.
@@ -632,6 +641,49 @@ object ExtendedQueries {
           bit_and(o) AS band, bit_or(o) AS bor, bit_xor(o) AS bxor
         FROM (SELECT l_returnflag, l_orderkey % 256 AS o FROM lineitem)
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── q87: explicit cross join (bounded dims only) ─────────────────
+    // The one legitimate cartesian: tiny dimension × tiny dimension
+    // (25 × 5 here). Spark requires the explicit crossJoin call — an
+    // accidental cartesian over fact tables fails planning instead.
+    QueryDef(
+      "q87_cross_join",
+      (s, dir) =>
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+          .crossJoin(t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
+          .orderBy(col("n_nationkey"), col("r_regionkey")),
+      Some("""SELECT n_nationkey, n_name, r_regionkey, r_name
+        FROM nation CROSS JOIN region
+        ORDER BY n_nationkey, r_regionkey""")),
+
+    // ── q88: NOT EXISTS (anti-join decorrelation) ────────────────────
+    QueryDef(
+      "q88_not_exists",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(notExistsSql)
+      },
+      Some(notExistsSql),
+      doc = "Catalyst rewrites the correlated NOT EXISTS into a left-anti join."),
+
+    // ── q89: conditional distinct counts ─────────────────────────────
+    // count(DISTINCT CASE WHEN ...) — the segment-cardinality idiom;
+    // multiple distincts over one scan compile to a single Expand.
+    QueryDef(
+      "q89_conditional_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(when(col("l_quantity") > 25, col("l_partkey"))).as("nd_big"),
+            countDistinct(when(col("l_discount") > 0.05, col("l_suppkey"))).as("nd_disc"),
+            countDistinct(col("l_orderkey")).as("nd_orders"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END) AS nd_big,
+          count(DISTINCT CASE WHEN l_discount > 0.05 THEN l_suppkey END) AS nd_disc,
+          count(DISTINCT l_orderkey) AS nd_orders
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled

@@ -92,6 +92,24 @@ object EventStreams {
     df.sparkSession.table(name)
   }
 
+  /** Like [[runToMemory]] but with `Trigger.AvailableNow`: process every
+    * file already present (respecting `maxFilesPerTrigger` rate limits
+    * per micro-batch) and then STOP — the batch-like run mode a
+    * scheduled backfill job uses, with the same checkpoint/state
+    * semantics as a continuous run.
+    */
+  def runToMemoryAvailableNow(df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow terminates on its own
+    df.sparkSession.table(name)
+  }
+
   /** ST6 with side effects: foreachBatch into a DocumentSink, the
     * streaming analogue of the reference's `as_completed` writer loop
     * (examples/ingest_parquet_to_mongo_stream.py:163-181). Checkpointing

@@ -176,6 +176,12 @@ class StreamingConvergenceSpec extends SparkSpec {
       s"withheld rows below the frontier: ${mustEmit.diff(streamedNull).take(5)}")
   }
 
+  test("Trigger.AvailableNow processes the backlog, terminates, and matches batch") {
+    val got = EventStreams.runToMemoryAvailableNow(
+      EventStreams.tumbling(streamEvents()), "conv_availnow", "complete")
+    assertSameRows(got, batchQuery("st_tumbling_window"))
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
