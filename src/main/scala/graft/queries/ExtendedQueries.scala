@@ -685,6 +685,51 @@ object ExtendedQueries {
           count(DISTINCT l_orderkey) AS nd_orders
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ── q90: GROUP BY ALL / ORDER BY ALL ─────────────────────────────
+    QueryDef(
+      "q90_group_by_all",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY ALL ORDER BY ALL""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY ALL ORDER BY ALL"""),
+      doc = "Identical text both engines (DuckDB originated the syntax; Spark 3.4+ adopted it)."),
+
+    // ── q91: range() table-valued function ───────────────────────────
+    QueryDef(
+      "q91_range_tvf",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT r.id AS bucket, count(n_nationkey) AS n
+          FROM range(0, 5) r LEFT JOIN nation ON n_nationkey % 5 = r.id
+          GROUP BY r.id ORDER BY bucket""")
+      },
+      Some("""SELECT r.range AS bucket, count(n_nationkey) AS n
+        FROM range(0, 5) r LEFT JOIN nation ON n_nationkey % 5 = r.range
+        GROUP BY r.range ORDER BY bucket"""),
+      doc = "Spark's range() emits `id`; DuckDB's emits `range` — aliased to parity."),
+
+    // ── q92: date scaffold via sequence/generate_series ──────────────
+    // The dense-grid generator behind gap-filling (ev_resample_ffill
+    // uses it inline); standalone parity coverage.
+    QueryDef(
+      "q92_date_scaffold",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .agg(min(to_date(col("o_orderdate"))).as("d0"),
+            max(to_date(col("o_orderdate"))).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 7 days)")).as("week_start"))
+          .orderBy(col("week_start")),
+      Some("""WITH b AS (
+          SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+            max(CAST(o_orderdate AS DATE)) AS d1 FROM orders)
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 7 DAY)) AS DATE) AS week_start
+        FROM b ORDER BY week_start""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
