@@ -88,7 +88,50 @@ object ExtendedQueries {
       FROM orders WHERE o_custkey = c.c_custkey) o
     ORDER BY c_custkey"""
 
+  /** Typed row for q93 (Dataset[T] API coverage). */
+  final case class LineQty(l_returnflag: String, l_quantity: Double)
+
+  /** Exact mean via integer accumulation (quantities are integral) — a
+    * typed `Aggregator` with a mergeable (sum, count) buffer, the
+    * type-safe analogue of a Catalyst DeclarativeAggregate. Partial
+    * buffers merge associatively, so it map-side combines like any
+    * built-in aggregate.
+    */
+  object ExactAvgQty extends org.apache.spark.sql.expressions.Aggregator[LineQty, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: LineQty): (Long, Long) =
+      (b._1 + a.l_quantity.toLong, b._2 + 1L)
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(b: (Long, Long)): Double = b._1.toDouble / b._2
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ── q93: typed Dataset[T] aggregation (case-class Encoders) ──────
+    QueryDef(
+      "q93_typed_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"))
+          .as[LineQty]
+          .groupByKey(_.l_returnflag)
+          .agg(ExactAvgQty.toColumn.name("avg_qty"))
+          .toDF("l_returnflag", "avg_qty")
+          .select(col("l_returnflag"), round(col("avg_qty"), 6).as("avg_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "Dataset[T] + typed Aggregator surface; exact integer buffer " +
+        "makes the mean bit-reproducible under any merge order."),
 
     // ── q61: mode (deterministic tie-break: count desc, value asc) ───
     // Spark's built-in `mode()` is tie-nondeterministic; the engine's
