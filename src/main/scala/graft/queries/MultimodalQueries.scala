@@ -92,6 +92,35 @@ object MultimodalQueries {
         "partition-parallel mapPartitions decode stage — proves the " +
         "binary-column plumbing a real codec would drop into."),
 
+    // ── content-addressable chunking of binary payloads ──────────────
+    // How large media lands in a blob store at 100 TB: fixed-size byte
+    // chunks, each addressed by its content hash (dedup + resumable
+    // upload fall out of the addressing). Narrow generator pass, no
+    // shuffle; chunk boundaries and hashes are byte-deterministic.
+    QueryDef(
+      "mm_chunk_binary",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("payload", col("text").cast(BinaryType))
+          .withColumn("blen", length(col("payload")))
+          .filter(col("blen") > 0)
+          .select(col("doc_id"), col("blen"),
+            posexplode(expr(
+              "transform(sequence(0, cast(ceil(blen / 64.0) as int) - 1), i -> md5(substring(payload, i * 64 + 1, 64)))"))
+              .as(Seq("chunk_idx", "chunk_md5")))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH d AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS blen
+          FROM documents WHERE octet_length(encode(text)) > 0)
+        SELECT doc_id, blen, u.i AS chunk_idx,
+          md5(substring(text, CAST(u.i * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+        FROM d, unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) u(i)
+        ORDER BY doc_id, chunk_idx"""),
+      doc = "64-byte chunks, md5-addressed. DuckDB has no BLOB substring, so " +
+        "the oracle chunks the VARCHAR — equivalent because the fixture text " +
+        "is pure ASCII (byte positions == char positions; verified: 0 " +
+        "multi-byte docs at sf0.01)."),
+
     // ── frame-sampling shape: explode per-asset frame indexes ────────
     QueryDef(
       "mm_frame_sample",
