@@ -36,6 +36,21 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton code: bit k of column j lands at output position
+    * k * n + j (round-robin interleave). `zvalue2(a, b)` ==
+    * `zvalueN(Seq(a, b))` by construction. Total bits must fit a Long.
+    */
+  def zvalueN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "need at least one column")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols × $bits bits exceeds a Long")
+    val n = cols.size
+    val ints = cols.map(_.cast("int"))
+    (for { k <- 0 until bits; (c, j) <- ints.zipWithIndex } yield
+      shiftleft(shiftright(c, k).bitwiseAND(lit(1)).cast("bigint"), k * n + j)
+    ).reduce(_ + _)
+  }
+
   /** Cluster `df` by the Morton order of two int columns and write
     * `numFiles` parquet files: range-partition on the z-value (balanced
     * files whatever the key skew) and sort inside each partition so

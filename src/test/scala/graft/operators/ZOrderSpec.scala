@@ -73,4 +73,24 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < side * 0.5, s"z-order y-range $zy")
     df.unpersist()
   }
+
+  test("zvalueN generalizes zvalue2 and interleaves three columns round-robin") {
+    import spark.implicits._
+    def mortonN(vals: Seq[Int], bits: Int): Long =
+      (for { k <- 0 until bits; (v, j) <- vals.zipWithIndex } yield
+        (((v >> k) & 1).toLong) << (k * vals.size + j)).sum
+    val rows = Seq((3, 5, 9), (0, 0, 0), (255, 1, 127), (1023, 511, 2047))
+    // 3 cols x 16 bits = 48 output bits
+    val got = rows.toDF("a", "b", "c")
+      .select(ZOrder.zvalueN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == rows.map { case (a, b, c) => mortonN(Seq(a, b, c), 16) })
+    // 2-col equivalence with zvalue2: zvalue2 puts a at even bits (j=0), b odd
+    val two = rows.map { case (a, b, _) => (a, b) }
+    val g2 = two.toDF("a", "b")
+      .select(ZOrder.zvalue2(col("a"), col("b")).as("z"),
+        ZOrder.zvalueN(Seq(col("a"), col("b"))).as("zn"))
+      .collect()
+    g2.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
