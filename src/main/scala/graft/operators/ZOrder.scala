@@ -58,7 +58,12 @@ object ZOrder {
     */
   def clusterWrite(df: DataFrame, colA: String, colB: String,
       path: String, numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("_zvalue", zvalue2(col(colA), col(colB), bits))
+    clusterWriteN(df, Seq(colA, colB), path, numFiles, bits)
+
+  /** N-column variant of [[clusterWrite]]. */
+  def clusterWriteN(df: DataFrame, cols: Seq[String],
+      path: String, numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("_zvalue", zvalueN(cols.map(col), bits))
       .repartitionByRange(numFiles, col("_zvalue"))
       .sortWithinPartitions(col("_zvalue"))
       .drop("_zvalue")

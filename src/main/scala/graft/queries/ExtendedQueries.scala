@@ -773,6 +773,51 @@ object ExtendedQueries {
         SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 7 DAY)) AS DATE) AS week_start
         FROM b ORDER BY week_start""")),
 
+    // ── q94: map introspection (keys / values / entries round-trip) ──
+    QueryDef(
+      "q94_map_entries",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("n"))))).as("m"))
+          .select(
+            col("user_id"),
+            array_join(map_keys(col("m")), ",").as("keys_s"),
+            array_join(expr("transform(map_values(m), v -> cast(v as string))"), ",").as("vals_s"),
+            array_join(expr("transform(map_entries(m), e -> concat(e.key, ':', cast(e.value as string)))"), ",").as("entries_s"))
+          .orderBy(col("user_id")),
+      Some("""WITH g AS (
+          SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        SELECT user_id,
+          array_to_string(list(event_type ORDER BY event_type), ',') AS keys_s,
+          array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type), ',') AS vals_s,
+          array_to_string(list(event_type || ':' || CAST(n AS VARCHAR) ORDER BY event_type), ',') AS entries_s
+        FROM g GROUP BY user_id ORDER BY user_id"""),
+      doc = "map_keys/map_values/map_entries preserve the map's insertion " +
+        "order (sorted at build time), so the oracle is an ordered list agg."),
+
+    // ── q95: trim family with explicit trim characters ───────────────
+    QueryDef(
+      "q95_trim_funcs",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            ltrim(concat(lit("xx"), col("lang")), "x").as("lt"),
+            rtrim(concat(col("lang"), lit("zz")), "z").as("rt"),
+            expr("trim(BOTH 'ab' FROM concat('ab', lang, 'ba'))").as("bt"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          ltrim('xx' || lang, 'x') AS lt,
+          rtrim(lang || 'zz', 'z') AS rt,
+          trim('ab' || lang || 'ba', 'ab') AS bt
+        FROM documents ORDER BY doc_id"""),
+      doc = "Char-set trims (not whitespace): Spark's BOTH-FROM SQL form ≙ " +
+        "DuckDB's two-arg trim."),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
