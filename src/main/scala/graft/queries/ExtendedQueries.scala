@@ -818,6 +818,32 @@ object ExtendedQueries {
       doc = "Char-set trims (not whitespace): Spark's BOTH-FROM SQL form ≙ " +
         "DuckDB's two-arg trim."),
 
+    // ── q96: array_sort with a custom comparator lambda ──────────────
+    // Length-then-lexicographic token ordering: Spark takes a real
+    // comparator HOF; DuckDB has no comparator, so the oracle sorts by a
+    // derived struct key — the decorate-sort-undecorate equivalent.
+    QueryDef(
+      "q96_array_sort_lambda",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""array_join(
+                array_sort(slice(split(text, ' '), 1, 8),
+                  (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+                                 WHEN length(l) > length(r) THEN 1
+                                 WHEN l < r THEN -1 WHEN l > r THEN 1
+                                 ELSE 0 END),
+                ',')""").as("sorted_s"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          array_to_string(
+            list_transform(
+              list_sort(list_transform(string_split(text, ' ')[1:8],
+                x -> struct_pack(k1 := len(x), k2 := x))),
+              s -> s.k2),
+            ',') AS sorted_s
+        FROM documents ORDER BY doc_id""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
