@@ -68,6 +68,13 @@ object ExtendedQueries {
     SELECT k, count(*) AS n, min(step) AS first_step
     FROM walk GROUP BY k ORDER BY k"""
 
+  /** Shared Spark/DuckDB SQL for q98 — the SQL:2003 FILTER clause. */
+  val filterClauseSql: String = """SELECT l_returnflag,
+      count(*) AS n_all,
+      count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Shared Spark/DuckDB SQL for q88 — customers with no order above a
     * threshold; the correlated NOT EXISTS becomes a left-anti join.
     */
@@ -843,6 +850,42 @@ object ExtendedQueries {
               s -> s.k2),
             ',') AS sorted_s
         FROM documents ORDER BY doc_id""")),
+
+    // ── q97: bounded sliding-frame moving average ────────────────────
+    // 3-row centered moving average per customer over order history —
+    // ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING with a total tie-broken
+    // order; sums stay in exact decimals until the final division.
+    QueryDef(
+      "q97_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-1, 1)
+        t(s, dir, "orders")
+          .withColumn("p", col("o_totalprice").cast(DecimalType(18, 2)))
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("p")).over(w).cast(DoubleType) /
+              count(lit(1)).over(w), 6).as("mavg3"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / count(*) OVER w, 6) AS mavg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ── q98: SQL-standard aggregate FILTER clause ────────────────────
+    QueryDef(
+      "q98_filter_clause",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(filterClauseSql)
+      },
+      Some(filterClauseSql),
+      doc = "agg(...) FILTER (WHERE ...) — identical text both engines; " +
+        "compiles to conditional aggregation, one pass."),
 
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
