@@ -149,4 +149,38 @@ class RoundTripSpec extends SparkSpec {
     val b = spark.read.parquet(outDir).agg(count(lit(1)), sum(col("v"))).collect().head
     assert(a == b)
   }
+
+  // Note: CSV "malformed" = structural failure with MORE tokens than the
+  // schema; under-count rows are null-padded and uncastable values are
+  // nulled — both kept in every mode.
+  test("malformed CSV rows: PERMISSIVE nulls them with corrupt-record capture, DROPMALFORMED drops them") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("csv-malformed")
+    val f = new java.io.File(dir, "rows.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id,score")
+    w.println("1,1.5")
+    w.println("oops,1.5,extra,extra2") // too many fields = structurally malformed
+    w.println("3,2.5")
+    w.close()
+    val base = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    // PERMISSIVE (default): bad row survives with nulls + raw text captured
+    val withCorrupt = StructType(base.fields :+ StructField("_corrupt_record", StringType))
+    val permissive = spark.read.schema(withCorrupt)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").startsWith("oops"))
+    permissive.unpersist()
+    // DROPMALFORMED: bad row silently removed
+    val dropped = spark.read.schema(base)
+      .option("header", "true").option("mode", "DROPMALFORMED").csv(dir)
+    // collect(), not count(): count() prunes every column, so the parser
+    // never reads the surplus tokens and nothing registers as malformed —
+    // the classic csv columnPruning gotcha.
+    assert(dropped.collect().length == 2)
+  }
 }
