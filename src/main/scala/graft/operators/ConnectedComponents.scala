@@ -48,6 +48,12 @@ object ConnectedComponents {
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize adj NOW: the first loop iteration references it through
+    // two branches (the join and the labels seed); if it isn't cached yet
+    // both branches race to evaluate the upstream edge pipeline — for
+    // LSH-derived edges that pipeline is the expensive part (measured up
+    // to 2× loop cost at a ×26 corpus).
+    adj.count()
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -11,7 +11,8 @@ class DeterminismSpec extends SparkSpec {
 
   private val floatHeavy = Seq(
     "q10_agg_basic", "q34_stats_agg", "q62_skew_kurt",
-    "ev_anomaly", "ev_ewma", "dedup_embedding_cosine", "sim_quantize")
+    "ev_anomaly", "ev_ewma", "dedup_embedding_cosine", "sim_quantize",
+    "q93_typed_agg", "q97_moving_avg")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
