@@ -887,6 +887,20 @@ object ExtendedQueries {
       doc = "agg(...) FILTER (WHERE ...) — identical text both engines; " +
         "compiles to conditional aggregation, one pass."),
 
+    // ── q99: LIMIT/OFFSET pagination over a total order ──────────────
+    // Only deterministic over a TOTAL order; at scale OFFSET n is a
+    // full-prefix scan — keyset pagination (WHERE k > last_seen) is the
+    // 100 TB shape, which q02-style pushed predicates already cover.
+    QueryDef(
+      "q99_offset_fetch",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_orderkey LIMIT 50 OFFSET 100""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50 OFFSET 100""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
