@@ -7,10 +7,16 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** Round-3 surface widening: deterministic mode, higher-moment stats,
-  * LATERAL subqueries, map higher-order functions, regexp round 3, URL
-  * parsing, sketch invariants (Bloom / Count-Min), and a single-pass
-  * column profiler.
+/** Round-3 surface widening (Q59–Q99 in SURVEY §2.3): deterministic
+  * mode, moment-exact higher-order stats, LATERAL subqueries, map HOFs
+  * and introspection, regexp/string/math round 3, URL parsing, sketch
+  * invariants (Bloom / Count-Min), MERGE-style upsert, array set-ops and
+  * comparator sort, grouping_id, Spark-4 SQL (recursive CTE, LISTAGG,
+  * VARIANT, approx_top_k, GROUP BY ALL), IGNORE NULLS windows,
+  * percentile_cont/disc, bit/filtered/conditional-distinct aggregates,
+  * typed Dataset aggregation, histogram+ratio, intervals, null
+  * semantics, JSON aggregation, pagination, and a single-pass column
+  * profiler.
   *
   * Reference scope note: alxmancilla/parquet-demo computes none of these
   * (its only row transforms are the per-value type conversions in
