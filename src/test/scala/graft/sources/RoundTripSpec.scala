@@ -183,4 +183,23 @@ class RoundTripSpec extends SparkSpec {
     // the classic csv columnPruning gotcha.
     assert(dropped.collect().length == 2)
   }
+
+  test("schema evolution: mergeSchema unifies files written with added columns") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("evolve")
+    spark.range(3).select(col("id"), lit("v1").as("tag"))
+      .write.parquet(dir + "/p=1")
+    spark.range(3, 6).select(col("id"), lit("v2").as("tag"),
+        (col("id") * 2).as("added"))
+      .write.parquet(dir + "/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("added", "id", "p", "tag"))
+    assert(merged.count() == 6)
+    // old files surface the new column as null
+    assert(merged.filter(col("p") === 1 && col("added").isNull).count() == 3)
+    assert(merged.filter(col("p") === 2 && col("added").isNotNull).count() == 3)
+    // without mergeSchema the footer of one file wins — column may be absent
+    val unmerged = spark.read.parquet(dir)
+    assert(unmerged.count() == 6)
+  }
 }
