@@ -179,6 +179,17 @@ object EventStreams {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static join: enrich the event stream with a STATIC per-user
+    * dimension (computed once, broadcast into every micro-batch). No
+    * watermark or state needed — the static side is immutable for the
+    * query's lifetime, which is exactly the contract of a dimension
+    * snapshot at 100 TB (rebuild the snapshot → restart the query).
+    */
+  def streamStaticJoin(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("user_tier"))
+
   /** Batch replay of the same event data, for convergence checks. */
   def batchEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -182,6 +182,21 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(got, batchQuery("st_tumbling_window"))
   }
 
+  test("stream-static join enriches every event with the broadcast dimension") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf(), "events")
+    // static per-user dimension derived from the same fixture
+    val dim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        when(col("n") >= 10, "heavy").otherwise("light").as("user_tier"))
+    val got = EventStreams.runToMemory(
+      EventStreams.streamStaticJoin(streamEvents(), dim), "conv_ssjoin", "append")
+    val batch = ev.join(dim, Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("user_tier"))
+    assertSameRows(got, batch)
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
