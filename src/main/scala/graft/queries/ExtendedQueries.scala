@@ -907,6 +907,22 @@ object ExtendedQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_orderkey LIMIT 50 OFFSET 100""")),
 
+    // ── q100: str_to_map (delimited key-value parsing) ───────────────
+    // The config-string / tag-list parser; exploded back to rows for the
+    // oracle (DuckDB has no map type parity — the row form is the
+    // portable statement of the semantics).
+    QueryDef(
+      "q100_str_to_map",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("str_to_map(concat('lang=', lang, ';src=', source), ';', '=')").as("m"))
+          .select(col("doc_id"), explode(col("m")).as(Seq("mk", "mv")))
+          .orderBy(col("doc_id"), col("mk")),
+      Some("""SELECT doc_id, 'lang' AS mk, lang AS mv FROM documents
+        UNION ALL SELECT doc_id, 'src', source FROM documents
+        ORDER BY doc_id, mk""")),
+
     // ── pipe: single-pass column profiler ────────────────────────────
     // One aggregate computes rows/nulls/NDV/min/max for every profiled
     // column (the multi-countDistinct becomes one Expand + one shuffle —
