@@ -273,6 +273,49 @@ object EventStreams {
       .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState variant of the Spark-4 arbitrary-state API: per-user map
+    * event_type → count, updated incrementally per micro-batch. The map
+    * lives in the state store (RocksDB in tests), entries are updated
+    * point-wise — the shape for high-cardinality per-key sub-state where
+    * a whole-value rewrite (ValueState) would churn the store.
+    */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.Set[String]()
+      rows.foreach { case (_, tpe) =>
+        val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+        counts.updateValue(tpe, cur + 1L)
+        touched += tpe
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t))).toSeq.iterator
+    }
+  }
+
+  def statefulTypeCountsTws(events: DataFrame): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Epoch micros → Timestamp preserving microsecond precision. */
   private def microsToTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000L)

@@ -182,6 +182,37 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(got, batchQuery("st_tumbling_window"))
   }
 
+  test("transformWithState MapState: per-user per-type counts converge to batch") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val d = tmpDir("events-tws-map")
+      graft.Tables.load(spark, sf(), "events")
+        .repartition(4).write.mode("overwrite").parquet(d)
+      val streamed = spark.readStream
+        .schema(graft.Tables.load(spark, sf(), "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+      val updates = EventStreams.statefulTypeCountsTws(streamed).toDF()
+      val got = EventStreams.runToMemory(updates, "conv_tws_map", "update")
+      // update mode emits per-trigger snapshots; the final count per
+      // (user, type) is the max across emissions
+      val finalCounts = got.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+      val batch = graft.Tables.load(spark, sf(), "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      assertSameRows(finalCounts, batch)
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("stream-static join enriches every event with the broadcast dimension") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sf(), "events")
