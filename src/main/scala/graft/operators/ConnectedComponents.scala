@@ -82,7 +82,8 @@ object ConnectedComponents {
         .localCheckpoint(true)
       val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect().head.getDecimal(0)
-      changed = prevSum == null || s.compareTo(prevSum) != 0
+      // s is null iff the graph is empty — nothing to propagate, stop.
+      changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
       prevSum = s
       labels.unpersist()
       labels = next

@@ -67,4 +67,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L))
     assert(got.size == 21)
   }
+
+  test("empty edge set yields an empty labelling (no NPE in the convergence check)") {
+    import spark.implicits._
+    val out = ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("u", "v"))
+    assert(out.collect().isEmpty)
+  }
+
+  test("self-loops alone still label each node with itself") {
+    import spark.implicits._
+    val out = ccOf(Seq((5L, 5L), (9L, 9L)))
+    assert(out == Map(5L -> 5L, 9L -> 9L))
+  }
 }
