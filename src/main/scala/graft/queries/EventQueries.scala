@@ -273,9 +273,12 @@ object EventQueries {
         val byUser = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
         Tables.load(s, dir, "events")
+          // µs-exact gap test (cast-to-long is SECONDS and truncates —
+          // a sub-second straddle of the 4 h boundary would disagree
+          // with the µs-precise oracle)
           .withColumn("new_session",
-            when(col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
-              > 4 * 3600 || lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+              > 14400000000L || lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
           .withColumn("session_no",
             sum(col("new_session")).over(
               byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -292,8 +295,8 @@ object EventQueries {
                  THEN 1 ELSE 0 END AS new_session
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         ORDER BY event_id"""),
-      doc = "4h-gap sessionization emitting per-row session numbers; " +
-        "Spark's long cast is seconds, the oracle compares at µs."),
+      doc = "4h-gap sessionization emitting per-row session numbers, " +
+        "µs-exact on both engines."),
 
     // ── per-user z-score anomaly flags ───────────────────────────────
     // Outlier detection over each user's value distribution. Mean and
