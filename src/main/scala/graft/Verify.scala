@@ -24,6 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries persist() narrow intermediates internally (minhash stages,
+      // shingle tables, CC adjacency); drop them after each query
+      // materializes so the full sweep doesn't accumulate cached blocks
+      // across 140+ queries in one JVM (same discipline as Bench).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -89,6 +89,15 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // A silent non-converged return would let a curation pipeline keep
+    // multiple "canonical" docs per cluster with no signal anything is
+    // wrong — surface it. (Near-dup graphs converge in ≤ diameter rounds,
+    // so hitting maxIter means an adversarial long-chain graph: raise
+    // maxIter or switch to large-star/small-star rounds.)
+    if (changed && iter >= maxIter)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ConnectedComponents did not converge in $maxIter iterations; " +
+          "returned labels may split clusters. Raise maxIter.")
     adj.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }

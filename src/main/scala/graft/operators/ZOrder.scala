@@ -25,6 +25,14 @@ object ZOrder {
 
   /** Morton code of two non-negative int columns, `bits` low bits each,
     * interleaved (a in even positions, b in odd).
+    *
+    * ONLY the low `bits` bits participate: values ≥ 2^bits alias onto
+    * distant z-cells (data stays correct — the z-value is just a sort
+    * key — but min/max file-skipping quality quietly degrades). For
+    * columns with domains wider than 2^bits, pass `rescale = true` to
+    * [[clusterWrite]]/[[clusterWriteN]] (maps each column's observed
+    * [min,max] linearly onto [0, 2^bits)), or pre-bucket the column
+    * yourself (e.g. `shiftright` to its top `bits` bits).
     */
   def zvalue2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
@@ -55,17 +63,43 @@ object ZOrder {
     * `numFiles` parquet files: range-partition on the z-value (balanced
     * files whatever the key skew) and sort inside each partition so
     * row-group min/max stay tight too.
+    *
+    * `rescale = true` handles wide-domain columns (see [[zvalue2]]'s
+    * truncation note): one extra min/max aggregate over `df`, then each
+    * column is mapped linearly onto [0, 2^bits) before interleaving, so
+    * locality is preserved instead of aliasing through the low bits.
     */
   def clusterWrite(df: DataFrame, colA: String, colB: String,
-      path: String, numFiles: Int, bits: Int = 16): Unit =
-    clusterWriteN(df, Seq(colA, colB), path, numFiles, bits)
+      path: String, numFiles: Int, bits: Int = 16,
+      rescale: Boolean = false): Unit =
+    clusterWriteN(df, Seq(colA, colB), path, numFiles, bits, rescale)
 
   /** N-column variant of [[clusterWrite]]. */
   def clusterWriteN(df: DataFrame, cols: Seq[String],
-      path: String, numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("_zvalue", zvalueN(cols.map(col), bits))
+      path: String, numFiles: Int, bits: Int = 16,
+      rescale: Boolean = false): Unit = {
+    val zcols: Seq[Column] =
+      if (!rescale) cols.map(col)
+      else {
+        // One tiny agg pass (min+max per clustering column); the linear
+        // map below is exact integer arithmetic on BIGINT — no doubles,
+        // so the layout is deterministic across runs/partitionings.
+        val row = df.agg(
+          lit(0).as("_z"),
+          cols.flatMap(c => Seq(min(col(c)).cast("bigint").as(s"_min_$c"),
+            max(col(c)).cast("bigint").as(s"_max_$c"))): _*).collect().head
+        val top = (1L << bits) - 1
+        cols.map { c =>
+          val lo = row.getAs[Long](s"_min_$c")
+          val hi = row.getAs[Long](s"_max_$c")
+          val span = math.max(1L, hi - lo)
+          ((col(c).cast("bigint") - lit(lo)) * lit(top) / lit(span)).cast("int")
+        }
+      }
+    df.withColumn("_zvalue", zvalueN(zcols, bits))
       .repartitionByRange(numFiles, col("_zvalue"))
       .sortWithinPartitions(col("_zvalue"))
       .drop("_zvalue")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 training-data curation operators over `documents` — the
+  * pipeline stages a 100 TB pretraining corpus build runs between raw
+  * crawl and tokenizer:
+  *
+  *  - benchmark DECONTAMINATION (drop training docs that leak eval data),
+  *  - repetition filtering (Gopher-style duplicate-n-gram fractions),
+  *  - composite quality rules (Gopher/C4-style keep flags),
+  *  - domain/language MIXTURE sampling to a target distribution,
+  *  - incremental dedup of an incoming batch against corpus history.
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no text analytics
+  * at all (its compute surface is type coercion + ETL batching,
+  * src/parquet_demo/io.py:21-66); this whole file is [EXT] surface
+  * (SURVEY §2.7), like the other dedup/text operators.
+  *
+  * Determinism: hashes are md5-derived 60-bit ints (identical in Spark
+  * and DuckDB); every ratio is a single division of exact integer sums
+  * rounded once — bit-identical cross-engine (the q62 recipe).
+  */
+object CurationQueries {
+
+  /** 60-bit integer from md5 — Spark SQL dialect (same recipe as
+    * DedupQueries.h60Spark).
+    */
+  private def h60Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** documents → (doc_id, toks) spread over every core (single-file
+    * fixture scans as one partition; a multi-file corpus would already
+    * arrive parallel).
+    */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+
+  private val tokenizedDuck =
+    "(SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"
+
+  // Eval-set membership for decontamination: every 17th doc plays the
+  // role of a benchmark/eval document.
+  private val EvalMod = 17
+  // Incoming-batch membership for incremental dedup.
+  private val IncMod = 5
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── benchmark decontamination (n-gram overlap vs an eval set) ────
+    // The scale shape: the eval set (benchmarks) is tiny and FIXED, so
+    // its distinct-shingle index is built once and BROADCAST; the 100 TB
+    // training side streams past it with zero shuffle of the corpus —
+    // only the per-doc hit aggregation shuffles (on doc_id), and that is
+    // map-side-combinable. This is exactly how GPT-3/PaLM-style 13-gram
+    // decontamination runs in practice.
+    QueryDef(
+      "pipe_decontaminate",
+      (s, dir) => {
+        val sh = tokenized(s, dir)
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))")))
+            .as("shingle"))
+        val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
+          .select(col("shingle")).distinct()
+        sh.filter(col("doc_id") % EvalMod =!= 0)
+          .join(broadcast(evalSet), "shingle")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("shingle")).as("n_eval_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(range(len(toks) - 4),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))) AS shingle
+          FROM $tokenizedDuck WHERE len(toks) >= 5),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0)
+        SELECT doc_id, count(DISTINCT sh.shingle) AS n_eval_hits
+        FROM sh JOIN ev USING (shingle)
+        WHERE doc_id % $EvalMod <> 0
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "5-gram eval-overlap decontamination; eval shingle index broadcast, " +
+        "corpus side never shuffles."),
+
+    // ── Gopher repetition filter: duplicate-2-gram character fraction ─
+    // frac of 2-gram characters belonging to grams that occur more than
+    // once in the doc, plus the most-frequent-gram share. One shuffle on
+    // (doc_id, gram) with map-side combine, then a map-side-combinable
+    // per-doc rollup — linear in corpus size.
+    QueryDef(
+      "text_repetition",
+      (s, dir) => {
+        val grams = tokenized(s, dir)
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+            .as("gram"))
+        grams.groupBy(col("doc_id"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("len", length(col("gram")).cast("bigint"))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(lit(0L)))
+              .cast("double") / sum(col("cnt") * col("len")), 6).as("dup_2gram_char_frac"),
+            round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top_2gram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH g AS (
+          SELECT doc_id,
+            unnest(list_transform(range(len(toks) - 1),
+              i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM $tokenizedDuck WHERE len(toks) >= 2),
+        c AS (
+          SELECT doc_id, gram, count(*) AS cnt,
+            CAST(length(gram) AS BIGINT) AS len
+          FROM g GROUP BY doc_id, gram)
+        SELECT doc_id,
+          round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
+            / sum(cnt * len), 6) AS dup_2gram_char_frac,
+          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_2gram_frac
+        FROM c GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Gopher-style duplicate-n-gram character fraction + top-gram share."),
+
+    // ── Gopher/C4 composite quality rules ────────────────────────────
+    // All flags from ONE narrow pass (codegen'd HOFs, no shuffle):
+    // word count bounds, mean word length bounds, alphabetic-word
+    // fraction, stopword floor, and the composite keep flag.
+    QueryDef(
+      "text_gopher_quality",
+      (s, dir) =>
+        tokenized(s, dir)
+          .withColumn("n_words", size(col("toks")).cast("bigint"))
+          .withColumn("sum_len", expr(
+            "aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t))"))
+          .withColumn("n_alpha", expr(
+            "cast(size(filter(toks, t -> t rlike '^[a-z]+$')) as bigint)"))
+          .withColumn("n_stop", expr(
+            s"cast(size(filter(toks, t -> t IN ${TextQueries.lex("en").map(w => s"'$w'").mkString("(", ", ", ")")})) as bigint)"))
+          .select(
+            col("doc_id"),
+            col("n_words"),
+            round(col("sum_len").cast("double") / col("n_words"), 6).as("mean_word_len"),
+            round(col("n_alpha").cast("double") / col("n_words"), 6).as("alpha_frac"),
+            col("n_stop"),
+            (col("n_words").between(20, 1000) &&
+              (col("sum_len") * 1 >= col("n_words") * 3) &&
+              (col("sum_len") <= col("n_words") * 10) &&
+              (col("n_alpha") * 5 >= col("n_words") * 4) &&
+              col("n_stop") >= 2).as("keep"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / len(toks), 6) AS mean_word_len,
+          round(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+            / len(toks), 6) AS alpha_frac,
+          CAST(len(list_filter(toks, t -> t IN ${TextQueries.lex("en").map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT) AS n_stop,
+          (len(toks) BETWEEN 20 AND 1000
+            AND list_sum(list_transform(toks, t -> length(t))) >= len(toks) * 3
+            AND list_sum(list_transform(toks, t -> length(t))) <= len(toks) * 10
+            AND len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$'))) * 5 >= len(toks) * 4
+            AND len(list_filter(toks, t -> t IN ${TextQueries.lex("en").map(w => s"'$w'").mkString("(", ", ", ")")})) >= 2) AS keep
+        FROM $tokenizedDuck ORDER BY doc_id"""),
+      doc = "Gopher-style rule gate; bounds compared in exact integer arithmetic " +
+        "(sum_len >= 3·n_words, not sum_len/n_words >= 3.0 — no float boundary)."),
+
+    // ── deterministic domain-mixture sampling ────────────────────────
+    // Plan a per-language sampling threshold that hits a target mixture
+    // (en 40% / de 20% / es 20% / fr 20% of a budget = half the corpus),
+    // then sample by CONTENT HASH threshold, not rand(): h60(doc_id) %
+    // 1e6 < thr. Deterministic (re-runs and backfills pick identical
+    // rows), cheap (no sort, no rand state), and exactly what mixture
+    // rebalancing does at 100 TB — the plan table is a few rows,
+    // broadcast into one narrow filter pass over the corpus. All the
+    // threshold math is integer division — bit-identical cross-engine.
+    QueryDef(
+      "pipe_domain_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val total = docs.count()
+        val budget = total / 2
+        // target share numerators out of 5: en 2, de/es/fr 1. All
+        // integer `div` — Column./ is DOUBLE division in Spark.
+        val plan = docs.groupBy(col("lang")).agg(count(lit(1)).as("avail"))
+          .withColumn("want", expr(
+            s"(CASE WHEN lang = 'en' THEN 2 ELSE 1 END * ${budget}L) div 5"))
+          .withColumn("thr", least(lit(1000000L), expr("(want * 1000000L) div avail")))
+        val kept = docs
+          .join(broadcast(plan), "lang")
+          .filter(expr(s"${h60Spark("cast(doc_id as string)")} % 1000000") < col("thr"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        plan.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("avail"), col("want"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tot AS (SELECT count(*) // 2 AS budget FROM documents),
+        plan AS (
+          SELECT lang, count(*) AS avail,
+            CASE WHEN lang = 'en' THEN 2 ELSE 1 END * (SELECT budget FROM tot) // 5 AS want
+          FROM documents GROUP BY lang),
+        thr AS (
+          SELECT lang, avail, want,
+            least(1000000, want * 1000000 // avail) AS thr FROM plan),
+        kept AS (
+          SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN thr ON d.lang = thr.lang
+          WHERE ${h60Duck("CAST(d.doc_id AS VARCHAR)")} % 1000000 < thr.thr
+          GROUP BY d.lang)
+        SELECT t.lang, t.avail, t.want, t.thr,
+          COALESCE(k.n_kept, 0) AS n_kept
+        FROM thr t LEFT JOIN kept k ON t.lang = k.lang
+        ORDER BY t.lang"""),
+      doc = "Hash-threshold mixture sampling: deterministic, stateless, " +
+        "broadcast plan + one narrow corpus pass."),
+
+    // ── incremental dedup: incoming batch vs corpus history ──────────
+    // The streaming-ingest companion to dedup_exact: classify each
+    // incoming doc as duplicate-of-history, duplicate-within-batch, or
+    // new. At scale the history side is a bucketed/bloom-indexed hash
+    // table keyed by content hash — the probe is one shuffle of the
+    // (small) incoming batch, never of the history.
+    QueryDef(
+      "pipe_incremental_dedup",
+      (s, dir) => {
+        val h = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val hist = h.filter(col("doc_id") % IncMod =!= IncMod - 1)
+          .select(col("h")).distinct().withColumn("in_hist", lit(1))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        h.filter(col("doc_id") % IncMod === IncMod - 1)
+          .withColumn("rn", row_number().over(w))
+          .join(hist, Seq("h"), "left")
+          .select(col("doc_id"),
+            when(col("in_hist") === 1, lit("dup_history"))
+              .when(col("rn") > 1, lit("dup_batch"))
+              .otherwise(lit("new")).as("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, md5(text) AS h FROM documents),
+        hist AS (SELECT DISTINCT h FROM h WHERE doc_id % $IncMod <> ${IncMod - 1}),
+        i AS (
+          SELECT doc_id, h,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM h WHERE doc_id % $IncMod = ${IncMod - 1})
+        SELECT doc_id,
+          CASE WHEN h IN (SELECT h FROM hist) THEN 'dup_history'
+               WHEN rn > 1 THEN 'dup_batch'
+               ELSE 'new' END AS status
+        FROM i ORDER BY doc_id"""),
+      doc = "Batch-vs-history exact dedup classification (the incremental " +
+        "ingest path of dedup_exact).")
+  )
+}

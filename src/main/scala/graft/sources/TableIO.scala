@@ -49,10 +49,12 @@ object TableIO {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    // Resolve the filesystem FROM the path (not the default FS): with an
+    // s3a:// input and an HDFS default filesystem, FileSystem.get(conf)
+    // would consult the wrong store.
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     spark.read.parquet(inPath)
       .repartition(nFiles.toInt)

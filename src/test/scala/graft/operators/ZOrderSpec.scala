@@ -74,6 +74,38 @@ class ZOrderSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rescale=true keeps both-dimension locality on wide-domain columns") {
+    import spark.implicits._
+    val n = 1 << 14
+    val side = 128
+    // same uniform grid, but each coordinate scaled by 2^20: without
+    // rescaling, only the low `bits` bits survive → z-cells alias and
+    // per-file ranges blow up; with rescale the layout matches the
+    // narrow-domain case.
+    val scale = 1L << 20
+    val df = spark.range(n.toLong).select(
+      ((col("id") % side) * scale).as("x"),
+      (((col("id") * 2654435761L % 1000003L) % side) * scale).as("y"))
+      .persist()
+    val plainDir = tmpDir("zwide_plain")
+    val rescDir = tmpDir("zwide_resc")
+    ZOrder.clusterWrite(df, "x", "y", plainDir, numFiles = 16, bits = 8)
+    ZOrder.clusterWrite(df, "x", "y", rescDir, numFiles = 16, bits = 8,
+      rescale = true)
+    def avg(s: Seq[Double]) = s.sum / s.size
+    val full = (side - 1) * scale.toDouble
+    val px = avg(perFileRanges(plainDir, "x")); val py = avg(perFileRanges(plainDir, "y"))
+    val rx = avg(perFileRanges(rescDir, "x"));  val ry = avg(perFileRanges(rescDir, "y"))
+    // low-bit aliasing: scaled values are ≡ 0 mod 2^8, every z-value is 0
+    // → files cover ~the whole domain in both dims
+    assert(px > full * 0.5, s"plain x-range $px should alias to ~full domain")
+    assert(py > full * 0.5, s"plain y-range $py should alias to ~full domain")
+    // rescaled: both dims bounded as in the narrow-domain test
+    assert(rx < full * 0.5, s"rescaled x-range $rx")
+    assert(ry < full * 0.5, s"rescaled y-range $ry")
+    df.unpersist()
+  }
+
   test("zvalueN generalizes zvalue2 and interleaves three columns round-robin") {
     import spark.implicits._
     def mortonN(vals: Seq[Int], bits: Int): Long =

@@ -18,7 +18,7 @@ import duckdb
 import pandas as pd
 
 
-def pandas_dtype_check(name, res_dir, con, sql):
+def pandas_dtype_check(name, res_dir, con, duck_df):
     """Mimic the driver's pandas-level compare: Spark parquet via
     pd.read_parquet, oracle via duckdb .df(). Flags only the mismatch
     CLASSES the round-2 driver hash actually rejected: int-vs-float kind
@@ -28,7 +28,6 @@ def pandas_dtype_check(name, res_dir, con, sql):
     passed the driver hash in round 2, so they are NOT flagged."""
     try:
         spark_df = pd.read_parquet(res_dir)
-        duck_df = con.execute(sql).df()
     except Exception as e:
         return f"pandas load failed: {type(e).__name__}: {e}"
     if set(spark_df.columns) != set(duck_df.columns):
@@ -106,7 +105,11 @@ def main():
             got = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
-            exp = con.execute(sql)
+            # Materialize the oracle ONCE (the all-pairs ngram oracle is
+            # ~1000 s at sf0.1): both the value fetch and the dtype-check
+            # .df() read the temp table, preserving DuckDB's result types.
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS {sql}")
+            exp = con.execute("SELECT * FROM __oracle")
             exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
@@ -135,7 +138,8 @@ def main():
                 print(f"    {c}: spark={x!r} oracle={y!r}{marker}")
             n_fail += 1
         else:
-            dtype_prob = pandas_dtype_check(name, res_dir, con, sql)
+            dtype_prob = pandas_dtype_check(
+                name, res_dir, con, con.execute("SELECT * FROM __oracle").df())
             if dtype_prob:
                 print(f"FAIL {name}: values match but pandas dtypes differ "
                       f"(driver hash would mismatch): {dtype_prob}")
