@@ -16,7 +16,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ AnalyticQueries.defs ++ ExtendedQueries.defs ++
       EventQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs ++ CurationQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ CurationQueries.defs ++
+      Round4Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → project → hash agg → sort.
