@@ -78,6 +78,25 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
 
+  /** ST14: CHAINED stateful operators in ONE streaming query (a Spark 4
+    * multi-stateful pipeline): idempotency-key dedup
+    * (`dropDuplicatesWithinWatermark` on event_id — the exactly-once
+    * guard every at-least-once source needs) feeding a watermarked
+    * tumbling aggregation. Dedup state and window state live in the same
+    * query; append mode is required, so windows emit only once the
+    * watermark passes their end — the convergence spec pushes a sentinel
+    * event to flush them.
+    */
+  def dedupThenTumbling(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
   /** ST6: run any of the above to a named in-memory sink and wait for all
     * available input — the synchronous smoke path for local validation.
     */

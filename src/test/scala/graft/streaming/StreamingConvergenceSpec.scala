@@ -228,6 +228,49 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(got, batch)
   }
 
+  test("ST14 chained stateful ops (dedup → windowed agg) converge to batch " +
+      "despite duplicate arrivals") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    // three arrivals, strictly ordered by mtime so maxFilesPerTrigger=1
+    // replays them as three micro-batches:
+    //   1. the full event stream;
+    //   2. an exact REPLAY of the last hour (at-least-once delivery —
+    //      the idempotency dedup must drop every row);
+    //   3. a far-future sentinel that advances the watermark past every
+    //      real window so append mode flushes them.
+    val d = tmpDir("events-chained")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tmpDir(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(d, s"$name.parquet")
+      Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    val dupWindow = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000L)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+    import spark.implicits._
+    val sentinel = Seq((-1L, sentinelTs, 0L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    stage(ev, "a_full", base - 20000)
+    stage(ev.filter(col("ts") >= lit(dupWindow)), "b_replay", base - 10000)
+    stage(sentinel, "c_sentinel", base)
+    val streamed = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d)
+    val got = EventStreams.runToMemory(
+      EventStreams.dedupThenTumbling(streamed), "conv_chained", "append")
+      .filter(col("event_type") =!= "flush")
+    assertSameRows(got, batchQuery("st_tumbling_window"))
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
