@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 
@@ -222,6 +223,49 @@ object CurationQueries {
         ORDER BY t.lang"""),
       doc = "Hash-threshold mixture sampling: deterministic, stateless, " +
         "broadcast plan + one narrow corpus pass."),
+
+    // ── unigram-LM surprisal scoring (CCNet-style quality signal) ────
+    // Train a unigram LM on the corpus itself (one token-frequency
+    // shuffle), then score every doc by mean surprisal -ln p(tok).
+    // The vocabulary is corpus-bounded (words, not docs) so the freq
+    // table broadcasts; the corpus side is one narrow pass + one
+    // map-side-combinable doc rollup. Cross-engine float determinism:
+    // each DISTINCT surprisal value is one ln() rounded to 9 digits
+    // (only ~|{cnt values}| distinct inputs ever hit libm), then the
+    // per-doc mean is an exact DECIMAL sum over those rounded terms —
+    // partition-order-free.
+    QueryDef(
+      "text_perplexity",
+      (s, dir) => {
+        val tk = tokenized(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = freq.agg(sum(col("cnt")).as("total"))
+        tk.join(broadcast(freq), "tok")
+          .crossJoin(broadcast(tot))
+          .withColumn("surp",
+            round(-log(col("cnt") / col("total")), 9).cast(DecimalType(28, 9)))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(sum(col("surp")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_surprisal"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, unnest(toks) AS tok FROM $tokenizedDuck),
+        f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS total FROM f),
+        sc AS (
+          SELECT doc_id,
+            CAST(round(-ln(cnt / (SELECT total FROM tot)), 9) AS DECIMAL(28,9)) AS surp
+          FROM tk JOIN f USING (tok))
+        SELECT doc_id,
+          round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS avg_surprisal,
+          count(*) AS n_tokens
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Mean unigram surprisal per doc (the CCNet LM-quality shape); " +
+        "freq table broadcast, corpus never shuffles twice."),
 
     // ── incremental dedup: incoming batch vs corpus history ──────────
     // The streaming-ingest companion to dedup_exact: classify each
