@@ -46,6 +46,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "minhash_sig(hs) takes one argument")
         MinHashSig(children.head, DedupQueries.A, DedupQueries.B, DedupQueries.P)
+      }),
+    // Catalyst registers bloom_filter_agg but not its probe partner, so
+    // the scalar-subquery Bloom shape (build distributed, probe codegen'd)
+    // is only reachable from SQL once might_contain is exposed too.
+    (new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "might_contain(bloom, value) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
 
   /** Imperative registration on an already-built session. */

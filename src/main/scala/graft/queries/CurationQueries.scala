@@ -241,7 +241,7 @@ object CurationQueries {
           .select(col("doc_id"), explode(col("toks")).as("tok"))
         val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         val tot = freq.agg(sum(col("cnt")).as("total"))
-        tk.join(broadcast(freq), "tok")
+        tk.join(freq, "tok")
           .crossJoin(broadcast(tot))
           .withColumn("surp",
             round(-log(col("cnt") / col("total")), 9).cast(DecimalType(28, 9)))

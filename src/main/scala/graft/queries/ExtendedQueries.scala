@@ -29,6 +29,27 @@ object ExtendedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q67's Bloom build+probe, in the exact shape Catalyst's
+    * InjectRuntimeFilter plants for runtime semi-join filters (PlanSpec):
+    * `bloom_filter_agg` runs as partial aggregation on the executors with
+    * its sketch size capped by
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (8 MiB default),
+    * the merged sketch reaches the probe through a scalar subquery, and
+    * `might_contain` probes inside codegen. At 100 TB nothing driver-side
+    * scales with the key count — unlike `DataFrame.stat.bloomFilter`, which
+    * materializes a sketch sized to the full key cardinality on the driver
+    * and probes through a per-row ScalaUDF.
+    */
+  def bloomProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // exposes might_contain to SQL
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT count(*) AS bloom_probes,
+        sum(CASE WHEN NOT might_contain(
+              (SELECT bloom_filter_agg(xxhash64(o_orderkey)) FROM orders),
+              xxhash64(l_orderkey)) THEN 1 ELSE 0 END) AS bloom_missed
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem)""")
+  }
+
   /** Shared Spark/DuckDB SQL for q62 — identical text on both engines so
     * the double arithmetic is evaluated in the same IEEE op order
     * (+,-,*,/ and sqrt only — no pow, whose libm results differ).
@@ -280,17 +301,10 @@ object ExtendedQueries {
     QueryDef(
       "q67_sketch_invariants",
       (s, dir) => {
-        val orders = t(s, dir, "orders")
         val li = t(s, dir, "lineitem")
-        val nOrders = orders.count()
-        val bf = orders.stat.bloomFilter("o_orderkey", nOrders, 0.01)
-        val bfB = s.sparkContext.broadcast(bf)
-        val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-        // probe count + miss count in ONE pass over the distinct keys
-        val probeRow = li.select(col("l_orderkey")).distinct()
-          .agg(count(lit(1)).as("n"),
-            sum(when(!mightContain(col("l_orderkey")), 1L).otherwise(0L)).as("missed"))
-          .collect().head
+        // distributed build + codegen'd probe (see bloomProbe); one bounded
+        // row comes back to the driver, never a key-sized sketch
+        val probeRow = bloomProbe(s, dir).collect().head
         val nProbes = probeRow.getLong(0)
         val nMissed = probeRow.getLong(1)
         val cms = li.stat.countMinSketch("l_returnflag", 0.01, 0.99, 42)

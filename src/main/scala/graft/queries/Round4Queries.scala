@@ -369,7 +369,7 @@ object Round4Queries {
         val c = t(s, dir, "customer")
         t(s, dir, "lineitem")
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(c, col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
