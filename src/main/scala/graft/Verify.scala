@@ -16,12 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Crashed queries must be LOUD: a silent drop shrinks the correctness
+    // set and masks regressions (this is how a broken q67 went unnoticed
+    // in round 5). Collect failures and emit them both to a sidecar file
+    // and as a nonzero summary line.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Queries persist() narrow intermediates internally (minhash stages,
@@ -45,6 +51,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    // Deliberately exit 0 even with failures: the driver must still
+    // DuckDB-compare the queries that DID produce output. The sidecar +
+    // the loud stderr line are the regression signal.
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} QUERIES FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

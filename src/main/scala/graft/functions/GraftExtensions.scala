@@ -47,9 +47,28 @@ object GraftFunctions {
         require(children.length == 1, "minhash_sig(hs) takes one argument")
         MinHashSig(children.head, DedupQueries.A, DedupQueries.B, DedupQueries.P)
       }),
-    // Catalyst registers bloom_filter_agg but not its probe partner, so
-    // the scalar-subquery Bloom shape (build distributed, probe codegen'd)
-    // is only reachable from SQL once might_contain is exposed too.
+    // Spark 4.1.2 keeps BOTH bloom_filter_agg and might_contain in the
+    // internal-only registry (FunctionRegistry.internal — not resolvable
+    // from user SQL), so the scalar-subquery Bloom shape (build
+    // distributed, probe codegen'd) needs both registered here. The
+    // analyzer wraps a bare AggregateFunction returned from a registry
+    // builder into an AggregateExpression automatically.
+    (new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 3,
+          "bloom_filter_agg(value[, estimatedNumItems[, numBits]]) takes 1-3 arguments")
+        children match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, n) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+          case Seq(c, n, b) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        }
+      }),
     (new FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

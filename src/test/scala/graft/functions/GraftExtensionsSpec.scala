@@ -32,8 +32,30 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extension class exposes the same function list") {
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
-      Seq("jaccard_sim", "minhash_sig", "vec_dist2", "vec_dot"))
+      Seq("bloom_filter_agg", "jaccard_sim", "might_contain", "minhash_sig",
+        "vec_dist2", "vec_dot"))
     // constructing the extensions class must not throw
     new GraftExtensions
+  }
+
+  test("bloom_filter_agg + might_contain: distributed build, zero false negatives") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1L to 1000L).toDF("k").createOrReplaceTempView("bf_keys")
+    // Probe every inserted key (must all hit — Bloom has no false
+    // negatives) plus disjoint keys (some may false-positive, never all).
+    val r = spark.sql("""
+      SELECT
+        sum(CASE WHEN NOT might_contain(
+              (SELECT bloom_filter_agg(xxhash64(k)) FROM bf_keys),
+              xxhash64(k)) THEN 1 ELSE 0 END) AS missed
+      FROM bf_keys""").collect().head
+    assert(r.getLong(0) == 0L)
+    // the build must be a distributed aggregate, not a driver collect
+    val plan = spark.sql(
+      "SELECT bloom_filter_agg(xxhash64(k)) FROM bf_keys")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected distributed agg in plan:\n$plan")
   }
 }
