@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-6 surface growth: the two most common TPC-H user shapes not yet
+  * composed (Q10 top-k returned-revenue customers, Q18 HAVING-sum
+  * large-volume orders) and the keyset-pagination form that
+  * q99_offset_fetch's doc names as the scale shape.
+  *
+  * Reference scope note: alxmancilla/parquet-demo computes none of these
+  * (SURVEY §0); all [EXT] declared-query surface over the driver
+  * fixtures, DuckDB-oracle-checked.
+  *
+  * Determinism: revenue follows the decimal-cast recipe of
+  * Round4Queries q_tpch03 — sum over DECIMAL(24,6), cast to DOUBLE only
+  * at the end, identical expression text on both engines.
+  */
+object Round6Queries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── TPC-H Q10: top returned-revenue customers ────────────────────
+    // Fact side: lineitem filtered to returns ⋈ quarter of orders — one
+    // shuffle on orderkey, then one on custkey up to the customer dim.
+    // Only nation (constant 25 rows) is hint-broadcast; customer grows
+    // with SF so AQE decides that side. Top-k via sort+limit (Spark
+    // TakeOrderedAndProject — no full sort at scale).
+    QueryDef(
+      "q_tpch10",
+      (s, dir) => {
+        val lo = lit("1997-07-01").cast(TimestampType)
+        val hi = lit("1997-10-01").cast(TimestampType)
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"), col("c_mktsegment"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(24, 6))).cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      doc = "TPC-H Q10 adapted (fixture customer has no address/phone/" +
+        "comment; c_mktsegment stands in). Broadcast nation only."),
+
+    // ── TPC-H Q18: large-volume orders (HAVING-sum semi-join) ────────
+    // The aggregate-then-filter side is computed ONCE on lineitem (one
+    // orderkey shuffle, map-side partial sums); the surviving ~0.1% of
+    // orderkeys then drive the joins — at scale this is the shape where
+    // AQE converts the orders join to broadcast after seeing the tiny
+    // HAVING survivor set.
+    QueryDef(
+      "q_tpch18",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          sum_qty
+        FROM (SELECT l_orderkey,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      doc = "TPC-H Q18 adapted: quantities are integral so the HAVING sum " +
+        "is an exact BIGINT on both engines; threshold 250 keeps ~0.3% of " +
+        "orders at the fixture distribution."),
+
+    // ── q99b: keyset pagination (the scale form of LIMIT/OFFSET) ─────
+    // OFFSET n scans and discards n rows on every page; the keyset form
+    // seeks directly via a composite-key predicate that pushes down to
+    // the parquet scan (l_orderkey > k OR (= k AND l_linenumber > k2)),
+    // so page p costs the same as page 1. Same literal predicate text on
+    // both engines.
+    QueryDef(
+      "q99b_keyset",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") > 300 ||
+            (col("l_orderkey") === 300 && col("l_linenumber") > 2))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(50),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey > 300
+           OR (l_orderkey = 300 AND l_linenumber > 2)
+        ORDER BY l_orderkey, l_linenumber LIMIT 50"""),
+      doc = "Keyset (seek) pagination after cursor (300, 2): the " +
+        "predicate reaches PushedFilters, so each page is an index-like " +
+        "seek instead of OFFSET's scan-and-discard.")
+  )
+}
