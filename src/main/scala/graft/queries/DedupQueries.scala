@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,21 @@ object DedupQueries {
     * cardinalities, one double division; pinned by JaccardSimSpec) but
     * allocates no intermediate arrays in the verify-join inner loop.
     */
+  /** Materialize `result` (lineage-truncating localCheckpoint) and THEN
+    * release the operator's persisted stages, so a library embedder gets a
+    * self-contained DataFrame and no stage cache outlives the operator
+    * (round-4 advice: callers must not depend on Verify's clearCache).
+    * The checkpoint blocks belong to the returned DataFrame and are freed
+    * by the ContextCleaner once it is unreferenced. The output side of
+    * every dedup operator is pair/cluster-sized — orders of magnitude
+    * below the corpus — so storing it locally is safe at scale.
+    */
+  private def selfContained(result: DataFrame, stages: Dataset[_]*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    stages.foreach(_.unpersist(false))
+    out
+  }
+
   private def jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.JaccardSim(
@@ -129,12 +144,14 @@ object DedupQueries {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.toDF("doc_a", "sa"), "doc_a")
-      .join(sh.toDF("doc_b", "sb"), "doc_b")
-      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
-      .filter(col("jaccard") >= JaccardTau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    selfContained(
+      cand
+        .join(sh.toDF("doc_a", "sa"), "doc_a")
+        .join(sh.toDF("doc_b", "sb"), "doc_b")
+        .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+        .filter(col("jaccard") >= JaccardTau)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")),
+      sh, buckets)
   }
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
@@ -237,13 +254,15 @@ object DedupQueries {
               (col("a.sz") + col("b.sz")) * 4)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        cand
-          .join(sh.toDF("doc_a", "sa"), "doc_a")
-          .join(sh.toDF("doc_b", "sb"), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
-          .filter(col("jaccard") >= JaccardTau)
-          .orderBy(col("doc_a"), col("doc_b"))
+        selfContained(
+          cand
+            .join(sh.toDF("doc_a", "sa"), "doc_a")
+            .join(sh.toDF("doc_b", "sb"), "doc_b")
+            .select(col("doc_a"), col("doc_b"),
+              round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+            .filter(col("jaccard") >= JaccardTau)
+            .orderBy(col("doc_a"), col("doc_b")),
+          sh, prefix)
       },
       Some(s"""WITH $shingledDuck
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -313,12 +332,14 @@ object DedupQueries {
           // and spread the all-pairs stream side across all cores.
           .repartition(s.sparkContext.defaultParallelism)
           .persist()
-        docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-          .filter(col("hamming") <= SimhashMaxHamming)
-          .orderBy(col("doc_a"), col("doc_b"))
+        selfContained(
+          docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+            .select(
+              col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+            .filter(col("hamming") <= SimhashMaxHamming)
+            .orderBy(col("doc_a"), col("doc_b")),
+          docs)
       },
       Some(s"""WITH hashed AS (
           SELECT doc_id,
@@ -347,13 +368,15 @@ object DedupQueries {
           // single-file scan = one partition; spread the O(n²) stream side
           .repartition(s.sparkContext.defaultParallelism)
           .persist()
-        v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(
-            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
-              .as("cosine"))
-          .filter(col("cosine") >= CosineTau)
-          .orderBy(col("vec_a"), col("vec_b"))
+        selfContained(
+          v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+            .select(
+              col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round(VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+                .as("cosine"))
+            .filter(col("cosine") >= CosineTau)
+            .orderBy(col("vec_a"), col("vec_b")),
+          v)
       },
       Some(s"""WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -13,6 +13,15 @@ object GraftColumnBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** True iff the session's CacheManager holds no cached plans — the
+    * cache-hygiene probe for specs asserting operators release their
+    * persisted stages (lineage-truncating localCheckpoint blocks are
+    * RDD-level and owned by the returned DataFrame, so they do not
+    * count here).
+    */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Register a function on an existing session (the extension hook only
     * reaches sessions built after it is configured).
     */
