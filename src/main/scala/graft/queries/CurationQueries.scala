@@ -241,7 +241,12 @@ object CurationQueries {
           .select(col("doc_id"), explode(col("toks")).as("tok"))
         val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         val tot = freq.agg(sum(col("cnt")).as("total"))
-        tk.join(freq, "tok")
+        // explicit broadcast pin: the vocabulary is word-bounded (Heaps'
+        // law, ~O(corpus^0.5) — MBs at 100 TB), but its size is
+        // corpus-dependent, so don't leave the plan choice to AQE's
+        // runtime estimate (round-6 advice: the doc claimed a broadcast
+        // the plan didn't guarantee). PlanSpec asserts the BHJ.
+        tk.join(broadcast(freq), "tok")
           .crossJoin(broadcast(tot))
           .withColumn("surp",
             round(-log(col("cnt") / col("total")), 9).cast(DecimalType(28, 9)))

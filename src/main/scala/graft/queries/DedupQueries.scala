@@ -14,11 +14,13 @@ import graft.Tables
   * sequential left-folds (Spark `aggregate` ≙ DuckDB `list_reduce`), so
   * the oracle comparison is bit-exact.
   *
-  * Scale story (100 TB): exact dedup and minhash-LSH are the scale paths —
-  * one shuffle on the hash / band-bucket key, never an O(n²) compare. The
-  * all-pairs variants (ngram-jaccard, simhash pairs, embedding cosine) are
-  * written over the bounded `documents`/`embeddings` fixtures; at scale
-  * they run AFTER LSH bucketing, as the verify step inside each bucket.
+  * Scale story (100 TB): every family has a bucketed path — exact dedup
+  * (hash shuffle), ngram-jaccard (AllPairs/PPJoin prefix filter),
+  * minhash-LSH (band buckets), simhash (dedup_simhash_banded, pigeonhole
+  * bands), embedding cosine (dedup_embedding_ann, sign-LSH buckets) —
+  * one shuffle on a bucket key, never an O(n²) compare. The remaining
+  * all-pairs forms (dedup_simhash, dedup_embedding_cosine) are the
+  * declared reference/recall oracles over the bounded fixtures.
   */
 object DedupQueries {
 
@@ -33,6 +35,48 @@ object DedupQueries {
   val JaccardTau = 0.8
   val SimhashMaxHamming = 12
   val CosineTau = 0.45
+
+  /** Independent sign-LSH tables for dedup_embedding_ann, and the probe
+    * radius within each: a pair is a candidate iff its 8-bit signatures
+    * are within Hamming `AnnProbeRadius` in ≥1 table. The fixture's
+    * planted pairs sit at cosine 0.45-0.51 — sign-LSH's hardest regime
+    * (per-bit agreement only ~0.65) — so recall needs radius 2
+    * (1+8+28 = 37 probes/table): measured 12/14 = 0.86 vs 8/14 at radius
+    * 1 (DedupAnnRecallSpec pins it). At a production τ ≥ 0.9 the same
+    * configuration is ≈1.0-recall with radius 1. Probe count is
+    * corpus-independent, so the scan stays one pass per table.
+    */
+  val AnnTables = 4
+  val AnnProbeRadius = 2
+  /** XOR masks enumerating the Hamming ball of radius AnnProbeRadius. */
+  val AnnProbeMasks: Seq[Int] = {
+    import SimilarityQueries.NBits
+    val r1 = (0 until NBits).map(1 << _)
+    val r2 = for { i <- 0 until NBits; j <- i + 1 until NBits }
+      yield (1 << i) | (1 << j)
+    Seq(0) ++ r1 ++ (if (AnnProbeRadius >= 2) r2 else Seq.empty)
+  }
+
+  /** Bands for the lossless simhash bucket join. Pigeonhole: two
+    * signatures within Hamming distance d agree EXACTLY on ≥1 band iff
+    * the band count exceeds d (d differing bits can touch at most d
+    * bands) — so losslessness at radius 12 needs 13 bands, NOT "4 bands
+    * of 15 bits" (4 bands only guarantee radius ≤ 3; 12 differing bits
+    * trivially cover all 4). The price of the loose declared radius is
+    * narrow bands: 60/13 ≈ 4.6 bits ⇒ 16-32 bucket values per band. At
+    * the classic production radius d=3 the same query shape runs with 4
+    * bands of 15 bits (32k buckets/band) and prunes ~2^15× harder — the
+    * Manku et al. WWW'07 configuration. Radius is the knob: bands = d+1,
+    * width = 60/(d+1).
+    */
+  val SimhashBandCount: Int = SimhashMaxHamming + 1 // 13
+  /** (bit offset, width) per band: 8 bands of 5 bits + 5 of 4 = 60. */
+  val SimhashBandDefs: Seq[(Int, Int)] = {
+    val base = 60 / SimhashBandCount
+    val extra = 60 % SimhashBandCount
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(SimhashBandCount - extra)(base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
 
   /** 60-bit integer from md5 — Spark SQL dialect. */
   private def h60Spark(e: String): String =
@@ -85,12 +129,86 @@ object DedupQueries {
     * by the ContextCleaner once it is unreferenced. The output side of
     * every dedup operator is pair/cluster-sized — orders of magnitude
     * below the corpus — so storing it locally is safe at scale.
+    *
+    * API contract (deliberate tradeoffs, pinned here so embedders are not
+    * surprised):
+    *  - EAGER: constructing the DataFrame executes the full dedup job,
+    *    even if the caller never consumes it. That is the price of
+    *    releasing the corpus-sized cached stages before returning.
+    *  - LOCAL checkpoint: the result lives in executor block storage, not
+    *    a reliable FS — after executor loss the truncated lineage cannot
+    *    recompute it, so on clusters with dynamic allocation / spot
+    *    executors use `spark.checkpoint(dir)` + `Dataset.checkpoint()`
+    *    instead (same shape, reliable storage). The pair/cluster-sized
+    *    output makes either checkpoint cheap.
+    * Stages are unpersisted in `finally` so a mid-job failure cannot leak
+    * corpus-sized cached blocks into the caller's session.
     */
-  private def selfContained(result: DataFrame, stages: Dataset[_]*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    stages.foreach(_.unpersist(false))
-    out
+  private def selfContained(result: DataFrame, stages: Dataset[_]*): DataFrame =
+    try result.localCheckpoint(true)
+    finally stages.foreach(_.unpersist(false))
+
+  /** documents → (doc_id, 60-bit word-level simhash). Shared by the
+    * all-pairs reference form and the banded scale form — the signature
+    * computation is ONE narrow pass either way.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("hs", expr(
+        s"transform(array_distinct(split(lower(text), ' ')), t -> ${h60Spark("t")})"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), cast(0 as bigint),
+           (acc, b) -> acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
+                             THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
+      .select(col("doc_id"), col("simhash"))
+
+  /** The banded pair pipeline, pre-checkpoint — returned with its
+    * persisted signature stage so the QueryDef can selfContained() it;
+    * exposed package-private so PlanSpec can assert the bucket-join shape
+    * (the checkpointed result's plan is just a scan).
+    */
+  private[graft] def simhashBandedPairs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = simhashSigs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    val bandVals = array(SimhashBandDefs.map { case (off, w) =>
+      expr(s"shiftright(simhash, $off) & ${(1L << w) - 1}L")
+    }: _*)
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct() // pairs sharing k bands appear k times
+      .orderBy(col("doc_a"), col("doc_b"))
+    (pairs, docs)
   }
+
+  /** All-pairs simhash oracle — tractable at fixture scale in DuckDB, and
+    * (banding being lossless) the oracle for BOTH declared forms.
+    */
+  private def simhashPairsDuckSql: String =
+    s"""WITH hashed AS (
+          SELECT doc_id,
+            list_transform(list_distinct(string_split(lower(text), ' ')), t -> ${h60Duck("t")}) AS hs
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(60),
+              b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                   THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+          FROM hashed)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+        ORDER BY doc_a, doc_b"""
 
   private def jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
@@ -319,14 +437,7 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .withColumn("hs", expr(
-            s"transform(array_distinct(split(lower(text), ' ')), t -> ${h60Spark("t")})"))
-          .withColumn("simhash", expr(
-            """aggregate(sequence(0, 59), cast(0 as bigint),
-               (acc, b) -> acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
-                                 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""))
-          .select(col("doc_id"), col("simhash"))
+        val docs = simhashSigs(s, dir)
           // a single parquet file scans as ONE partition: persist the
           // (tiny) signature table so the interpreted aggregate runs once,
           // and spread the all-pairs stream side across all cores.
@@ -341,22 +452,29 @@ object DedupQueries {
             .orderBy(col("doc_a"), col("doc_b")),
           docs)
       },
-      Some(s"""WITH hashed AS (
-          SELECT doc_id,
-            list_transform(list_distinct(string_split(lower(text), ' ')), t -> ${h60Duck("t")}) AS hs
-          FROM documents),
-        sh AS (
-          SELECT doc_id,
-            CAST(list_sum(list_transform(range(60),
-              b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
-                   THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-          FROM hashed)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
-        ORDER BY doc_a, doc_b"""),
-      doc = "At scale: group by simhash bit-prefix bands instead of all-pairs."),
+      Some(simhashPairsDuckSql),
+      doc = "All-pairs reference form; the scale path is dedup_simhash_banded " +
+        "(identical output, bucket join instead of the O(n²) compare)."),
+
+    // ── SimHash near-dup, banded (the scale path) ────────────────────
+    // Same output as dedup_simhash, computed without the O(n²) inequality
+    // join: explode each signature into SimhashBandCount sub-signatures,
+    // equi-join on (band_idx, band_value) — one shuffle — then
+    // Hamming-verify candidates in-bucket. Lossless by pigeonhole (see
+    // SimhashBandCount): 13 bands > 12 = max Hamming, so every qualifying
+    // pair shares ≥1 exact band and survives banding. The 8-byte simhash
+    // rides through the band shuffle, so verification needs no join-back.
+    QueryDef(
+      "dedup_simhash_banded",
+      (s, dir) => {
+        val (pairs, docs) = simhashBandedPairs(s, dir)
+        selfContained(pairs, docs)
+      },
+      // identical declared semantics ⇒ identical oracle: banding is
+      // provably lossless, so the all-pairs SQL IS the banded oracle.
+      Some(simhashPairsDuckSql),
+      doc = "Banded simhash bucket join (Manku et al. WWW'07 shape): " +
+        "replaces the all-pairs compare; pair set provably equal."),
 
     // ── embedding cosine near-dup ────────────────────────────────────
     QueryDef(
@@ -387,6 +505,110 @@ object DedupQueries {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $CosineTau
         ORDER BY vec_a, vec_b"""),
-      doc = "All-pairs verify form; the ANN path is sim_ivf_topk.")
+      doc = "All-pairs verify form; the bucketed scale path is dedup_embedding_ann."),
+
+    // ── embedding cosine near-dup, LSH-bucketed (the scale path) ─────
+    // Candidate pairs come from AnnTables independent sign-LSH tables
+    // (the sim_lsh_topk hyperplane family): per table, a pair is a
+    // candidate iff its 8-bit signatures are within Hamming AnnProbeRadius
+    // — the multi-probe equi-join, ONE shuffle on the bucket key instead
+    // of the O(n²) inequality join. Exact cosine ≥ τ verifies in-bucket. Approx
+    // by design (a near-dup pair whose signs differ in ≥2 bits in every
+    // table is missed); DedupAnnRecallSpec measures recall against the
+    // all-pairs form, and the oracle below replays the SAME bucketing in
+    // DuckDB (identical hyperplane doubles ⇒ identical signs), so the
+    // declared output is still bit-exact. At 100 TB: signature width
+    // scales as ~log2(n) and tables/probes buy recall at fixed cost —
+    // the corpus is scanned once per table and never self-joined.
+    QueryDef(
+      "dedup_embedding_ann",
+      (s, dir) => {
+        val (pairs, v, sigs) = embeddingAnnPairs(s, dir)
+        selfContained(pairs, v, sigs)
+      },
+      Some(annDuckSql),
+      doc = "Sign-LSH bucketed cosine dedup: multi-probe Hamming-1 " +
+        "candidates from " + AnnTables + " tables, exact verify in-bucket; " +
+        "dedup_embedding_cosine is the recall oracle.")
   )
+
+  /** The sign-LSH candidate+verify pipeline, pre-checkpoint — returned
+    * with its two persisted stages; package-private for PlanSpec (see
+    * [[simhashBandedPairs]]).
+    */
+  private[graft] def embeddingAnnPairs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import SimilarityQueries.NBits
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    def sigCol(t: Int): Column = (0 until NBits).map { b =>
+      when(VectorOps.dot(col("v"),
+        typedLit(SimilarityQueries.hyperplaneSet(t)(b))) >= 0.0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // all tables' signatures in ONE corpus pass; persisted because the
+    // per-table candidate join references the table twice (probe +
+    // build side) and CollapseProject would otherwise inline the
+    // 8-dot sign expression into both.
+    val sigs = v.select(
+      col("vec_id") +: (0 until AnnTables).map(t => sigCol(t).as(s"sig_$t")): _*)
+      .persist()
+    val cand = (0 until AnnTables).map { t =>
+      val probes = array(AnnProbeMasks.map(m =>
+        col(s"sig_$t").bitwiseXOR(lit(m))): _*)
+      sigs.select(col("vec_id").as("vec_a"), explode(probes).as("s"))
+        .join(sigs.select(col("vec_id").as("vec_b"), col(s"sig_$t").as("s")), "s")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_ union _).distinct()
+    val pairs = cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= CosineTau)
+      .orderBy(col("vec_a"), col("vec_b"))
+    (pairs, v, sigs)
+  }
+
+  /** DuckDB mirror of dedup_embedding_ann — same hyperplane doubles,
+    * same multi-probe bucket join, so both engines produce the identical
+    * (approximate) pair set.
+    */
+  private def annDuckSql: String = {
+    import SimilarityQueries.NBits
+    def sigSql(t: Int): String = (0 until NBits).map { b =>
+      val lits = SimilarityQueries.hyperplaneSet(t)(b).mkString("[", ", ", "]")
+      s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val perTable = (0 until AnnTables).map { t =>
+      val probes = AnnProbeMasks.map {
+        case 0 => s"sig_$t"
+        case m => s"xor(sig_$t, $m)"
+      }.mkString("[", ", ", "]")
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM (SELECT vec_id, unnest($probes) AS s FROM sigs) a
+          JOIN sigs b ON a.s = b.sig_$t AND a.vec_id < b.vec_id"""
+    }.mkString("\n        UNION\n        ")
+    s"""WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      nvecs AS (
+        SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
+      sigs AS (
+        SELECT vec_id, ${(0 until AnnTables).map(t => s"${sigSql(t)} AS sig_$t").mkString(", ")}
+        FROM nvecs),
+      cand AS (
+        $perTable)
+      SELECT c.vec_a, c.vec_b,
+        round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+      FROM cand c
+      JOIN nvecs a ON a.vec_id = c.vec_a
+      JOIN nvecs b ON b.vec_id = c.vec_b
+      WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $CosineTau
+      ORDER BY vec_a, vec_b"""
+  }
 }

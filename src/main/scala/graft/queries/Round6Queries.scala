@@ -74,9 +74,14 @@ object Round6Queries {
     QueryDef(
       "q_tpch18",
       (s, dir) => {
+        // round() before the BIGINT cast on BOTH engines: Spark's bare
+        // cast truncates toward zero while DuckDB's rounds to nearest, so
+        // a fractional quantity would silently diverge. Post-round the
+        // value is integral and both casts are exact (quantities are
+        // positive, so HALF_UP ≡ half-away-from-zero too).
         val big = t(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
-          .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .agg(sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
           .filter(col("sum_qty") > 250)
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
@@ -90,14 +95,14 @@ object Round6Queries {
       Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
           sum_qty
         FROM (SELECT l_orderkey,
-                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
               FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big
         JOIN orders ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
-      doc = "TPC-H Q18 adapted: quantities are integral so the HAVING sum " +
-        "is an exact BIGINT on both engines; threshold 250 keeps ~0.3% of " +
-        "orders at the fixture distribution."),
+      doc = "TPC-H Q18 adapted: round-then-cast makes the HAVING sum an " +
+        "exact BIGINT on both engines for ANY quantity distribution; " +
+        "threshold 250 keeps ~0.3% of orders at the fixture distribution."),
 
     // ── q99b: keyset pagination (the scale form of LIMIT/OFFSET) ─────
     // OFFSET n scans and discards n rows on every page; the keyset form

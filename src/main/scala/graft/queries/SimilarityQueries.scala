@@ -40,12 +40,20 @@ object SimilarityQueries {
   // doubles ⇒ identical dot signs ⇒ identical buckets in both engines.
   val NBits = 8
   val Dim = 64
-  val Hyperplanes: Seq[Seq[Double]] =
+
+  /** Table `t` of the hyperplane family: table 0 is the sim_lsh_topk
+    * index; higher tables are the extra independent sign-LSH tables the
+    * bucketed dedup path (DedupQueries.dedup_embedding_ann) unions for
+    * recall. Same arithmetic sequence, offset by t·NBits planes.
+    */
+  def hyperplaneSet(t: Int): Seq[Seq[Double]] =
     (0 until NBits).map { b =>
       (0 until Dim).map { d =>
-        ((2654435761L * (b * Dim + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
+        ((2654435761L * ((t * NBits + b) * Dim + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
       }
     }
+
+  val Hyperplanes: Seq[Seq[Double]] = hyperplaneSet(0)
 
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")

@@ -111,6 +111,37 @@ class PlanSpec extends SparkSpec {
       s"stacked session windows must reuse one user_id exchange, saw $shuffles:\n" + p.take(3000))
   }
 
+  test("text_perplexity token-frequency join is a pinned broadcast (not AQE-dependent)") {
+    // The doc claims the vocab table broadcasts; round-6 advice: pin it
+    // in the plan rather than trusting AQE's runtime size estimate.
+    val p = plan("text_perplexity")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "token join must not shuffle the exploded corpus side twice:\n" + p.take(3000))
+  }
+
+  // The dedup QueryDefs return a checkpointed (plan-truncated) result, so
+  // these assert on the package-private pre-checkpoint pipelines.
+  test("dedup_simhash_banded candidates come from an equi-join on the band key") {
+    val (pairs, docs) = graft.queries.DedupQueries.simhashBandedPairs(spark, sf())
+    val p = try pairs.queryExecution.executedPlan.toString
+      finally docs.unpersist(false)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded simhash must bucket-join, not all-pairs:\n" + p.take(3000))
+  }
+
+  test("dedup_embedding_ann candidates come from an equi-join on the signature") {
+    val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(spark, sf())
+    val p = try pairs.queryExecution.executedPlan.toString
+      finally { v.unpersist(false); sigs.unpersist(false) }
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "ANN dedup must bucket-join, not all-pairs:\n" + p.take(3000))
+  }
+
   test("runtime bloom-filter injection prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB this is the semi-join reduction that keeps a selective

@@ -16,7 +16,7 @@ class CacheHygieneSpec extends SparkSpec {
 
   private val persistingQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_cluster_cc")
+    "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_simhash_banded", "dedup_embedding_ann")
 
   persistingQueries.foreach { name =>
     test(s"$name leaves no cached plans behind") {
