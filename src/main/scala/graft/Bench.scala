@@ -37,6 +37,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query artifact: the driver's BENCH_rN.json keeps only a
+    // 2,000-char tail of stdout, which truncates ~100 of the per-query
+    // timings — regressions could hide in the lost prefix. Persist the
+    // complete sweep as a name-sorted, one-query-per-line JSON file so
+    // rounds are diffable in git. Skipped for dev-loop partial runs
+    // (query-name args) so a two-query probe can't clobber the artifact.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+      val body = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"""    "$k": $v%.3f""" }
+        .mkString(",\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        f"""{\n  "total_sec": $total%.3f,\n  "n_queries": ${results.size},\n  "sf": "$sfDir",\n  "queries": {\n$body\n  }\n}\n""")
+    }
     spark.stop()
   }
 }

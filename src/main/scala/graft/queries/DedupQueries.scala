@@ -177,15 +177,28 @@ object DedupQueries {
     }: _*)
     val banded = docs.select(col("doc_id"), col("simhash"),
       posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    // A pair sharing k bands appears k times in the bucket join; emit it
+    // ONLY at its first (lowest-index) agreeing band — a per-row filter
+    // (13 mask compares against the riding signatures) instead of a
+    // distinct(), which would shuffle the full candidate set a second
+    // time. On this fixture that set is ~5.5M rows at sf0.1 (the declared
+    // radius 12 qualifies 44% of ALL pairs, so the OUTPUT is Θ(n²)-dense
+    // by construction and no candidate scheme can be sublinear in it; at
+    // a production radius the same plan prunes like classic LSH).
+    val firstBand = expr("CASE " + SimhashBandDefs.zipWithIndex.map {
+      case ((off, w), i) =>
+        val m = (1L << w) - 1
+        s"WHEN (shiftright(a.simhash, $off) & ${m}L) = (shiftright(b.simhash, $off) & ${m}L) THEN $i"
+    }.mkString(" ") + " END")
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band_idx") === firstBand)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      .distinct() // pairs sharing k bands appear k times
       .orderBy(col("doc_a"), col("doc_b"))
     (pairs, docs)
   }
@@ -527,9 +540,9 @@ object DedupQueries {
         selfContained(pairs, v, sigs)
       },
       Some(annDuckSql),
-      doc = "Sign-LSH bucketed cosine dedup: multi-probe Hamming-1 " +
-        "candidates from " + AnnTables + " tables, exact verify in-bucket; " +
-        "dedup_embedding_cosine is the recall oracle.")
+      doc = "Sign-LSH bucketed cosine dedup: multi-probe Hamming-" +
+        AnnProbeRadius + " candidates from " + AnnTables + " tables, exact " +
+        "verify in-bucket; dedup_embedding_cosine is the recall oracle.")
   )
 
   /** The sign-LSH candidate+verify pipeline, pre-checkpoint — returned

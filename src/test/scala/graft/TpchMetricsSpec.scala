@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftTestBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Runtime-metrics assertions for the TPC-H macro queries (round-6
+  * advice item 4): PlanSpec pins plan *shape*; this spec pins what the
+  * executed job actually DID — how many shuffle exchanges the final AQE
+  * plan kept, and how much data crossed them relative to what the scans
+  * produced. A plan regression (lost pushdown, lost partial agg, a join
+  * flipping to nested-loop) now fails a test instead of waiting for a
+  * benchmark eyeball.
+  *
+  * The shuffle-reduction ratio is the 100 TB signal: these queries scan
+  * fact tables but must shuffle only the post-filter / post-partial-agg
+  * survivors. Expected shapes are documented in PLANS.md.
+  */
+class TpchMetricsSpec extends SparkSpec {
+
+  /** Run `name` to completion and return (records read by scans, records
+    * written to shuffles, final physical plan string).
+    */
+  private def runMeasured(name: String): (Long, Long, String) = {
+    val read = new AtomicLong
+    val shuffled = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        read.addAndGet(m.inputMetrics.recordsRead)
+        shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
+      df.collect()
+      GraftTestBridge.drainListenerBus(spark.sparkContext)
+      (read.get, shuffled.get, df.queryExecution.executedPlan.toString)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** (max hash-partition exchanges in the final plan, max shuffled/read
+    * ratio). Exchange bounds are the measured shape +0 slack — one extra
+    * shuffle is exactly the regression this spec exists to catch. Ratios
+    * are measured-value × ~2 headroom: they fail on losing map-side
+    * partial aggregation or a filter, not on fixture drift.
+    */
+  private val expected = Map(
+    "q_tpch03" -> (2, 0.035), // measured: 2 exchanges, ratio 0.016
+    "q_tpch05" -> (2, 0.005), // measured: 2 exchanges, ratio 0.0001
+    "q_tpch10" -> (2, 0.012), // measured: 2 exchanges, ratio 0.005
+    "q_tpch18" -> (2, 0.400)) // measured: 2 exchanges, ratio 0.193
+
+  expected.foreach { case (name, (maxExchanges, maxShuffleRatio)) =>
+    test(s"$name: bounded shuffle count and shuffle/scan volume ratio") {
+      val (read, shuffled, plan) = runMeasured(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must keep equi-joins:\n" + plan.take(3000))
+      // In a finalized AQE plan, materialized shuffles render as
+      // ShuffleQueryStage (the Exchange is inside the stage); count both
+      // so the bound holds with and without AQE re-planning.
+      val exchangeLines = plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") || l.contains("ShuffleQueryStage")).toSeq
+      val exchanges = exchangeLines.count(_.contains("ShuffleQueryStage")).max(
+        exchangeLines.count(_.contains("Exchange hashpartitioning")))
+      val ratio = shuffled.toDouble / read.max(1L)
+      info(f"$name: read=$read shuffled=$shuffled " +
+        f"ratio=$ratio%.3f exchanges=$exchanges")
+      assert(exchanges <= maxExchanges,
+        s"$name grew a shuffle: $exchanges > $maxExchanges:\n" + plan.take(3000))
+      assert(ratio <= maxShuffleRatio,
+        f"$name shuffles $ratio%.3f of scanned records " +
+          f"(cap $maxShuffleRatio) — lost pushdown or partial aggregation?")
+    }
+  }
+
+  test("q_tpch10 keeps the nation dim broadcast") {
+    val (_, _, plan) = runMeasured("q_tpch10")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+}
