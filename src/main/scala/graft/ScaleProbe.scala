@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * quadratic all-pairs verify forms (simhash, embedding-cosine) — the
   * measured basis for BASELINE.md's scale framing.
   *
-  * Usage: sbt "runMain graft.ScaleProbe <m> [query...]"
+  * Usage: sbt "runMain graft.ScaleProbe <m> [query...]"        — corpus mode
+  *        sbt "runMain graft.ScaleProbe tpch <m> [query...]"   — TPC-H mode
+  * (tpch mode replicates customer/orders/lineitem ×m with shifted key
+  * spaces — m=10 on sf0.1 ≈ TPC-H sf1 — and times the q_tpch macros.)
   */
 object ScaleProbe {
 
@@ -61,18 +64,60 @@ object ScaleProbe {
 
   val scalePath: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash_banded", "dedup_embedding_ann",
     "dedup_cluster_cc", "pipe_curate_cc",
     "sim_lsh_topk", "sim_ivf_topk", "sim_brute_topk",
     "text_tokens", "text_fingerprint", "text_ngram_freq")
   val allPairs: Seq[String] = Seq("dedup_simhash", "dedup_embedding_cosine")
 
+  // ── TPC-H macro scaling (`tpch` mode) ────────────────────────────────
+  // Replicates the transactional tables ×m with disjoint key spaces —
+  // customer/orders/lineitem all shift together so every join finds its
+  // row in the same replica — while the dims (nation/region/supplier/
+  // part) keep their real-world shape: small and broadcastable. m=10 on
+  // sf0.1 ≈ TPC-H sf1 (6M lineitem rows); the point is to show the
+  // macros' plan shape (broadcast dims, partial aggs, top-k without a
+  // full sort) holds when the fact side grows 10×.
+  val KeyOff = 100000000L
+
+  val tpchQueries: Seq[String] = Seq("q_tpch03", "q_tpch05", "q_tpch10", "q_tpch18")
+
+  def scaleTpch(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+
+    def replicate(name: String, keys: Seq[String]): Unit = {
+      val t = Tables.load(spark, src, name)
+      (0 until m).map { i =>
+        keys.foldLeft(t) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i.toLong * KeyOff))
+        }
+      }.reduce(_.unionByName(_))
+        .repartition(math.max(8, m * 4))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("customer", Seq("c_custkey"))
+    Seq("nation", "region", "supplier", "part").foreach { name =>
+      Tables.load(spark, src, name)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    new java.io.File(fs, "_DONE").createNewFile()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
-    val m = args.headOption.map(_.toInt).getOrElse(10)
+    val tpchMode = args.headOption.contains("tpch")
+    val rest = if (tpchMode) args.drop(1) else args
+    val m = rest.headOption.map(_.toInt).getOrElse(10)
     // the 26-letter rotation is only collision-free for 26 replicas;
     // past that, replica pairs share a rotation and become exact dups,
     // which silently turns the probe into a duplicate-explosion workload
-    require(m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    require(tpchMode || m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
+      else if (tpchMode) tpchQueries
       else if (m <= 3) scalePath ++ allPairs else scalePath
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -83,11 +128,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = s"/tmp/graft_scale_x$m"
-    scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
+    val dir = if (tpchMode) s"/tmp/graft_tpch_x$m" else s"/tmp/graft_scale_x$m"
+    if (tpchMode) scaleTpch(spark, "/root/testdata/sf0.1", dir, m)
+    else scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
 
     // warm up codegen/scan paths
-    try SparkEntry.queries("dedup_exact")(spark, dir).count()
+    try SparkEntry.queries(if (tpchMode) "q_tpch03" else "dedup_exact")(spark, dir).count()
     catch { case _: Throwable => () }
 
     val results = names.map { name =>
@@ -100,7 +146,8 @@ object ScaleProbe {
     }
     val qs = results.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","multiplier":$m,"queries":$qs}""")
+    val mode = if (tpchMode) "tpch" else "corpus"
+    println(s"""{"metric":"scale_probe","mode":"$mode","multiplier":$m,"queries":$qs}""")
     spark.stop()
   }
 }

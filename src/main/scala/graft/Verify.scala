@@ -29,6 +29,15 @@ object Verify {
       catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Write a sentinel result so the driver's compare emits a RED row
+        // (schema/hash mismatch) for this query instead of silently
+        // dropping it from the correctness set — the sidecar alone is
+        // log-only signal; this makes the failure machine-checked.
+        try {
+          import spark.implicits._
+          Seq(failures(name)).toDF("graft_query_failed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // Queries persist() narrow intermediates internally (minhash stages,
       // shingle tables, CC adjacency); drop them after each query
@@ -55,8 +64,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     // Deliberately exit 0 even with failures: the driver must still
-    // DuckDB-compare the queries that DID produce output. The sidecar +
-    // the loud stderr line are the regression signal.
+    // DuckDB-compare the queries that DID produce output. Failed queries
+    // are machine-visible regardless — their sentinel parquet forces a
+    // red compare row — with the sidecar + stderr as human context.
     if (failures.nonEmpty)
       System.err.println(
         s"[verify] ${failures.size} QUERIES FAILED: ${failures.keys.mkString(", ")}")

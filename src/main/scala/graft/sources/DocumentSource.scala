@@ -16,6 +16,24 @@ trait DocumentSource extends Serializable {
   def fetch(): Seq[Map[String, Any]]
 }
 
+/** Optional fast-path capability: the store hands back typed columns
+  * directly (the pymongoarrow `find_arrow_all` analogue —
+  * run_example.py:43-55). Schema comes from the store, not first-doc
+  * inference, and no per-document map is materialized.
+  */
+trait ColumnarFetch { self: DocumentSource =>
+  /** (schema, column-name → column values); all columns equal length. */
+  def fetchColumnar(): (StructType, Map[String, Seq[Any]])
+}
+
+/** Optional mid-path capability: batched cursor iteration (the pandas
+  * `DataFrame(list(cursor))`-in-chunks analogue — run_example.py:57-66).
+  * Bounds driver memory when the store is large but not columnar-capable.
+  */
+trait BatchedFetch { self: DocumentSource =>
+  def fetchBatches(batchSize: Int): Iterator[Seq[Map[String, Any]]]
+}
+
 object DocumentSource {
 
   /** A source view over a named in-memory sink store (tests + demos). */
@@ -26,8 +44,75 @@ object DocumentSource {
   /** Fetch → rename `_id`→`id` (string) → infer schema from the FIRST
     * document (run_example.py:78-106 semantics) → DataFrame.
     */
-  def toDF(spark: SparkSession, source: DocumentSource): DataFrame = {
-    val docs = source.fetch().map { d =>
+  def toDF(spark: SparkSession, source: DocumentSource): DataFrame =
+    fromDocs(spark, source.fetch())
+
+  /** Which fetch path `toDFResilient` ended up on, for the caller's run
+    * report (the reference logs its chosen path the same way).
+    */
+  final case class Fetched(df: DataFrame, path: String, degraded: Seq[String])
+
+  /** Capability-probing fetch with graceful degradation, mirroring the
+    * reference's chain: pymongoarrow `find_arrow_all` → pandas-over-cursor
+    * → plain `find` (run_example.py:43-75). The fastest supported path is
+    * tried first; a path that throws is recorded and the next one runs.
+    * Every path converges on the same (`_id`→string `id`, §1.4-coerced)
+    * DataFrame, so callers never see which rung served them.
+    */
+  def toDFResilient(spark: SparkSession, source: DocumentSource,
+      batchSize: Int = 10000): Fetched = {
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    source match {
+      case c: ColumnarFetch =>
+        try {
+          val (schema0, cols0) = c.fetchColumnar()
+          // _id→id rename on schema AND columns; id forced to string
+          val renamed = schema0.fields.map {
+            case StructField("_id", _, n, m) => StructField("id", StringType, n, m)
+            case f => f
+          }
+          val schema = normalizeIdField(StructType(renamed))
+          val cols = cols0.map {
+            case ("_id", vs) => "id" -> vs.map(String.valueOf(_: Any))
+            case ("id", vs) => "id" -> vs.map(String.valueOf(_: Any))
+            case kv => kv
+          }
+          val n = cols.headOption.map(_._2.size).getOrElse(0)
+          val names = schema.fieldNames.toSeq
+          val rows = (0 until n).map { i =>
+            org.apache.spark.sql.Row.fromSeq(names.map(f => cols(f)(i)))
+          }
+          return Fetched(
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, math.max(1, n / 100000 + 1)),
+              schema),
+            "columnar", degraded.toSeq)
+        } catch { case e: Exception =>
+          degraded += s"columnar: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+        }
+      case _ => ()
+    }
+
+    source match {
+      case b: BatchedFetch =>
+        try {
+          // first batch drives schema inference (first-document semantics,
+          // run_example.py:78-106); later batches must coerce to it.
+          val it = b.fetchBatches(batchSize)
+          val docs = it.foldLeft(Seq.empty[Map[String, Any]])(_ ++ _)
+          return Fetched(fromDocs(spark, docs), "cursor", degraded.toSeq)
+        } catch { case e: Exception =>
+          degraded += s"cursor: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+        }
+      case _ => ()
+    }
+
+    Fetched(fromDocs(spark, source.fetch()), "plain", degraded.toSeq)
+  }
+
+  private def fromDocs(spark: SparkSession, raw: Seq[Map[String, Any]]): DataFrame = {
+    val docs = raw.map { d =>
       d.get("_id") match {
         case Some(v) => d - "_id" + ("id" -> String.valueOf(v))
         case None => d

@@ -144,7 +144,12 @@ object TableIO {
     case (x: Int, _: DateType) => // already epoch days (io.py:54-63)
       java.time.LocalDate.ofEpochDay(x.toLong)
     case (x: Int, _: LongType) => x.toLong
+    // bool-is-int (run_example.py:93): schema inference types booleans as
+    // int64, so the value side must follow Python's int(True) == 1
+    case (x: Boolean, _: LongType) => if (x) 1L else 0L
     case (x: Float, _: DoubleType) => x.toDouble
+    // inference's "anything else → string" needs the value stringified too
+    case (x, _: StringType) if !x.isInstanceOf[String] => String.valueOf(x)
     case (x: java.math.BigDecimal, d: DecimalType) =>
       x.setScale(d.scale, java.math.RoundingMode.HALF_UP)
     case (x: BigDecimal, d: DecimalType) =>

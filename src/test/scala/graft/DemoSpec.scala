@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.InMemorySink
+
+/** End-to-end CLI modes (reference: examples/run_example.py:146-199 and
+  * the ingest CLIs' flag surface). Each mode runs hermetically through
+  * Demo.run with the suite session.
+  */
+class DemoSpec extends SparkSpec {
+
+  private def run(argv: String*): Map[String, String] =
+    Demo.run(spark, Demo.parse(argv.toSeq))
+
+  test("generate mode writes the requested rows and reports the path") {
+    val dir = tmpDir("demo-gen")
+    val r = run("generate", "--rows", "500", "--out", dir)
+    assert(r("rows") == "500")
+    assert(r("cols") == "50")
+    assert(r.contains("elapsed_sec"))
+  }
+
+  test("generate --ddl switches to the 53-col DDL workload shape") {
+    val dir = tmpDir("demo-gen-ddl")
+    val r = run("generate", "--rows", "200", "--ddl", "--out", dir)
+    assert(r("rows") == "200")
+    assert(r("cols") == "53")
+  }
+
+  test("ingest mode honors --batch-size, --dry-run and --upsert") {
+    val dir = tmpDir("demo-ing")
+    val gen = run("generate", "--rows", "300", "--out", dir)
+
+    InMemorySink.clear("demo_dry")
+    val dry = run("ingest", "--in", gen("path"), "--sink", "demo_dry", "--dry-run")
+    assert(dry("rows") == "300" && dry("stored") == "0")
+
+    InMemorySink.clear("demo_up")
+    val up1 = run("ingest", "--in", gen("path"), "--sink", "demo_up",
+      "--upsert", "i_0", "--batch-size", "50")
+    assert(up1("stored") == "300")
+    assert(up1("summary").contains("rows/sec"))
+    // idempotent rerun — the reference's --upsert retry-safety story
+    val up2 = run("ingest", "--in", gen("path"), "--sink", "demo_up", "--upsert", "i_0")
+    assert(up2("stored") == "300")
+    InMemorySink.clear("demo_up")
+  }
+
+  test("export mode composes store → DataFrame → parquet → read-back") {
+    InMemorySink.clear("demo_exp")
+    InMemorySink("demo_exp").insertMany(
+      (1 to 25).map(i => Map[String, Any]("_id" -> i.toLong, "v" -> i * 3L)))
+    val dir = tmpDir("demo-exp")
+    val r = run("export", "--sink", "demo_exp", "--out", dir)
+    assert(r("rows") == "25")
+    assert(r("schema").contains("id:string")) // _id→string id rename held
+    assert(r("fetch_path") == "plain")        // in-memory store: plain rung
+    InMemorySink.clear("demo_exp")
+  }
+
+  test("roundtrip mode: generate → ingest → export agree on row count") {
+    val dir = tmpDir("demo-rt")
+    val r = run("roundtrip", "--rows", "400", "--out", dir)
+    assert(r("ok") == "true", s"roundtrip mismatch: $r")
+    assert(r("rows") == "400" && r("exported") == "400")
+  }
+
+  test("bad input fails with usage, not a stack of nulls") {
+    intercept[IllegalArgumentException](run("frobnicate"))
+    intercept[IllegalArgumentException](run("export", "--out", "/tmp/x")) // missing --sink
+  }
+}

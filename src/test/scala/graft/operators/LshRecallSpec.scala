@@ -67,6 +67,56 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"LSH recall $recall%.2f below floor over ${truth.size} true pairs")
   }
 
+  test("IVF recall >= 0.9 on clustered vectors (the regime IVF is built for)") {
+    // The driver fixture's embeddings are near-random — the worst case for
+    // any ANN index — so the floor there (next test) is deliberately low.
+    // Real embedding corpora are clustered; plant 8 Gaussian clusters and
+    // assert IVF reaches production-grade recall with the same constants
+    // (CentroidEvery=25 sample, NProbe=4).
+    //
+    // Fixture geometry: N=800 → 32 sampled centroids → 4 per cluster
+    // (cluster(i) = i*13 % 8; centroid ids are multiples of 25, and
+    // 25k*13 % 8 = 5k % 8 walks all residues since gcd(5,8)=1, so the
+    // sample provably covers every cluster). NProbe=4 then probes exactly
+    // the query's own cluster cells: noise sigma=0.02 over 64 dims keeps
+    // within-cluster distance ~0.23 vs ~sqrt(2) across clusters.
+    val rnd = new scala.util.Random(7)
+    val nClusters = 8
+    val dim = SimilarityQueries.Dim
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val n = 800
+    val vecs = (0 until n).map { i =>
+      val c = centers((i * 13) % nClusters)
+      val noise = new scala.util.Random(1000 + i)
+      (i.toLong, c.map(x => x + 0.02f * noise.nextGaussian().toFloat).toSeq, s"c${(i * 13) % nClusters}")
+    }
+    val dir = tmpDir("ivf-clustered")
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def topk(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_._2).take(SimilarityQueries.IvfTopK).map(_._3).toSet
+        }
+    val brute = topk("sim_brute_topk")
+    val ivf = topk("sim_ivf_topk")
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      ivf.get(q).map(a => a.intersect(brute(q)).size.toDouble / brute(q).size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"sim_ivf_topk clustered recall@${SimilarityQueries.IvfTopK} = $mean%.2f")
+    assert(mean >= 0.9, f"IVF recall $mean%.2f < 0.9 on clustered vectors")
+  }
+
   test("ANN top-k recall vs exact brute force on the fixture (regression floor)") {
     val dir = sf()
     def topk(name: String): Map[Long, Set[Long]] =

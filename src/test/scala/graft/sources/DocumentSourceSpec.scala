@@ -26,6 +26,70 @@ class DocumentSourceSpec extends SparkSpec {
     assert(byId("9").isNullAt(byId("9").fieldIndex("score")))
   }
 
+  // ── fallback chain: columnar → cursor → plain (run_example.py:43-75) ──
+
+  /** Store supporting all three rungs, with switches that make the upper
+    * rungs throw mid-fetch — the pymongoarrow-missing / arrow-conversion-
+    * failure scenarios the reference degrades through.
+    */
+  private class FakeStore(failColumnar: Boolean, failCursor: Boolean)
+      extends DocumentSource with ColumnarFetch with BatchedFetch {
+    import org.apache.spark.sql.types._
+    private val docs = (1 to 40).map(i =>
+      Map[String, Any]("_id" -> i.toLong, "name" -> s"d$i", "score" -> i * 0.5))
+    def fetch(): Seq[Map[String, Any]] = docs
+    def fetchBatches(batchSize: Int): Iterator[Seq[Map[String, Any]]] = {
+      if (failCursor) throw new RuntimeException("cursor timed out")
+      docs.grouped(batchSize)
+    }
+    def fetchColumnar(): (StructType, Map[String, Seq[Any]]) = {
+      if (failColumnar) throw new RuntimeException("arrow conversion unsupported")
+      (StructType(Seq(
+        StructField("_id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType))),
+        Map("_id" -> docs.map(_("_id")), "name" -> docs.map(_("name")),
+          "score" -> docs.map(_("score"))))
+    }
+  }
+
+  private def canonical(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Double)] =
+    df.select("id", "name", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  test("resilient fetch picks the columnar fast path when the store supports it") {
+    val got = DocumentSource.toDFResilient(spark, new FakeStore(false, false))
+    assert(got.path == "columnar")
+    assert(got.degraded.isEmpty)
+    assert(got.df.schema("id").dataType == StringType)
+    assert(got.df.count() == 40)
+  }
+
+  test("columnar failure degrades to the batched cursor, then to plain find") {
+    val viaCursor = DocumentSource.toDFResilient(spark,
+      new FakeStore(failColumnar = true, failCursor = false), batchSize = 7)
+    assert(viaCursor.path == "cursor")
+    assert(viaCursor.degraded.exists(_.startsWith("columnar:")))
+
+    val viaPlain = DocumentSource.toDFResilient(spark,
+      new FakeStore(failColumnar = true, failCursor = true))
+    assert(viaPlain.path == "plain")
+    assert(viaPlain.degraded.size == 2)
+
+    // every rung must produce the SAME DataFrame — callers can't tell
+    val fast = DocumentSource.toDFResilient(spark, new FakeStore(false, false))
+    assert(canonical(fast.df) == canonical(viaCursor.df))
+    assert(canonical(fast.df) == canonical(viaPlain.df))
+  }
+
+  test("plain-only store takes the plain path with no degradation noise") {
+    InMemorySink.clear("t_plain_only")
+    InMemorySink("t_plain_only").insertMany(Seq(Map("_id" -> 1L, "v" -> 2L)))
+    val got = DocumentSource.toDFResilient(spark, DocumentSource.inMemory("t_plain_only"))
+    assert(got.path == "plain" && got.degraded.isEmpty)
+    assert(got.df.count() == 1)
+  }
+
   test("S9 round-trip: sink → source → DataFrame → parquet → read") {
     InMemorySink.clear("t_source_rt")
     InMemorySink("t_source_rt").insertMany(

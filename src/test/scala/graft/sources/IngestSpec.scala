@@ -26,6 +26,44 @@ class IngestSpec extends SparkSpec {
     assert(InMemorySink("t_upsert").count() == 1000)
   }
 
+  test("per-batch distribution summary matches the reference's report shape") {
+    // ingest_parquet_to_mongo_bulk.py:197-209 reports median/avg/peak
+    // rows-per-sec and write ms per batch; Metrics.dist carries the same
+    // summary from a bounded reservoir accumulator.
+    InMemorySink.clear("t_dist")
+    val df = Generators.big50(spark, 2000, numPartitions = 4).select("i_0", "s_0")
+    val m = Ingest.ingest(df, "t_dist", batchSize = 100)
+    val d = m.dist
+    assert(d.batches == m.batches)
+    assert(d.msPeak >= 0 && d.msAvg >= 0.0)
+    // medians come from the reservoir: must sit inside the observed range
+    assert(d.msMedian <= d.msPeak.toDouble)
+    assert(d.msAvg <= d.msPeak.toDouble)
+    assert(d.rpsMedian <= d.rpsPeak && d.rpsAvg <= d.rpsPeak)
+    assert(d.rpsPeak > 0.0, "peak rows/sec must be observed")
+    assert(Ingest.summary(m).contains("rows/sec"))
+  }
+
+  test("distribution accumulator: exact scalars, bounded reservoir, deterministic merge") {
+    val a = new Ingest.BatchStatsAcc(capacity = 8)
+    (1L to 100L).foreach(i => a.add((i * 10, i)))
+    val b = new Ingest.BatchStatsAcc(capacity = 8)
+    (101L to 200L).foreach(i => b.add((i * 10, i)))
+    a.merge(b)
+    val d = a.value
+    assert(d.batches == 200)
+    assert(d.msPeak == 200)
+    assert(math.abs(d.msAvg - 100.5) < 1e-9) // exact despite sampling
+    assert(d.msMedian >= 1.0 && d.msMedian <= 200.0)
+    // determinism: same inputs → same summary (replay-safe under retries)
+    val a2 = new Ingest.BatchStatsAcc(capacity = 8)
+    (1L to 100L).foreach(i => a2.add((i * 10, i)))
+    val b2 = new Ingest.BatchStatsAcc(capacity = 8)
+    (101L to 200L).foreach(i => b2.add((i * 10, i)))
+    a2.merge(b2)
+    assert(a2.value == d)
+  }
+
   test("S10 dry run writes nothing") {
     InMemorySink.clear("t_dry")
     val df = Generators.big50(spark, 50).select("i_0")
