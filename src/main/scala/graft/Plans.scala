@@ -12,7 +12,8 @@ object Plans {
     "q02_filter", "q04_join_broadcast", "q10_agg_basic", "sim_brute_topk",
     "dedup_ngram_jaccard", "ev_asof_attribution",
     "q32_pivot", "ev_interval_join", "sim_radius_search",
-    "q63_lateral_agg", "q68_merge_upsert", "q71_recursive_cte")
+    "q63_lateral_agg", "q68_merge_upsert", "q71_recursive_cte",
+    "q_tpch10", "dedup_simhash_banded", "dedup_embedding_ann")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

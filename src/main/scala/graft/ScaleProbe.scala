@@ -46,12 +46,21 @@ object ScaleProbe {
       .repartition(math.max(4, m))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // Per-replica deterministic ±1 sign pattern: within a replica every
+    // vector flips the SAME dims, so all within-replica dot products —
+    // hence cosines — are preserved exactly; across replicas ~half the
+    // ℓ2 mass lands on disagreeing signs, so cross-replica cosine
+    // concentrates near 0 (≪ CosineTau). The earlier flip-one-dim
+    // perturbation left cross-replica cosine ≈ 0.9, which made the TRUE
+    // pair set grow quadratically in m — a fixture artifact that buried
+    // the operator's linear shape.
     val vecs = Tables.load(spark, src, "embeddings")
     (0 until m).map { i =>
       vecs.select(
         (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
         (if (i == 0) col("embedding")
-         else expr(s"transform(embedding, (x, j) -> CASE WHEN j % ${m + 1} = $i THEN -x ELSE x END)"))
+         else expr(
+           s"transform(embedding, (x, j) -> CASE WHEN pmod(hash($i * 64 + j), 2) = 0 THEN -x ELSE x END)"))
           .as("embedding"),
         col("label"))
     }.reduce(_.unionByName(_))
@@ -136,10 +145,22 @@ object ScaleProbe {
     try SparkEntry.queries(if (tpchMode) "q_tpch03" else "dedup_exact")(spark, dir).count()
     catch { case _: Throwable => () }
 
+    // Pseudo-name dedup_embedding_ann_w<bits>: the width-scaled ANN dedup
+    // (radius 1, 8 tables, τ=0.9 — the production near-dup configuration;
+    // see DedupQueries.embeddingAnnScaled). bits ~ log2(corpus) holds the
+    // bucket load constant, which is what keeps the candidate join linear.
+    val Wide = raw"dedup_embedding_ann_w(\d+)".r
+    def runQuery(name: String): org.apache.spark.sql.DataFrame = name match {
+      case Wide(bits) => queries.DedupQueries.embeddingAnnScaled(spark, dir, bits.toInt)
+      case _ => SparkEntry.queries(name)(spark, dir)
+    }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, dir).count()
-        catch { case _: Throwable => -1L }
+      val n = try runQuery(name).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale_probe] $name failed: ${e.getMessage}")
+          -1L
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       (name, dt, n)

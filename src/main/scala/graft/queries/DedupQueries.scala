@@ -48,14 +48,17 @@ object DedupQueries {
     */
   val AnnTables = 4
   val AnnProbeRadius = 2
-  /** XOR masks enumerating the Hamming ball of radius AnnProbeRadius. */
-  val AnnProbeMasks: Seq[Int] = {
-    import SimilarityQueries.NBits
-    val r1 = (0 until NBits).map(1 << _)
-    val r2 = for { i <- 0 until NBits; j <- i + 1 until NBits }
+  /** XOR masks enumerating the Hamming ball of the given radius over a
+    * `bits`-wide signature. */
+  def probeMasks(bits: Int, radius: Int): Seq[Int] = {
+    val r1 = (0 until bits).map(1 << _)
+    val r2 = for { i <- 0 until bits; j <- i + 1 until bits }
       yield (1 << i) | (1 << j)
-    Seq(0) ++ r1 ++ (if (AnnProbeRadius >= 2) r2 else Seq.empty)
+    Seq(0) ++ (if (radius >= 1) r1 else Seq.empty) ++
+      (if (radius >= 2) r2 else Seq.empty)
   }
+  val AnnProbeMasks: Seq[Int] =
+    probeMasks(SimilarityQueries.NBits, AnnProbeRadius)
 
   /** Bands for the lossless simhash bucket join. Pigeonhole: two
     * signatures within Hamming distance d agree EXACTLY on ≥1 band iff
@@ -550,27 +553,44 @@ object DedupQueries {
     * [[simhashBandedPairs]]).
     */
   private[graft] def embeddingAnnPairs(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    import SimilarityQueries.NBits
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    embeddingAnnPairs(s, dir, SimilarityQueries.NBits, AnnProbeRadius,
+      AnnTables, CosineTau)
+
+  /** Generalized over (bits, radius, tables, tau) — the three knobs that
+    * keep sign-LSH dedup linear as the corpus grows. Candidate volume is
+    * n · probes · tables · load where load = n / 2^bits: hold load ~1 by
+    * growing `bits` with log2(n) and the bucket join stays one equi-join
+    * shuffle at any corpus size. The declared query's (8, 2, 4, 0.45) is
+    * the oracle-pinned fixture configuration (τ=0.45 pairs need the
+    * dense probe ball); a production near-dup sweep (τ ≥ 0.9) runs wide:
+    * e.g. (16, 1, 8, 0.9) ⇒ per-pair per-table catch ≈ p^16 + 16p^15(1-p)
+    * ≈ 0.31 at p = 1 − acos(0.9)/π ≈ 0.856, so 8 tables ⇒ recall ≈ 0.95
+    * (AnnWideRecallSpec measures it on planted near-dups).
+    */
+  private[graft] def embeddingAnnPairs(s: SparkSession, dir: String,
+      bits: Int, radius: Int, tables: Int, tau: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
-    def sigCol(t: Int): Column = (0 until NBits).map { b =>
+    def sigCol(t: Int): Column = (0 until bits).map { b =>
       when(VectorOps.dot(col("v"),
-        typedLit(SimilarityQueries.hyperplaneSet(t)(b))) >= 0.0,
+        typedLit(SimilarityQueries.hyperplaneSet(t, bits)(b))) >= 0.0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
     // all tables' signatures in ONE corpus pass; persisted because the
     // per-table candidate join references the table twice (probe +
     // build side) and CollapseProject would otherwise inline the
-    // 8-dot sign expression into both.
+    // per-bit sign expression into both.
     val sigs = v.select(
-      col("vec_id") +: (0 until AnnTables).map(t => sigCol(t).as(s"sig_$t")): _*)
+      col("vec_id") +: (0 until tables).map(t => sigCol(t).as(s"sig_$t")): _*)
       .persist()
-    val cand = (0 until AnnTables).map { t =>
-      val probes = array(AnnProbeMasks.map(m =>
+    val masks = probeMasks(bits, radius)
+    val cand = (0 until tables).map { t =>
+      val probes = array(masks.map(m =>
         col(s"sig_$t").bitwiseXOR(lit(m))): _*)
       sigs.select(col("vec_id").as("vec_a"), explode(probes).as("s"))
         .join(sigs.select(col("vec_id").as("vec_b"), col(s"sig_$t").as("s")), "s")
@@ -583,9 +603,19 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"),
         round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cosine"))
-      .filter(col("cosine") >= CosineTau)
+      .filter(col("cosine") >= tau)
       .orderBy(col("vec_a"), col("vec_b"))
     (pairs, v, sigs)
+  }
+
+  /** Self-contained width-scaled ANN dedup (no oracle — the declared
+    * 8-bit form is the oracle-checked one; this is the log2(n)-width
+    * production shape ScaleProbe and AnnWideRecallSpec exercise).
+    */
+  def embeddingAnnScaled(s: SparkSession, dir: String, bits: Int,
+      radius: Int = 1, tables: Int = 8, tau: Double = 0.9): DataFrame = {
+    val (pairs, v, sigs) = embeddingAnnPairs(s, dir, bits, radius, tables, tau)
+    selfContained(pairs, v, sigs)
   }
 
   /** DuckDB mirror of dedup_embedding_ann — same hyperplane doubles,

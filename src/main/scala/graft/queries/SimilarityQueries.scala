@@ -44,14 +44,18 @@ object SimilarityQueries {
   /** Table `t` of the hyperplane family: table 0 is the sim_lsh_topk
     * index; higher tables are the extra independent sign-LSH tables the
     * bucketed dedup path (DedupQueries.dedup_embedding_ann) unions for
-    * recall. Same arithmetic sequence, offset by t·NBits planes.
+    * recall. Same arithmetic sequence, offset by t·bits planes. The
+    * `bits` overload serves the width-scaled dedup variant (signature
+    * width ~ log2(corpus) keeps bucket load constant at scale).
     */
-  def hyperplaneSet(t: Int): Seq[Seq[Double]] =
-    (0 until NBits).map { b =>
+  def hyperplaneSet(t: Int, bits: Int): Seq[Seq[Double]] =
+    (0 until bits).map { b =>
       (0 until Dim).map { d =>
-        ((2654435761L * ((t * NBits + b) * Dim + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
+        ((2654435761L * ((t * bits + b) * Dim + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
       }
     }
+
+  def hyperplaneSet(t: Int): Seq[Seq[Double]] = hyperplaneSet(t, NBits)
 
   val Hyperplanes: Seq[Seq[Double]] = hyperplaneSet(0)
 
