@@ -42,8 +42,12 @@ object Bench {
     // timings — regressions could hide in the lost prefix. Persist the
     // complete sweep as a name-sorted, one-query-per-line JSON file so
     // rounds are diffable in git. Skipped for dev-loop partial runs
-    // (query-name args) so a two-query probe can't clobber the artifact.
-    if (only.isEmpty) {
+    // (query-name args) AND for non-sf0.1 scale factors — the artifact
+    // is pinned to the driver's bench SF, and a full dev run at sf0.001
+    // would otherwise silently replace all 166 timings with numbers from
+    // a 100× smaller corpus (it happened; the diff looked like a 20%
+    // "regression" until the sf field gave it away).
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
       val body = results.toSeq.sortBy(_._1)
         .map { case (k, v) => f"""    "$k": $v%.3f""" }

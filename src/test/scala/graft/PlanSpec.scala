@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
       "ANN dedup must bucket-join, not all-pairs:\n" + p.take(3000))
   }
 
+  test("width-scaled ANN dedup keeps the equi-join shape at production width") {
+    val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(
+      spark, sf(), bits = 16, radius = 1, tables = 8, tau = 0.9)
+    val p = try pairs.queryExecution.executedPlan.toString
+      finally { v.unpersist(false); sigs.unpersist(false) }
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "wide ANN dedup must bucket-join, not all-pairs:\n" + p.take(3000))
+  }
+
   test("runtime bloom-filter injection prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB this is the semi-join reduction that keeps a selective

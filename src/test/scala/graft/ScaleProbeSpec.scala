@@ -1,0 +1,42 @@
+package graft
+
+/** The TPC-H scale harness must preserve join integrity: replicas shift
+  * customer/orders/lineitem keys TOGETHER, so every fact row still finds
+  * its parent in the same replica and per-group revenue is exactly m×
+  * the base corpus (dims are shared; the decimal revenue sum is exact,
+  * so m× holds to the cast-to-double ulp). A broken offset (one table
+  * shifted, another not) would orphan fact rows and show up here as a
+  * revenue shortfall, not just a noisy benchmark.
+  */
+class ScaleProbeSpec extends SparkSpec {
+
+  test("scaleTpch x3: per-nation q_tpch05 revenue is exactly 3x the base corpus") {
+    val m = 3
+    val out = tmpDir("tpch-scale")
+    ScaleProbe.scaleTpch(spark, sf(), out, m)
+
+    def revenue(dir: String): Map[String, Double] =
+      SparkEntry.queries("q_tpch05")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val base = revenue(sf())
+    val scaled = revenue(out)
+    assert(base.nonEmpty, "fixture must produce revenue groups")
+    assert(scaled.keySet == base.keySet, "same nation groups")
+    for ((nation, rev) <- base.toSeq.sortBy(_._1)) {
+      val got = scaled(nation)
+      assert(math.abs(got - m * rev) <= math.abs(m * rev) * 1e-12,
+        f"$nation: scaled revenue $got%.6f != $m x base $rev%.6f")
+    }
+  }
+
+  test("scaleTpch key spaces are disjoint across replicas") {
+    val out = tmpDir("tpch-scale-keys")
+    ScaleProbe.scaleTpch(spark, sf(), out, 2)
+    val base = Tables.load(spark, sf(), "orders").count()
+    val scaled = Tables.load(spark, out, "orders")
+    assert(scaled.count() == 2 * base)
+    // key shift must keep replicas disjoint: distinct orderkeys double too
+    assert(scaled.select("o_orderkey").distinct().count() == 2 * base)
+  }
+}
