@@ -79,9 +79,15 @@ object DocumentSource {
             case kv => kv
           }
           val n = cols.headOption.map(_._2.size).getOrElse(0)
-          val names = schema.fieldNames.toSeq
+          require(cols.values.forall(_.size == n), "ragged columnar batch")
+          // §1.4 coercion applies on this rung too — every rung must
+          // converge on the same DataFrame, so a store handing back Int
+          // where the schema says int64 (or datetimes for timestamp
+          // fields) is normalized here, not rejected at action time.
+          val fields = schema.fields.toSeq
           val rows = (0 until n).map { i =>
-            org.apache.spark.sql.Row.fromSeq(names.map(f => cols(f)(i)))
+            org.apache.spark.sql.Row.fromSeq(
+              fields.map(f => TableIO.coerce(cols(f.name)(i), f.dataType)))
           }
           return Fetched(
             spark.createDataFrame(

@@ -82,6 +82,21 @@ class DocumentSourceSpec extends SparkSpec {
     assert(canonical(fast.df) == canonical(viaPlain.df))
   }
 
+  test("columnar rung applies §1.4 coercion (Int where the schema says int64)") {
+    import org.apache.spark.sql.types._
+    val store = new DocumentSource with ColumnarFetch {
+      def fetch(): Seq[Map[String, Any]] = Seq.empty
+      def fetchColumnar(): (StructType, Map[String, Seq[Any]]) =
+        (StructType(Seq(StructField("_id", LongType), StructField("n", LongType))),
+          // store hands back boxed Ints for an int64 column — must coerce,
+          // not blow up at action time
+          Map("_id" -> Seq(1, 2, 3), "n" -> Seq(10, 20, 30)))
+    }
+    val got = DocumentSource.toDFResilient(spark, store)
+    assert(got.path == "columnar")
+    assert(got.df.collect().map(_.getLong(1)).sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
   test("plain-only store takes the plain path with no degradation noise") {
     InMemorySink.clear("t_plain_only")
     InMemorySink("t_plain_only").insertMany(Seq(Map("_id" -> 1L, "v" -> 2L)))
