@@ -47,14 +47,20 @@ object Bench {
     // would otherwise silently replace all 166 timings with numbers from
     // a 100× smaller corpus (it happened; the diff looked like a 20%
     // "regression" until the sf field gave it away).
-    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+    val canonicalSf =
+      try new java.io.File(sfDir).getCanonicalFile.getName
+      catch { case _: Exception => sfDir }
+    if (only.isEmpty && canonicalSf == "sf0.1") {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
       val body = results.toSeq.sortBy(_._1)
         .map { case (k, v) => f"""    "$k": $v%.3f""" }
         .mkString(",\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         f"""{\n  "total_sec": $total%.3f,\n  "n_queries": ${results.size},\n  "sf": "$sfDir",\n  "queries": {\n$body\n  }\n}\n""")
-    }
+    } else if (only.isEmpty)
+      // loud skip: a silently-stale artifact reads as "no regression"
+      System.err.println(s"[bench] BENCH_FULL.json not written: sf is " +
+        s"'$canonicalSf', artifact is pinned to sf0.1")
     spark.stop()
   }
 }

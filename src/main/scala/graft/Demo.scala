@@ -82,8 +82,15 @@ object Demo {
         val bs = args.int("batch-size", 1000)
         val m =
           if (args.bool("dry-run")) Ingest.ingest(df, sink, bs, dryRun = true)
-          else if (args.bool("upsert"))
-            Ingest.bulkUpsert(df, sink, args.str("upsert").split(",").toSeq, bs)
+          else if (args.bool("upsert")) {
+            val pk = args.str("upsert").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // a bare --upsert would key every row on the same null PK and
+            // silently collapse the ingest into one stored document
+            require(pk.nonEmpty, s"--upsert needs a PK column list\n$usage")
+            val missing = pk.filterNot(df.columns.contains)
+            require(missing.isEmpty, s"--upsert columns not in input: ${missing.mkString(",")}")
+            Ingest.bulkUpsert(df, sink, pk, bs)
+          }
           else Ingest.ingest(df, sink, bs)
         Map("rows" -> m.rows.toString, "batches" -> m.batches.toString,
           "stored" -> InMemorySink(sink).count().toString,
@@ -126,9 +133,12 @@ object Demo {
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      // shuffle partitions track the master's parallelism (as Bench and
+      // Verify do) so demo timings are comparable with the bench surface
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

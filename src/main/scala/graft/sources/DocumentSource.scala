@@ -84,10 +84,14 @@ object DocumentSource {
           // converge on the same DataFrame, so a store handing back Int
           // where the schema says int64 (or datetimes for timestamp
           // fields) is normalized here, not rejected at action time.
+          // Columns are resolved to IndexedSeq ONCE: positional access on
+          // a linear Seq (a store returning Lists) would make the row
+          // loop O(n²) per column, and the per-row Map lookups go too.
           val fields = schema.fields.toSeq
+          val colArrs = fields.map(f => cols(f.name).toIndexedSeq)
           val rows = (0 until n).map { i =>
             org.apache.spark.sql.Row.fromSeq(
-              fields.map(f => TableIO.coerce(cols(f.name)(i), f.dataType)))
+              fields.zip(colArrs).map { case (f, c) => TableIO.coerce(c(i), f.dataType) })
           }
           return Fetched(
             spark.createDataFrame(
@@ -103,11 +107,27 @@ object DocumentSource {
     source match {
       case b: BatchedFetch =>
         try {
-          // first batch drives schema inference (first-document semantics,
-          // run_example.py:78-106); later batches must coerce to it.
+          // First batch drives schema inference (first-document semantics,
+          // run_example.py:78-106); every batch is converted to coerced
+          // Rows as it streams past, so only one batch of raw documents
+          // is live at a time (the converted Rows — like the reference's
+          // accumulated pandas chunks — are what the local DataFrame
+          // construction inherently holds; a real connector would push
+          // this into a DataSource so batches land on executors instead).
           val it = b.fetchBatches(batchSize)
-          val docs = it.foldLeft(Seq.empty[Map[String, Any]])(_ ++ _)
-          return Fetched(fromDocs(spark, docs), "cursor", degraded.toSeq)
+          if (!it.hasNext)
+            return Fetched(fromDocs(spark, Seq.empty), "cursor", degraded.toSeq)
+          val first = it.next().map(renameId)
+          val schema = normalizeIdField(SchemaInfer.inferSchema(first))
+          val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+          rows ++= first.map(TableIO.toRow(schema, _))
+          while (it.hasNext) rows ++= it.next().map(d => TableIO.toRow(schema, renameId(d)))
+          val data = rows.result()
+          return Fetched(
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(data, math.max(1, data.size / 100000 + 1)),
+              schema),
+            "cursor", degraded.toSeq)
         } catch { case e: Exception =>
           degraded += s"cursor: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
         }
@@ -117,13 +137,14 @@ object DocumentSource {
     Fetched(fromDocs(spark, source.fetch()), "plain", degraded.toSeq)
   }
 
-  private def fromDocs(spark: SparkSession, raw: Seq[Map[String, Any]]): DataFrame = {
-    val docs = raw.map { d =>
-      d.get("_id") match {
-        case Some(v) => d - "_id" + ("id" -> String.valueOf(v))
-        case None => d
-      }
+  private def renameId(d: Map[String, Any]): Map[String, Any] =
+    d.get("_id") match {
+      case Some(v) => d - "_id" + ("id" -> String.valueOf(v))
+      case None => d
     }
+
+  private def fromDocs(spark: SparkSession, raw: Seq[Map[String, Any]]): DataFrame = {
+    val docs = raw.map(renameId)
     val schema = normalizeIdField(SchemaInfer.inferSchema(docs))
     val rows = docs.map(TableIO.toRow(schema, _))
     spark.createDataFrame(

@@ -43,9 +43,11 @@ object Ingest {
     * count/sum/max plus a fixed-capacity reservoir (Algorithm R with a
     * counter-hashed index instead of an RNG, so task retries that replay
     * the same observation sequence produce the same reservoir). Merge
-    * keeps a deterministic subsample when partial reservoirs overflow
-    * the capacity. Bounded memory: a 100 TB ingest is millions of
-    * batches; this never holds more than `capacity` of them.
+    * allocates reservoir slots proportionally to each side's OBSERVED
+    * batch count, so the sampled medians aren't biased toward small
+    * partitions; avg/peak are exact scalars either way. Bounded memory:
+    * a 100 TB ingest is millions of batches; this never holds more than
+    * `capacity` of them.
     */
   final class BatchStatsAcc(capacity: Int = 2048)
       extends AccumulatorV2[(Long, Long), BatchDist] {
@@ -95,17 +97,30 @@ object Ingest {
     override def merge(other: AccumulatorV2[(Long, Long), BatchDist]): Unit =
       other match {
         case o: BatchStatsAcc =>
+          val selfCount = count
           count += o.count; rowSum += o.rowSum; msSum += o.msSum
           msClampSum += o.msClampSum
           msMax = math.max(msMax, o.msMax); rpsMax = math.max(rpsMax, o.rpsMax)
-          sample ++= o.sample
-          if (sample.size > capacity) {
-            // deterministic thinning: keep by hashed rank, not prefix, so
-            // the merged reservoir isn't biased toward one partition
-            val kept = sample.zipWithIndex
-              .sortBy { case (_, i) => mix(i.toLong) }
-              .take(capacity).map(_._1)
-            sample = kept
+          if (sample.size + o.sample.size <= capacity) sample ++= o.sample
+          else {
+            // Proportional thinning: each side's slots track its share of
+            // OBSERVED batches, not its reservoir size — a saturated
+            // 1M-batch reservoir must outweigh a 10-batch one, or medians
+            // skew toward whichever partition happened to be small.
+            // Selection within a side is by hashed rank (deterministic
+            // given the same merge sequence; Spark's task-completion
+            // order can still vary the final sample run to run — the
+            // scalar fields, avg and peak, are exact regardless).
+            val total = math.max(selfCount + o.count, 1L)
+            val kSelfRaw = ((capacity.toLong * selfCount + total / 2) / total).toInt
+            val kSelf = math.min(sample.size, math.max(kSelfRaw,
+              capacity - o.sample.size)) // redistribute slots a side can't fill
+            val kOther = capacity - kSelf
+            def thin(buf: scala.collection.mutable.ArrayBuffer[(Long, Long)], k: Int) =
+              if (buf.size <= k) buf
+              else buf.zipWithIndex.sortBy { case (_, i) => mix(i.toLong) }
+                .take(k).map(_._1)
+            sample = thin(sample, kSelf) ++ thin(o.sample, kOther)
           }
         case _ => throw new UnsupportedOperationException("mismatched accumulator")
       }

@@ -68,4 +68,17 @@ class DemoSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("frobnicate"))
     intercept[IllegalArgumentException](run("export", "--out", "/tmp/x")) // missing --sink
   }
+
+  test("bare --upsert is rejected instead of collapsing every row onto a null key") {
+    val dir = tmpDir("demo-bare-upsert")
+    val gen = run("generate", "--rows", "50", "--out", dir)
+    InMemorySink.clear("demo_bare")
+    // valueless --upsert would make every row's PK "null" -> 1 stored doc
+    intercept[IllegalArgumentException](
+      run("ingest", "--in", gen("path"), "--sink", "demo_bare", "--upsert"))
+    // unknown PK column is caught up front too
+    intercept[IllegalArgumentException](
+      run("ingest", "--in", gen("path"), "--sink", "demo_bare", "--upsert", "nope"))
+    assert(InMemorySink("demo_bare").count() == 0)
+  }
 }

@@ -64,6 +64,22 @@ class IngestSpec extends SparkSpec {
     assert(a2.value == d)
   }
 
+  test("reservoir merge weights sides by observed batches, not reservoir size") {
+    // saturated 10k-batch side (ms ~ 100) vs a 4-batch outlier side
+    // (ms = 9000): the merged median must stay with the bulk, not the
+    // outliers — proportional allocation gives the small side ~0 slots
+    val big = new Ingest.BatchStatsAcc(capacity = 64)
+    (1L to 10000L).foreach(i => big.add((100, 100 + (i % 7))))
+    val small = new Ingest.BatchStatsAcc(capacity = 64)
+    (1L to 4L).foreach(_ => small.add((100, 9000)))
+    big.merge(small)
+    val d = big.value
+    assert(d.batches == 10004)
+    assert(d.msMedian < 1000.0,
+      f"median ${d.msMedian}%.0f dragged toward the 4-batch outlier side")
+    assert(d.msPeak == 9000) // peak is exact regardless of sampling
+  }
+
   test("S10 dry run writes nothing") {
     InMemorySink.clear("t_dry")
     val df = Generators.big50(spark, 50).select("i_0")
