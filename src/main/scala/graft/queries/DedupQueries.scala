@@ -589,14 +589,29 @@ object DedupQueries {
       col("vec_id") +: (0 until tables).map(t => sigCol(t).as(s"sig_$t")): _*)
       .persist()
     val masks = probeMasks(bits, radius)
+    // Within one table a pair can match AT MOST once (the join hits iff
+    // probe mask m = sig_a XOR sig_b — unique per pair), so duplicates
+    // only arise ACROSS tables. Emitting each pair at its FIRST matching
+    // table (a bit_count filter over the earlier tables' signatures,
+    // both sides' signatures ride along as `tables` extra ints) makes
+    // the union duplicate-free BY CONSTRUCTION — no distinct(), which
+    // was a full shuffle of the candidate set (the same first-agreeing-
+    // band trick that cut dedup_simhash_banded's second shuffle).
+    val aCols = (0 until tables).map(t => col(s"sig_$t").as(s"a_sig_$t"))
+    val bCols = (0 until tables).map(t => col(s"sig_$t").as(s"b_sig_$t"))
     val cand = (0 until tables).map { t =>
       val probes = array(masks.map(m =>
-        col(s"sig_$t").bitwiseXOR(lit(m))): _*)
-      sigs.select(col("vec_id").as("vec_a"), explode(probes).as("s"))
-        .join(sigs.select(col("vec_id").as("vec_b"), col(s"sig_$t").as("s")), "s")
-        .filter(col("vec_a") < col("vec_b"))
+        col(s"a_sig_$t").bitwiseXOR(lit(m))): _*)
+      val firstMatchHere = (0 until t)
+        .map(p => bit_count(col(s"a_sig_$p").bitwiseXOR(col(s"b_sig_$p"))) > radius)
+        .foldLeft(lit(true))(_ && _)
+      sigs.select(col("vec_id").as("vec_a") +: aCols: _*)
+        .withColumn("s", explode(probes))
+        .join(sigs.select(col("vec_id").as("vec_b") +: bCols: _*)
+          .withColumn("s", col(s"b_sig_$t")), "s")
+        .filter(col("vec_a") < col("vec_b") && firstMatchHere)
         .select(col("vec_a"), col("vec_b"))
-    }.reduce(_ union _).distinct()
+    }.reduce(_ union _)
     val pairs = cand
       .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
