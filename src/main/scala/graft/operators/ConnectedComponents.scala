@@ -35,9 +35,25 @@ object ConnectedComponents {
   /** @param edges two-column DataFrame (src, dst) of undirected edges;
     *              column names are positional, self-loops and duplicates
     *              are tolerated.
+    * @param maxIter hard round cap (see non-convergence note below).
+    * @param checkpointDir when set, per-round label tables are cut over
+    *              to RELIABLE checkpoints in this directory instead of
+    *              executor-local ones. localCheckpoint is the single-box
+    *              default (no FS round-trip) but its blocks die with
+    *              their executor and the truncated lineage cannot
+    *              recompute them — on a cluster with dynamic allocation
+    *              or spot executors, pass a durable path (HDFS/S3) here
+    *              and the loop survives executor loss at the cost of one
+    *              small FS write per round (label tables are node-sized,
+    *              not corpus-sized). Sets the session's checkpoint dir
+    *              as a side effect if none is configured yet.
     * @return (node, cluster_id) — cluster_id = min node id reachable.
     */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // setCheckpointDir creates a fresh UUID subdirectory per call, so
+    // repeated runs against the same durable path never collide.
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e = edges.toDF("u", "v")
     // symmetrize in ONE scan (explode both directions per input row):
     // union(e, e.swap) reads the upstream edge pipeline twice, which is
@@ -71,15 +87,18 @@ object ConnectedComponents {
       val candidates = adj.join(labels, adj("v") === labels("node"))
         .select(adj("u").as("node"), col("label"))
         .union(labels)
-      // localCheckpoint (not persist): it truncates the LOGICAL plan too.
+      // Checkpoint (not persist): it truncates the LOGICAL plan too.
       // With plain persist the per-round plan embeds every previous
       // round's plan, so analysis/optimization time grows linearly with
       // the iteration count — on a long-diameter graph that dominates
-      // the actual (tiny) shuffles. On a real cluster use reliable
-      // checkpoint() every few rounds instead if executor loss matters.
-      val next = candidates.groupBy(col("node"))
+      // the actual (tiny) shuffles. localCheckpoint by default (single
+      // box, no FS round-trip); reliable checkpoint when the caller
+      // passed a durable dir — see the run() scaladoc.
+      val agg = candidates.groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next =
+        if (checkpointDir.isDefined) agg.checkpoint(true)
+        else agg.localCheckpoint(true)
       val s = next.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect().head.getDecimal(0)
       // s is null iff the graph is empty — nothing to propagate, stop.

@@ -48,9 +48,28 @@ object DedupQueries {
     */
   val AnnTables = 4
   val AnnProbeRadius = 2
+  /** Signature width for the declared width-scaled ANN dedup
+    * (`dedup_embedding_ann_scaled`): bits ~ log2(n) holds bucket load
+    * n/2^bits at ~1, which is what keeps the candidate join linear —
+    * candidate volume is n·probes·tables·load, so the fixed-width 8-bit
+    * form saturates past ~50k vectors (load = n/256) while this one
+    * tracks the corpus. 12 bits ≈ log2 of the sf0.1 corpus (5k vectors,
+    * load 1.2; the sf0.01 correctness fixture runs under-loaded at 0.12,
+    * which only makes buckets sparser, never wrong). At 1B vectors the
+    * same rule gives 30 bits — still inside the Int-key cap.
+    */
+  val AnnScaledBits = 12
   /** XOR masks enumerating the Hamming ball of the given radius over a
-    * `bits`-wide signature. */
+    * `bits`-wide signature. Width is capped at 31: signatures are Int
+    * bucket keys built with `1 << b`, so bits = 32 would silently wrap
+    * (1 << 32 == 1) and alias buckets — an over-wide configuration must
+    * fail loudly, not lose recall quietly. 31 bits already addresses
+    * 2^31 buckets (load ~1 at two billion vectors per partition-group),
+    * so wider signatures belong to a Long-keyed variant, not this one.
+    */
   def probeMasks(bits: Int, radius: Int): Seq[Int] = {
+    require(bits >= 1 && bits <= 31,
+      s"signature width $bits outside [1, 31]: Int bucket keys wrap at 32 bits")
     val r1 = (0 until bits).map(1 << _)
     val r2 = for { i <- 0 until bits; j <- i + 1 until bits }
       yield (1 << i) | (1 << j)
@@ -202,7 +221,13 @@ object DedupQueries {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // NO global orderBy: the output is the one Θ(n²)-dense pair set in
+    // the suite (the fixture radius admits 44% of all pairs), and a total
+    // sort is a full range-partition shuffle of it — the single biggest
+    // line item in the round-7 bench. The driver's compare row-sorts both
+    // sides before hashing (tools/check.py canon()), so the declared
+    // result is the pair SET; QueryDef's total-ORDER-BY contract note
+    // documents this exemption.
     (pairs, docs)
   }
 
@@ -542,10 +567,32 @@ object DedupQueries {
         val (pairs, v, sigs) = embeddingAnnPairs(s, dir)
         selfContained(pairs, v, sigs)
       },
-      Some(annDuckSql),
+      Some(annDuckSql(SimilarityQueries.NBits, AnnProbeRadius, AnnTables, CosineTau)),
       doc = "Sign-LSH bucketed cosine dedup: multi-probe Hamming-" +
         AnnProbeRadius + " candidates from " + AnnTables + " tables, exact " +
-        "verify in-bucket; dedup_embedding_cosine is the recall oracle.")
+        "verify in-bucket; dedup_embedding_cosine is the recall oracle."),
+
+    // ── embedding ANN dedup, width-scaled (the production config) ─────
+    // Identical pipeline to dedup_embedding_ann except the signature
+    // width follows the bits ~ log2(n) rule (AnnScaledBits) instead of
+    // the fixed 8 bits. The 8-bit form is the saturation teaching case
+    // (256 buckets ⇒ load n/256 ⇒ the candidate join turns quadratic
+    // past ~50k vectors); THIS is the shape a 100 TB corpus runs, and
+    // the oracle replays the same widened bucketing in DuckDB so the
+    // declared output stays bit-exact. Radius/tables/τ are unchanged so
+    // the two declared queries differ in exactly the knob under test.
+    QueryDef(
+      "dedup_embedding_ann_scaled",
+      (s, dir) => {
+        val (pairs, v, sigs) =
+          embeddingAnnPairs(s, dir, AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)
+        selfContained(pairs, v, sigs)
+      },
+      Some(annDuckSql(AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)),
+      doc = "Width-scaled sign-LSH dedup (bits ~ log2 n): the non-" +
+        "saturating production form of dedup_embedding_ann; wider " +
+        "signatures trade per-pair recall for linear candidate volume, " +
+        "recovered by tables/probes (AnnWideRecallSpec).")
   )
 
   /** The sign-LSH candidate+verify pipeline, pre-checkpoint — returned
@@ -571,6 +618,10 @@ object DedupQueries {
   private[graft] def embeddingAnnPairs(s: SparkSession, dir: String,
       bits: Int, radius: Int, tables: Int, tau: Double)
       : (DataFrame, DataFrame, DataFrame) = {
+    // same Int-wrap guard as probeMasks: sigCol builds the key with
+    // `1 << b`, so an over-wide width must fail here, before any job runs
+    require(bits >= 1 && bits <= 31,
+      s"signature width $bits outside [1, 31]: Int bucket keys wrap at 32 bits")
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -633,18 +684,21 @@ object DedupQueries {
     selfContained(pairs, v, sigs)
   }
 
-  /** DuckDB mirror of dedup_embedding_ann — same hyperplane doubles,
-    * same multi-probe bucket join, so both engines produce the identical
-    * (approximate) pair set.
+  /** DuckDB mirror of the sign-LSH bucketed cosine dedup, generalized
+    * over the same (bits, radius, tables, tau) knobs as
+    * [[embeddingAnnPairs]] — same hyperplane doubles, same multi-probe
+    * bucket join, so both engines produce the identical (approximate)
+    * pair set at ANY configuration. The 8-bit declared query and the
+    * width-scaled one share this one generator.
     */
-  private def annDuckSql: String = {
-    import SimilarityQueries.NBits
-    def sigSql(t: Int): String = (0 until NBits).map { b =>
-      val lits = SimilarityQueries.hyperplaneSet(t)(b).mkString("[", ", ", "]")
+  private def annDuckSql(bits: Int, radius: Int, tables: Int, tau: Double): String = {
+    val masks = probeMasks(bits, radius)
+    def sigSql(t: Int): String = (0 until bits).map { b =>
+      val lits = SimilarityQueries.hyperplaneSet(t, bits)(b).mkString("[", ", ", "]")
       s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
-    val perTable = (0 until AnnTables).map { t =>
-      val probes = AnnProbeMasks.map {
+    val perTable = (0 until tables).map { t =>
+      val probes = masks.map {
         case 0 => s"sig_$t"
         case m => s"xor(sig_$t, $m)"
       }.mkString("[", ", ", "]")
@@ -657,7 +711,7 @@ object DedupQueries {
       nvecs AS (
         SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
       sigs AS (
-        SELECT vec_id, ${(0 until AnnTables).map(t => s"${sigSql(t)} AS sig_$t").mkString(", ")}
+        SELECT vec_id, ${(0 until tables).map(t => s"${sigSql(t)} AS sig_$t").mkString(", ")}
         FROM nvecs),
       cand AS (
         $perTable)
@@ -666,7 +720,7 @@ object DedupQueries {
       FROM cand c
       JOIN nvecs a ON a.vec_id = c.vec_a
       JOIN nvecs b ON b.vec_id = c.vec_b
-      WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $CosineTau
+      WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $tau
       ORDER BY vec_a, vec_b"""
   }
 }

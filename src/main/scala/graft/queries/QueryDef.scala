@@ -8,7 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Contract notes (SURVEY §5.2.2):
   *  - column names must match between the Spark result and the oracle SQL;
-  *  - every query ends in a fully-specified total ORDER BY;
+  *  - every query ends in a fully-specified total ORDER BY. One declared
+ *    exemption: a query whose output is Θ(n²)-dense (dedup_simhash_banded)
+ *    may return an unordered pair SET — the driver's compare row-sorts
+ *    both sides before hashing, and a global sort there is a full
+ *    range-partition shuffle of the largest result in the suite;
   *  - float aggregation goes through exact DECIMAL casts and is converted
   *    to DOUBLE only at the very end, with the identical expression on
   *    both sides, so results are bit-reproducible regardless of partition

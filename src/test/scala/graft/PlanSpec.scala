@@ -142,6 +142,45 @@ class PlanSpec extends SparkSpec {
       "ANN dedup must bucket-join, not all-pairs:\n" + p.take(3000))
   }
 
+  test("q99b keyset cursor OR-predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan("q99b_keyset")
+    // the whole point of the keyset form: the composite-cursor predicate
+    // must arrive at the scan as a pushed Or(GreaterThan, And(...)), so a
+    // page-p seek reads only the row groups past the cursor
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("Or(GreaterThan(l_orderkey,300)"),
+      "cursor OR-predicate must be pushed, not evaluated post-scan:\n" + p.take(3000))
+  }
+
+  test("q99b keyset sorts via TakeOrderedAndProject (no global sort for a 50-row page)") {
+    val p = plan("q99b_keyset")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must fuse into top-k, not range-sort the scan:\n" + p.take(3000))
+  }
+
+  test("dedup_embedding_ann_scaled keeps the equi-join shape at the declared width") {
+    val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(
+      spark, sf(), graft.queries.DedupQueries.AnnScaledBits,
+      graft.queries.DedupQueries.AnnProbeRadius,
+      graft.queries.DedupQueries.AnnTables, graft.queries.DedupQueries.CosineTau)
+    val p = try pairs.queryExecution.executedPlan.toString
+      finally { v.unpersist(false); sigs.unpersist(false) }
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "declared scaled ANN dedup must bucket-join, not all-pairs:\n" + p.take(3000))
+  }
+
+  test("signature width outside [1,31] fails loudly (Int bucket keys would wrap)") {
+    intercept[IllegalArgumentException] {
+      graft.queries.DedupQueries.probeMasks(32, 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.DedupQueries.embeddingAnnPairs(
+        spark, sf(), bits = 40, radius = 1, tables = 2, tau = 0.9)
+    }
+  }
+
   test("width-scaled ANN dedup keeps the equi-join shape at production width") {
     val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(
       spark, sf(), bits = 16, radius = 1, tables = 8, tau = 0.9)

@@ -79,4 +79,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     val out = ccOf(Seq((5L, 5L), (9L, 9L)))
     assert(out == Map(5L -> 5L, 9L -> 9L))
   }
+
+  test("reliable-checkpoint variant produces identical labels and writes per-round checkpoints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain (diameter 3 → multiple rounds)
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (30L, 31L))
+    val got = ConnectedComponents.run(edges.toDF("u", "v"),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+    // the rounds must actually have cut over to reliable storage: the
+    // checkpoint dir contains one rdd-* subtree per round
+    val ckpts = new java.io.File(dir).listFiles()
+    assert(ckpts != null && ckpts.nonEmpty, s"no checkpoint data under $dir")
+    val rdds = ckpts.flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).filter(_.getName.startsWith("rdd-")))
+    assert(rdds.nonEmpty, s"expected rdd-* checkpoint dirs under $dir")
+  }
 }
