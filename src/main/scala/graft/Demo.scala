@@ -9,11 +9,21 @@ import graft.sources.{DocumentSource, Generators, Ingest, InMemorySink, TableIO}
   * ingest_parquet_to_mongo_bulk.py:212-228: --batch-size, --upsert,
   * --dry-run). Modes:
   *
-  *   generate  --rows N [--ddl] --out DIR      wide-table parquet generation
+  *   generate  --rows N [--ddl] [--row-batch-size B] --out DIR
+  *                                             wide-table parquet generation;
+  *                                             B caps rows per output file
+  *                                             (≙ --row-batch-size,
+  *                                             ingest_parquet_to_mongo_stream.py:189)
   *   ingest    --in PARQUET --sink NAME [--batch-size B] [--upsert PK,..]
-  *             [--dry-run]                     parquet → document store
-  *   export    --sink NAME --out DIR           document store → parquet,
-  *                                             read back and previewed
+  *             [--partitions P] [--dry-run]    parquet → document store;
+  *                                             P = concurrent sink writers
+  *                                             (≙ --max-workers,
+  *                                             ingest_parquet_to_mongo_bulk.py:220)
+  *   export    --sink NAME --out DIR [--limit N]
+  *                                             document store → parquet,
+  *                                             read back and previewed;
+  *                                             N caps fetched docs
+  *                                             (≙ --limit, run_example.py:152)
   *   roundtrip [--rows N] --out DIR            generate → ingest → export →
   *                                             count check, end to end
   *
@@ -52,9 +62,10 @@ object Demo {
 
   val usage: String =
     """usage: graft.Demo <mode> [flags]
-      |  generate  --rows N [--ddl] --out DIR
-      |  ingest    --in PARQUET --sink NAME [--batch-size B] [--upsert PK[,PK..]] [--dry-run]
-      |  export    --sink NAME --out DIR
+      |  generate  --rows N [--ddl] [--row-batch-size B] --out DIR
+      |  ingest    --in PARQUET --sink NAME [--batch-size B] [--upsert PK[,PK..]]
+      |            [--partitions P] [--dry-run]
+      |  export    --sink NAME --out DIR [--limit N]
       |  roundtrip [--rows N] --out DIR""".stripMargin
 
   /** Runs one mode; returns a small report map (printed by main, asserted
@@ -68,16 +79,36 @@ object Demo {
       case "generate" =>
         val n = args.long("rows", 1000000L)
         val dir = args.str("out")
+        // --row-batch-size ≙ the reference's streamed-write row batching
+        // (ingest_parquet_to_mongo_stream.py:189-191): here it bounds
+        // rows per parquet output file, the Spark-side knob with the
+        // same effect — a bounded unit of work per file/batch.
+        val perFile = args.long("row-batch-size", 100000L)
+        require(perFile > 0, s"--row-batch-size must be > 0, got $perFile")
         val df = if (args.bool("ddl")) Generators.ddl53(spark, n)
           else Generators.big50(spark, n)
-        TableIO.write(df, s"$dir/generated.parquet", maxRecordsPerFile = 100000L)
+        TableIO.write(df, s"$dir/generated.parquet", maxRecordsPerFile = perFile)
         val written = TableIO.read(spark, s"$dir/generated.parquet")
+        val files = Option(new java.io.File(s"$dir/generated.parquet").listFiles())
+          .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
         Map("rows" -> written.count().toString,
           "cols" -> written.schema.size.toString,
+          "files" -> files.toString,
           "path" -> s"$dir/generated.parquet")
 
       case "ingest" =>
-        val df = TableIO.read(spark, args.str("in"))
+        val read = TableIO.read(spark, args.str("in"))
+        // --partitions ≙ the reference's --max-workers
+        // (ingest_parquet_to_mongo_bulk.py:220-223): sink-writer
+        // concurrency. Ingest runs one writer per partition, so the
+        // partition count IS the worker pool size — the knob the
+        // reference's tuning advice (README.md:104-109) turns.
+        val df = args.flags.get("partitions") match {
+          case Some(p) =>
+            require(p.nonEmpty && p.toInt > 0, s"--partitions must be > 0\n$usage")
+            read.repartition(p.toInt)
+          case None => read
+        }
         val sink = args.str("sink")
         val bs = args.int("batch-size", 1000)
         val m =
@@ -93,14 +124,18 @@ object Demo {
           }
           else Ingest.ingest(df, sink, bs)
         Map("rows" -> m.rows.toString, "batches" -> m.batches.toString,
+          "partitions" -> df.rdd.getNumPartitions.toString,
           "stored" -> InMemorySink(sink).count().toString,
           "summary" -> Ingest.summary(m))
 
       case "export" =>
         // store → DataFrame (capability fallback chain) → parquet →
         // read-back preview: run_example.py:168-199's composed demo.
+        // --limit caps fetched docs (run_example.py:152).
+        val limit = args.int("limit", DocumentSource.NoLimit)
+        require(limit >= 0, s"--limit must be >= 0\n$usage")
         val fetched = DocumentSource.toDFResilient(
-          spark, DocumentSource.inMemory(args.str("sink")))
+          spark, DocumentSource.inMemory(args.str("sink")), limit = limit)
         val path = s"${args.str("out")}/exported.parquet"
         TableIO.write(fetched.df, path)
         val back = TableIO.read(spark, path)

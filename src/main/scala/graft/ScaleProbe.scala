@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Usage: sbt "runMain graft.ScaleProbe <m> [query...]"        — corpus mode
   *        sbt "runMain graft.ScaleProbe tpch <m> [query...]"   — TPC-H mode
+  *        sbt "runMain graft.ScaleProbe suite <m> [query...]"  — full suite
   * (tpch mode replicates customer/orders/lineitem ×m with shifted key
-  * spaces — m=10 on sf0.1 ≈ TPC-H sf1 — and times the q_tpch macros.)
+  * spaces — m=10 on sf0.1 ≈ TPC-H sf1 — and times the q_tpch macros;
+  * suite mode builds ALL ten tables at ×m and defaults to every declared
+  * query — the whole-inventory scaling sweep.)
   */
 object ScaleProbe {
 
@@ -30,11 +33,7 @@ object ScaleProbe {
     alpha.drop(k) + alpha.take(k)
   }
 
-  def scaleCorpus(spark: SparkSession, src: String, out: String, m: Int): Unit = {
-    val fs = new java.io.File(out)
-    if (new java.io.File(fs, "_DONE").exists()) return
-    fs.mkdirs()
-
+  private def replicateDocs(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     val docs = Tables.load(spark, src, "documents")
     (0 until m).map { i =>
       docs.select(
@@ -45,15 +44,17 @@ object ScaleProbe {
     }.reduce(_.unionByName(_))
       .repartition(math.max(4, m))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
 
-    // Per-replica deterministic ±1 sign pattern: within a replica every
-    // vector flips the SAME dims, so all within-replica dot products —
-    // hence cosines — are preserved exactly; across replicas ~half the
-    // ℓ2 mass lands on disagreeing signs, so cross-replica cosine
-    // concentrates near 0 (≪ CosineTau). The earlier flip-one-dim
-    // perturbation left cross-replica cosine ≈ 0.9, which made the TRUE
-    // pair set grow quadratically in m — a fixture artifact that buried
-    // the operator's linear shape.
+  // Per-replica deterministic ±1 sign pattern: within a replica every
+  // vector flips the SAME dims, so all within-replica dot products —
+  // hence cosines — are preserved exactly; across replicas ~half the
+  // ℓ2 mass lands on disagreeing signs, so cross-replica cosine
+  // concentrates near 0 (≪ CosineTau). The earlier flip-one-dim
+  // perturbation left cross-replica cosine ≈ 0.9, which made the TRUE
+  // pair set grow quadratically in m — a fixture artifact that buried
+  // the operator's linear shape.
+  private def replicateVecs(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     val vecs = Tables.load(spark, src, "embeddings")
     (0 until m).map { i =>
       vecs.select(
@@ -66,7 +67,43 @@ object ScaleProbe {
     }.reduce(_.unionByName(_))
       .repartition(math.max(4, m))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
 
+  /** events ×m with disjoint event_id/user_id key spaces per replica and
+    * UNCHANGED event time: volume grows m× while the time horizon (what
+    * watermarks and windows key on) stays fixed — a busier topic, not a
+    * longer one. The raw ns `ts` longs pass through untouched so the
+    * scaled file reads through the same `Tables.loadEvents` path as the
+    * fixture (plain int64 nanos → µs conversion at load).
+    */
+  private def replicateEvents(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$src/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    (0 until m).map { i =>
+      raw.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+      .repartition(math.max(4, m))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  private def copyTables(spark: SparkSession, src: String, out: String,
+      names: Seq[String]): Unit =
+    names.foreach { name =>
+      Tables.load(spark, src, name)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+  def scaleCorpus(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    replicateDocs(spark, src, out, m)
+    replicateVecs(spark, src, out, m)
     new java.io.File(fs, "_DONE").createNewFile()
     ()
   }
@@ -96,6 +133,13 @@ object ScaleProbe {
     if (new java.io.File(fs, "_DONE").exists()) return
     fs.mkdirs()
 
+    replicateTpchFacts(spark, src, out, m)
+    copyTables(spark, src, out, Seq("nation", "region", "supplier", "part"))
+    new java.io.File(fs, "_DONE").createNewFile()
+    ()
+  }
+
+  private def replicateTpchFacts(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     def replicate(name: String, keys: Seq[String]): Unit = {
       val t = Tables.load(spark, src, name)
       (0 until m).map { i =>
@@ -109,25 +153,48 @@ object ScaleProbe {
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
-    Seq("nation", "region", "supplier", "part").foreach { name =>
-      Tables.load(spark, src, name)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+  }
+
+  /** `suite` mode corpus: ALL ten fixture tables at ×m in one directory,
+    * so every declared query (not just the dedup/similarity/TPC-H
+    * subsets) can run on a scaled corpus. Facts replicate with disjoint
+    * key spaces (documents/embeddings perturbed, lineitem/orders/customer
+    * key-shifted, events id-shifted at fixed event time); the dims keep
+    * their real-world shape — small and broadcastable.
+    */
+  def scaleSuite(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    replicateDocs(spark, src, out, m)
+    replicateVecs(spark, src, out, m)
+    replicateTpchFacts(spark, src, out, m)
+    replicateEvents(spark, src, out, m)
+    copyTables(spark, src, out, Seq("nation", "region", "supplier", "part"))
     new java.io.File(fs, "_DONE").createNewFile()
     ()
   }
 
   def main(args: Array[String]): Unit = {
-    val tpchMode = args.headOption.contains("tpch")
-    val rest = if (tpchMode) args.drop(1) else args
+    val mode = args.headOption match {
+      case Some("tpch") => "tpch"
+      case Some("suite") => "suite"
+      case _ => "corpus"
+    }
+    val rest = if (mode == "corpus") args else args.drop(1)
     val m = rest.headOption.map(_.toInt).getOrElse(10)
     // the 26-letter rotation is only collision-free for 26 replicas;
     // past that, replica pairs share a rotation and become exact dups,
     // which silently turns the probe into a duplicate-explosion workload
-    require(tpchMode || m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
+    require(mode == "tpch" || m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
     val names = if (rest.length > 1) rest.drop(1).toSeq
-      else if (tpchMode) tpchQueries
-      else if (m <= 3) scalePath ++ allPairs else scalePath
+      else mode match {
+        case "tpch" => tpchQueries
+        // suite: EVERY declared query on the full ×m corpus — the
+        // whole-inventory scaling sweep (VERDICT r7 item 4)
+        case "suite" => SparkEntry.queries.keys.toSeq.sorted
+        case _ => if (m <= 3) scalePath ++ allPairs else scalePath
+      }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -137,12 +204,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = if (tpchMode) s"/tmp/graft_tpch_x$m" else s"/tmp/graft_scale_x$m"
-    if (tpchMode) scaleTpch(spark, "/root/testdata/sf0.1", dir, m)
-    else scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
+    val dir = mode match {
+      case "tpch" => s"/tmp/graft_tpch_x$m"
+      case "suite" => s"/tmp/graft_suite_x$m"
+      case _ => s"/tmp/graft_scale_x$m"
+    }
+    mode match {
+      case "tpch" => scaleTpch(spark, "/root/testdata/sf0.1", dir, m)
+      case "suite" => scaleSuite(spark, "/root/testdata/sf0.1", dir, m)
+      case _ => scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
+    }
 
     // warm up codegen/scan paths
-    try SparkEntry.queries(if (tpchMode) "q_tpch03" else "dedup_exact")(spark, dir).count()
+    try SparkEntry.queries(if (mode == "tpch") "q_tpch03" else "dedup_exact")(spark, dir).count()
     catch { case _: Throwable => () }
 
     // Pseudo-name dedup_embedding_ann_w<bits>: the width-scaled ANN dedup
@@ -154,20 +228,25 @@ object ScaleProbe {
       case Wide(bits) => queries.DedupQueries.embeddingAnnScaled(spark, dir, bits.toInt)
       case _ => SparkEntry.queries(name)(spark, dir)
     }
+    // min-of-N like Bench (shared-box contention only ever ADDS time);
+    // defaults to 1 because probe corpora are long sweeps
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val n = try runQuery(name).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[scale_probe] $name failed: ${e.getMessage}")
-          -1L
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      (name, dt, n)
+      val timings = (1 to math.max(1, runs)).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try runQuery(name).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[scale_probe] $name failed: ${e.getMessage}")
+            -1L
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, n)
+      }
+      (name, timings.map(_._1).min, timings.last._2)
     }
     val qs = results.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
-    val mode = if (tpchMode) "tpch" else "corpus"
     println(s"""{"metric":"scale_probe","mode":"$mode","multiplier":$m,"queries":$qs}""")
     spark.stop()
   }

@@ -28,7 +28,10 @@ trait ColumnarFetch { self: DocumentSource =>
 
 /** Optional mid-path capability: batched cursor iteration (the pandas
   * `DataFrame(list(cursor))`-in-chunks analogue — run_example.py:57-66).
-  * Bounds driver memory when the store is large but not columnar-capable.
+  * Bounds the RAW-document working set (one batch live at a time) when
+  * the store is large but not columnar-capable; the converted Rows still
+  * accumulate driver-side — see the cursor rung's note in
+  * [[DocumentSource.toDFResilient]].
   */
 trait BatchedFetch { self: DocumentSource =>
   def fetchBatches(batchSize: Int): Iterator[Seq[Map[String, Any]]]
@@ -47,6 +50,9 @@ object DocumentSource {
   def toDF(spark: SparkSession, source: DocumentSource): DataFrame =
     fromDocs(spark, source.fetch())
 
+  /** No-limit sentinel: fetch everything (the default). */
+  val NoLimit: Int = Int.MaxValue
+
   /** Which fetch path `toDFResilient` ended up on, for the caller's run
     * report (the reference logs its chosen path the same way).
     */
@@ -58,28 +64,46 @@ object DocumentSource {
     * tried first; a path that throws is recorded and the next one runs.
     * Every path converges on the same (`_id`→string `id`, §1.4-coerced)
     * DataFrame, so callers never see which rung served them.
+    *
+    * @param limit cap on fetched documents (run_example.py:152's `--limit`
+    *              semantics). Applied as each rung materializes rows — the
+    *              cursor rung stops pulling batches once the cap is hit —
+    *              though with these in-process stores the fetch itself has
+    *              already run; a wire connector would push the cap into
+    *              the store query server-side.
     */
   def toDFResilient(spark: SparkSession, source: DocumentSource,
-      batchSize: Int = 10000): Fetched = {
+      batchSize: Int = 10000, limit: Int = NoLimit): Fetched = {
+    require(limit >= 0, s"limit $limit must be >= 0")
     val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
 
     source match {
       case c: ColumnarFetch =>
         try {
           val (schema0, cols0) = c.fetchColumnar()
+          // A store exposing BOTH `_id` and a literal `id` column would
+          // collapse the two onto one map key below (one column's data
+          // silently lost) while the schema kept two `id` fields. Match
+          // the row rungs' renameId semantics — `_id` wins, the literal
+          // `id` is dropped — BEFORE the rename, on schema and columns.
+          val (schemaIn, colsIn) =
+            if (cols0.contains("_id") && cols0.contains("id"))
+              (StructType(schema0.fields.filterNot(_.name == "id")), cols0 - "id")
+            else (schema0, cols0)
           // _id→id rename on schema AND columns; id forced to string
-          val renamed = schema0.fields.map {
+          val renamed = schemaIn.fields.map {
             case StructField("_id", _, n, m) => StructField("id", StringType, n, m)
             case f => f
           }
           val schema = normalizeIdField(StructType(renamed))
-          val cols = cols0.map {
+          val cols = colsIn.map {
             case ("_id", vs) => "id" -> vs.map(String.valueOf(_: Any))
             case ("id", vs) => "id" -> vs.map(String.valueOf(_: Any))
             case kv => kv
           }
-          val n = cols.headOption.map(_._2.size).getOrElse(0)
-          require(cols.values.forall(_.size == n), "ragged columnar batch")
+          val nAll = cols.headOption.map(_._2.size).getOrElse(0)
+          require(cols.values.forall(_.size == nAll), "ragged columnar batch")
+          val n = math.min(nAll, limit)
           // §1.4 coercion applies on this rung too — every rung must
           // converge on the same DataFrame, so a store handing back Int
           // where the schema says int64 (or datetimes for timestamp
@@ -109,19 +133,27 @@ object DocumentSource {
         try {
           // First batch drives schema inference (first-document semantics,
           // run_example.py:78-106); every batch is converted to coerced
-          // Rows as it streams past, so only one batch of raw documents
-          // is live at a time (the converted Rows — like the reference's
-          // accumulated pandas chunks — are what the local DataFrame
-          // construction inherently holds; a real connector would push
-          // this into a DataSource so batches land on executors instead).
+          // Rows as it streams past, so only one batch of RAW documents
+          // is live at a time. The converted Rows still accumulate on
+          // the driver — O(dataset), same as the reference's appended
+          // pandas chunks — so this rung bounds the raw-document working
+          // set, NOT total driver memory; landing batches on executors
+          // as they arrive needs a real connector DataSource (the noted
+          // long-term fix). The fetch limit short-circuits the cursor:
+          // batches past the cap are never pulled from the store.
           val it = b.fetchBatches(batchSize)
-          if (!it.hasNext)
+          if (!it.hasNext || limit == 0)
             return Fetched(fromDocs(spark, Seq.empty), "cursor", degraded.toSeq)
-          val first = it.next().map(renameId)
+          val first = it.next().take(limit).map(renameId)
           val schema = normalizeIdField(SchemaInfer.inferSchema(first))
           val rows = Vector.newBuilder[org.apache.spark.sql.Row]
           rows ++= first.map(TableIO.toRow(schema, _))
-          while (it.hasNext) rows ++= it.next().map(d => TableIO.toRow(schema, renameId(d)))
+          var have = first.size
+          while (it.hasNext && have < limit) {
+            val batch = it.next().take(limit - have)
+            rows ++= batch.map(d => TableIO.toRow(schema, renameId(d)))
+            have += batch.size
+          }
           val data = rows.result()
           return Fetched(
             spark.createDataFrame(
@@ -134,7 +166,7 @@ object DocumentSource {
       case _ => ()
     }
 
-    Fetched(fromDocs(spark, source.fetch()), "plain", degraded.toSeq)
+    Fetched(fromDocs(spark, source.fetch().take(limit)), "plain", degraded.toSeq)
   }
 
   private def renameId(d: Map[String, Any]): Map[String, Any] =

@@ -64,6 +64,42 @@ class DemoSpec extends SparkSpec {
     assert(r("rows") == "400" && r("exported") == "400")
   }
 
+  test("generate --row-batch-size bounds rows per output file") {
+    val dir = tmpDir("demo-rbs")
+    val r = run("generate", "--rows", "500", "--row-batch-size", "100", "--out", dir)
+    assert(r("rows") == "500")
+    // 500 rows at <=100/file ⇒ at least 5 part files (exactly 5 when the
+    // generator's partitioning aligns; more if a partition boundary splits)
+    assert(r("files").toInt >= 5, s"expected >=5 files, got ${r("files")}")
+    // default (100k/file) keeps the same row count in fewer files
+    val dflt = run("generate", "--rows", "500", "--out", tmpDir("demo-rbs-d"))
+    assert(dflt("files").toInt < r("files").toInt)
+  }
+
+  test("ingest --partitions sets the sink-writer concurrency (≙ --max-workers)") {
+    val dir = tmpDir("demo-part")
+    val gen = run("generate", "--rows", "300", "--out", dir)
+    InMemorySink.clear("demo_part")
+    val r = run("ingest", "--in", gen("path"), "--sink", "demo_part",
+      "--partitions", "3", "--batch-size", "50")
+    assert(r("partitions") == "3", s"partition knob not observed: $r")
+    assert(r("stored") == "300")
+    // 300 rows / 3 partitions / batch 50 ⇒ 2 batches per writer
+    assert(r("batches") == "6", s"expected 6 batches, got ${r("batches")}")
+    InMemorySink.clear("demo_part")
+    intercept[IllegalArgumentException](
+      run("ingest", "--in", gen("path"), "--sink", "demo_part", "--partitions", "0"))
+  }
+
+  test("export --limit caps the fetched documents (run_example.py:152)") {
+    InMemorySink.clear("demo_lim")
+    InMemorySink("demo_lim").insertMany(
+      (1 to 40).map(i => Map[String, Any]("_id" -> i.toLong, "v" -> i * 2L)))
+    val r = run("export", "--sink", "demo_lim", "--out", tmpDir("demo-lim"), "--limit", "15")
+    assert(r("rows") == "15", s"limit not applied: $r")
+    InMemorySink.clear("demo_lim")
+  }
+
   test("bad input fails with usage, not a stack of nulls") {
     intercept[IllegalArgumentException](run("frobnicate"))
     intercept[IllegalArgumentException](run("export", "--out", "/tmp/x")) // missing --sink

@@ -30,6 +30,28 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("scaleSuite x2: facts double with disjoint keys, dims and event-time horizon unchanged") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("suite-scale")
+    ScaleProbe.scaleSuite(spark, sf(), out, 2)
+    for (t <- Seq("documents", "embeddings", "lineitem", "orders", "customer", "events")) {
+      val b = Tables.load(spark, sf(), t).count()
+      assert(Tables.load(spark, out, t).count() == 2 * b, s"$t must replicate x2")
+    }
+    for (t <- Seq("nation", "region", "supplier", "part"))
+      assert(Tables.load(spark, out, t).count() == Tables.load(spark, sf(), t).count(),
+        s"dim $t must keep its real-world shape")
+    // events: replicas get disjoint ids (volume doubles), but event TIME
+    // is untouched — a busier topic, not a longer one, so watermark and
+    // window semantics face 2x density at the same horizon
+    val ev = Tables.load(spark, out, "events")
+    assert(ev.select("event_id").distinct().count() == ev.count())
+    val b = Tables.load(spark, sf(), "events").agg(min("ts"), max("ts")).head
+    val s = ev.agg(min("ts"), max("ts")).head
+    assert(s.getTimestamp(0) == b.getTimestamp(0) && s.getTimestamp(1) == b.getTimestamp(1),
+      "event-time horizon must be unchanged")
+  }
+
   test("scaleTpch key spaces are disjoint across replicas") {
     val out = tmpDir("tpch-scale-keys")
     ScaleProbe.scaleTpch(spark, sf(), out, 2)

@@ -105,6 +105,58 @@ class DocumentSourceSpec extends SparkSpec {
     assert(got.df.count() == 1)
   }
 
+  test("fetch limit caps every rung at the same row count (run_example.py:152)") {
+    val columnar = DocumentSource.toDFResilient(spark,
+      new FakeStore(false, false), limit = 12)
+    assert(columnar.path == "columnar" && columnar.df.count() == 12)
+    val cursor = DocumentSource.toDFResilient(spark,
+      new FakeStore(failColumnar = true, failCursor = false),
+      batchSize = 7, limit = 12)
+    assert(cursor.path == "cursor" && cursor.df.count() == 12)
+    val plain = DocumentSource.toDFResilient(spark,
+      new FakeStore(failColumnar = true, failCursor = true), limit = 12)
+    assert(plain.path == "plain" && plain.df.count() == 12)
+    // the capped prefix is identical across rungs too
+    assert(canonical(columnar.df) == canonical(cursor.df))
+    assert(canonical(columnar.df) == canonical(plain.df))
+  }
+
+  test("cursor rung stops pulling batches once the limit is reached") {
+    var pulled = 0
+    val store = new DocumentSource with BatchedFetch {
+      private val docs = (1 to 100).map(i => Map[String, Any]("_id" -> i.toLong, "v" -> i.toLong))
+      def fetch(): Seq[Map[String, Any]] = docs
+      def fetchBatches(batchSize: Int): Iterator[Seq[Map[String, Any]]] =
+        docs.grouped(batchSize).map { b => pulled += 1; b }
+    }
+    val got = DocumentSource.toDFResilient(spark, store, batchSize = 10, limit = 25)
+    assert(got.df.count() == 25)
+    // 25 rows at batch 10 ⇒ 3 batches pulled, not all 10 — the cap must
+    // short-circuit the cursor, not truncate after a full drain
+    assert(pulled == 3, s"pulled $pulled batches for a 25-row limit")
+  }
+
+  test("columnar rung with both _id and a literal id keeps _id (renameId semantics)") {
+    import org.apache.spark.sql.types._
+    val store = new DocumentSource with ColumnarFetch {
+      def fetch(): Seq[Map[String, Any]] = Seq.empty
+      def fetchColumnar(): (StructType, Map[String, Seq[Any]]) =
+        (StructType(Seq(
+          StructField("_id", LongType), StructField("id", StringType),
+          StructField("v", LongType))),
+          Map("_id" -> Seq(1L, 2L), "id" -> Seq("legacy_a", "legacy_b"),
+            "v" -> Seq(10L, 20L)))
+    }
+    val got = DocumentSource.toDFResilient(spark, store)
+    assert(got.path == "columnar")
+    // exactly ONE id column survives (no duplicate-named schema), and it
+    // carries the store's _id values — matching the row rungs, where
+    // renameId overwrites any literal id with _id
+    assert(got.df.schema.fields.count(_.name == "id") == 1)
+    assert(got.df.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1", "2"))
+  }
+
   test("S9 round-trip: sink → source → DataFrame → parquet → read") {
     InMemorySink.clear("t_source_rt")
     InMemorySink("t_source_rt").insertMany(
