@@ -12,7 +12,11 @@ class QueriesSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set("q08_join_anti", "q09_join_range",
     "q59_range_join_binned", // same band non-overlap as q09 at sf0.001
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine")
+    "dedup_embedding_cosine",
+    // 12-bit radius-2 probing catches ~15%/table of τ=0.45 pairs; at
+    // sf0.001 (7 planted pairs) the deterministic draw lands on 0 — the
+    // sf0.01 oracle row (7 of 14 pairs) is the populated check
+    "dedup_embedding_ann_scaled")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
