@@ -55,28 +55,29 @@ object DedupQueries {
     * form saturates past ~50k vectors (load = n/256) while this one
     * tracks the corpus. 12 bits ≈ log2 of the sf0.1 corpus (5k vectors,
     * load 1.2; the sf0.01 correctness fixture runs under-loaded at 0.12,
-    * which only makes buckets sparser, never wrong). At 1B vectors the
-    * same rule gives 30 bits — still inside the Int-key cap.
+    * which only makes buckets sparser, never wrong). The signatures are
+    * Long keys, so the rule holds to the 100 TB regime: 400B vectors →
+    * ~39 bits, well inside the 62-bit cap.
     */
   val AnnScaledBits = 12
   /** XOR masks enumerating the Hamming ball of the given radius over a
-    * `bits`-wide signature. Width is capped at 31: signatures are Int
-    * bucket keys built with `1 << b`, so bits = 32 would silently wrap
-    * (1 << 32 == 1) and alias buckets — an over-wide configuration must
-    * fail loudly, not lose recall quietly. 31 bits already addresses
-    * 2^31 buckets (load ~1 at two billion vectors per partition-group),
-    * so wider signatures belong to a Long-keyed variant, not this one.
+    * `bits`-wide signature. Signatures are LONG bucket keys (`1L << b`),
+    * so the width rule bits ~ log2(n) holds all the way to the 100 TB
+    * regime — a 400B-vector corpus wants ~39 bits, past an Int key's 31.
+    * Width is capped at 62: bit 63 is the Long sign bit and 62 bits
+    * already address 4.6e18 buckets. An over-wide configuration fails
+    * loudly here instead of wrapping and silently aliasing buckets.
     */
-  def probeMasks(bits: Int, radius: Int): Seq[Int] = {
-    require(bits >= 1 && bits <= 31,
-      s"signature width $bits outside [1, 31]: Int bucket keys wrap at 32 bits")
-    val r1 = (0 until bits).map(1 << _)
+  def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 62,
+      s"signature width $bits outside [1, 62]: Long bucket keys wrap past 62 bits")
+    val r1 = (0 until bits).map(1L << _)
     val r2 = for { i <- 0 until bits; j <- i + 1 until bits }
-      yield (1 << i) | (1 << j)
-    Seq(0) ++ (if (radius >= 1) r1 else Seq.empty) ++
+      yield (1L << i) | (1L << j)
+    Seq(0L) ++ (if (radius >= 1) r1 else Seq.empty) ++
       (if (radius >= 2) r2 else Seq.empty)
   }
-  val AnnProbeMasks: Seq[Int] =
+  val AnnProbeMasks: Seq[Long] =
     probeMasks(SimilarityQueries.NBits, AnnProbeRadius)
 
   /** Bands for the lossless simhash bucket join. Pigeonhole: two
@@ -618,10 +619,10 @@ object DedupQueries {
   private[graft] def embeddingAnnPairs(s: SparkSession, dir: String,
       bits: Int, radius: Int, tables: Int, tau: Double)
       : (DataFrame, DataFrame, DataFrame) = {
-    // same Int-wrap guard as probeMasks: sigCol builds the key with
-    // `1 << b`, so an over-wide width must fail here, before any job runs
-    require(bits >= 1 && bits <= 31,
-      s"signature width $bits outside [1, 31]: Int bucket keys wrap at 32 bits")
+    // same wrap guard as probeMasks: sigCol builds the key with
+    // `1L << b`, so an over-wide width must fail here, before any job runs
+    require(bits >= 1 && bits <= 62,
+      s"signature width $bits outside [1, 62]: Long bucket keys wrap past 62 bits")
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -630,7 +631,7 @@ object DedupQueries {
     def sigCol(t: Int): Column = (0 until bits).map { b =>
       when(VectorOps.dot(col("v"),
         typedLit(SimilarityQueries.hyperplaneSet(t, bits)(b))) >= 0.0,
-        lit(1 << b)).otherwise(lit(0))
+        lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     // all tables' signatures in ONE corpus pass; persisted because the
     // per-table candidate join references the table twice (probe +
@@ -695,11 +696,11 @@ object DedupQueries {
     val masks = probeMasks(bits, radius)
     def sigSql(t: Int): String = (0 until bits).map { b =>
       val lits = SimilarityQueries.hyperplaneSet(t, bits)(b).mkString("[", ", ", "]")
-      s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+      s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
     val perTable = (0 until tables).map { t =>
       val probes = masks.map {
-        case 0 => s"sig_$t"
+        case 0L => s"sig_$t"
         case m => s"xor(sig_$t, $m)"
       }.mkString("[", ", ", "]")
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -171,14 +171,19 @@ class PlanSpec extends SparkSpec {
       "declared scaled ANN dedup must bucket-join, not all-pairs:\n" + p.take(3000))
   }
 
-  test("signature width outside [1,31] fails loudly (Int bucket keys would wrap)") {
+  test("signature width outside [1,62] fails loudly (Long bucket keys would wrap)") {
     intercept[IllegalArgumentException] {
-      graft.queries.DedupQueries.probeMasks(32, 1)
+      graft.queries.DedupQueries.probeMasks(63, 1)
     }
     intercept[IllegalArgumentException] {
       graft.queries.DedupQueries.embeddingAnnPairs(
-        spark, sf(), bits = 40, radius = 1, tables = 2, tau = 0.9)
+        spark, sf(), bits = 70, radius = 1, tables = 2, tau = 0.9)
     }
+    // the 100 TB width rule (bits ~ log2 n → ~39 bits at 400B vectors)
+    // now fits: Long keys carry it without aliasing
+    assert(graft.queries.DedupQueries.probeMasks(40, 1).size == 41)
+    assert(graft.queries.DedupQueries.probeMasks(40, 1).distinct.size == 41,
+      "wide masks must not alias")
   }
 
   test("width-scaled ANN dedup keeps the equi-join shape at production width") {
