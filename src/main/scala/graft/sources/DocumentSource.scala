@@ -58,12 +58,14 @@ object DocumentSource {
     */
   final case class Fetched(df: DataFrame, path: String, degraded: Seq[String])
 
-  /** Capability-probing fetch with graceful degradation, mirroring the
-    * reference's chain: pymongoarrow `find_arrow_all` → pandas-over-cursor
-    * → plain `find` (run_example.py:43-75). The fastest supported path is
-    * tried first; a path that throws is recorded and the next one runs.
-    * Every path converges on the same (`_id`→string `id`, §1.4-coerced)
-    * DataFrame, so callers never see which rung served them.
+  /** Capability-probing fetch with graceful degradation: [EXT] ranged
+    * (DSv2 connector, executor-side range fetch — [[RangedFetch]]) →
+    * then the reference's own chain: pymongoarrow `find_arrow_all` →
+    * pandas-over-cursor → plain `find` (run_example.py:43-75). The
+    * fastest supported path is tried first; a path that throws is
+    * recorded and the next one runs. Every path converges on the same
+    * (`_id`→string `id`, §1.4-coerced) DataFrame, so callers never see
+    * which rung served them.
     *
     * @param limit cap on fetched documents (run_example.py:152's `--limit`
     *              semantics). Applied as each rung materializes rows — the
@@ -76,6 +78,29 @@ object DocumentSource {
       batchSize: Int = 10000, limit: Int = NoLimit): Fetched = {
     require(limit >= 0, s"limit $limit must be >= 0")
     val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    source match {
+      // Top rung [EXT]: range-addressable stores go through the DSv2
+      // connector — each Spark partition fetches its own range on an
+      // executor, so driver memory is O(1) in the dataset (the rung the
+      // cursor path's note points to). load() is schema-inference eager
+      // (first batch), so a store that lies about the capability still
+      // degrades here rather than failing the caller's first action.
+      case r: RangedFetch =>
+        try {
+          val name = s"resilient-${java.lang.System.identityHashCode(source)}"
+          DocumentSourceRegistry.register(name,
+            source.asInstanceOf[DocumentSource with RangedFetch])
+          val reader = spark.read.format("graft.sources.DocumentSourceV2")
+            .option("source", name).option("batch-size", batchSize)
+          val df = (if (limit == NoLimit) reader
+            else reader.option("limit", limit)).load()
+          return Fetched(df, "ranged", degraded.toSeq)
+        } catch { case e: Exception =>
+          degraded += s"ranged: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+        }
+      case _ => ()
+    }
 
     source match {
       case c: ColumnarFetch =>
@@ -137,10 +162,10 @@ object DocumentSource {
           // is live at a time. The converted Rows still accumulate on
           // the driver — O(dataset), same as the reference's appended
           // pandas chunks — so this rung bounds the raw-document working
-          // set, NOT total driver memory; landing batches on executors
-          // as they arrive needs a real connector DataSource (the noted
-          // long-term fix). The fetch limit short-circuits the cursor:
-          // batches past the cap are never pulled from the store.
+          // set, NOT total driver memory; stores that can range-address
+          // (RangedFetch) take the DSv2 rung above instead, which lands
+          // each range on an executor. The fetch limit short-circuits
+          // the cursor: batches past the cap are never pulled.
           val it = b.fetchBatches(batchSize)
           if (!it.hasNext || limit == 0)
             return Fetched(fromDocs(spark, Seq.empty), "cursor", degraded.toSeq)
@@ -169,11 +194,17 @@ object DocumentSource {
     Fetched(fromDocs(spark, source.fetch().take(limit)), "plain", degraded.toSeq)
   }
 
-  private def renameId(d: Map[String, Any]): Map[String, Any] =
+  private[sources] def renameId(d: Map[String, Any]): Map[String, Any] =
     d.get("_id") match {
       case Some(v) => d - "_id" + ("id" -> String.valueOf(v))
       case None => d
     }
+
+  /** Shared with the DSv2 ranged path: `id` is always a string after the
+    * `_id` rename, whatever the store's id type.
+    */
+  private[sources] def normalizeIdSchema(schema: StructType): StructType =
+    normalizeIdField(schema)
 
   private def fromDocs(spark: SparkSession, raw: Seq[Map[String, Any]]): DataFrame = {
     val docs = raw.map(renameId)
