@@ -55,13 +55,24 @@ object DocumentSource {
 
   /** Which fetch path `toDFResilient` ended up on, for the caller's run
     * report (the reference logs its chosen path the same way).
+    *
+    * @param registryName set only on the `ranged-local` path: the
+    *        counter-minted [[DocumentSourceRegistry]] name holding a
+    *        strong reference to the store. Callers should
+    *        `DocumentSourceRegistry.remove(name)` once the DataFrame is
+    *        materialized (or no longer needed) to release it; the
+    *        descriptor-backed `ranged` path registers nothing.
     */
-  final case class Fetched(df: DataFrame, path: String, degraded: Seq[String])
+  final case class Fetched(df: DataFrame, path: String, degraded: Seq[String],
+      registryName: Option[String] = None)
 
   /** Capability-probing fetch with graceful degradation: [EXT] ranged
-    * (DSv2 connector, executor-side range fetch — [[RangedFetch]]) →
-    * then the reference's own chain: pymongoarrow `find_arrow_all` →
-    * pandas-over-cursor → plain `find` (run_example.py:43-75). The
+    * (DSv2 connector, executor-side range fetch — [[RangedFetch]];
+    * cluster-real via a serializable [[RangedDescriptor]] when the
+    * store provides one, else the JVM-local registry fallback labeled
+    * `ranged-local`) → then the reference's own chain: pymongoarrow
+    * `find_arrow_all` → pandas-over-cursor → plain `find`
+    * (run_example.py:43-75). The
     * fastest supported path is tried first; a path that throws is
     * recorded and the next one runs. Every path converges on the same
     * (`_id`→string `id`, §1.4-coerced) DataFrame, so callers never see
@@ -83,20 +94,36 @@ object DocumentSource {
       // Top rung [EXT]: range-addressable stores go through the DSv2
       // connector — each Spark partition fetches its own range on an
       // executor, so driver memory is O(1) in the dataset (the rung the
-      // cursor path's note points to). load() is schema-inference eager
-      // (first batch), so a store that lies about the capability still
-      // degrades here rather than failing the caller's first action.
+      // cursor path's note points to). Stores that provide a
+      // RangedDescriptor take the cluster-real path: the descriptor
+      // rides in the scan options and each task re-opens the store from
+      // it, no driver-JVM state anywhere ("ranged"). Descriptor-less
+      // stores fall back to the per-JVM registry, which only resolves
+      // when driver and executors share a process — hence the honest
+      // "ranged-local" label and the returned registryName for cleanup.
+      // load() is schema-inference eager (first batch), so a store that
+      // lies about the capability still degrades here rather than
+      // failing the caller's first action.
       case r: RangedFetch =>
+        var registered: Option[String] = None
         try {
-          val name = s"resilient-${java.lang.System.identityHashCode(source)}"
-          DocumentSourceRegistry.register(name,
-            source.asInstanceOf[DocumentSource with RangedFetch])
-          val reader = spark.read.format("graft.sources.DocumentSourceV2")
-            .option("source", name).option("batch-size", batchSize)
+          val reader0 = spark.read.format("graft.sources.DocumentSourceV2")
+            .option("batch-size", batchSize)
+          val (reader, label) = r.descriptor match {
+            case Some(d) =>
+              (reader0.option("descriptor", DocumentSourceV2.encodeDescriptor(d)),
+                "ranged")
+            case None =>
+              registered = Some(DocumentSourceRegistry.registerAnonymous(
+                source.asInstanceOf[DocumentSource with RangedFetch]))
+              (reader0.option("source", registered.get), "ranged-local")
+          }
           val df = (if (limit == NoLimit) reader
             else reader.option("limit", limit)).load()
-          return Fetched(df, "ranged", degraded.toSeq)
+          return Fetched(df, label, degraded.toSeq, registered)
         } catch { case e: Exception =>
+          // a failed load() must not leak the anonymous registration
+          registered.foreach(DocumentSourceRegistry.remove)
           degraded += s"ranged: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
         }
       case _ => ()

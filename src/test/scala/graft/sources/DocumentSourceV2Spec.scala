@@ -74,16 +74,25 @@ class DocumentSourceV2Spec extends SparkSpec {
   test("toDFResilient prefers the ranged rung and converges with the plain rung") {
     val store = new RangedStore(500)
     val got = DocumentSource.toDFResilient(spark, store, batchSize = 128)
-    assert(got.path == "ranged", s"expected ranged rung, got ${got.path}")
+    // descriptor-less store: registry fallback, honestly labeled local
+    assert(got.path == "ranged-local", s"expected ranged-local rung, got ${got.path}")
     assert(got.degraded.isEmpty)
+    // the registration is named for cleanup, counter-minted (no collisions)
+    assert(got.registryName.isDefined)
+    assert(DocumentSourceRegistry.names.contains(got.registryName.get))
     val plain = DocumentSource.toDF(spark, store)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "name", "score").collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(canon(got.df) == canon(plain))
+    DocumentSourceRegistry.remove(got.registryName.get)
+    assert(!DocumentSourceRegistry.names.contains(got.registryName.get))
     // the limit flows through the resilient entry too
     val capped = DocumentSource.toDFResilient(spark, store, batchSize = 128, limit = 50)
-    assert(capped.path == "ranged" && capped.df.count() == 50)
+    assert(capped.path == "ranged-local" && capped.df.count() == 50)
+    // distinct registrations get distinct names
+    assert(capped.registryName != got.registryName)
+    capped.registryName.foreach(DocumentSourceRegistry.remove)
   }
 
   test("a store that lies about the ranged capability degrades at load(), not at first action") {
@@ -94,9 +103,12 @@ class DocumentSourceV2Spec extends SparkSpec {
       def fetchRange(start: Int, count: Int): Seq[Map[String, Any]] =
         throw new RuntimeException("range cursor unsupported after all")
     }
+    val before = DocumentSourceRegistry.names
     val got = DocumentSource.toDFResilient(spark, store)
     assert(got.path == "plain")
     assert(got.degraded.exists(_.startsWith("ranged:")))
     assert(got.df.count() == 5)
+    // the failed rung's anonymous registration must not leak
+    assert(DocumentSourceRegistry.names == before)
   }
 }
