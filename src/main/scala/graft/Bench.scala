@@ -24,7 +24,7 @@ object Bench {
     // a handful of 10-25× spikes across unrelated query families turned a
     // 94.5 s suite into 140.7 s). The min of two runs is the standard
     // benchmarking estimator for that (contention only ever ADDS time).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = Env.intVar("SPARK_GRAFT_BENCH_RUNS", 2)
     // Warm shared scan state up front: parquet footer/file-listing caches
     // and the codegen/classloader paths. Every query re-opens the same 10
     // fixture files via Tables.load, so paying the first-touch cost here

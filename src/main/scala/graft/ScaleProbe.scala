@@ -155,6 +155,68 @@ object ScaleProbe {
     replicate("customer", Seq("c_custkey"))
   }
 
+  // ── wide-ANN recall at scale (`annrecall` mode) ──────────────────────
+  // Plants KNOWN near-dup pairs into the ×m vector corpus and measures
+  // how many the width-scaled sign-LSH dedup recovers at the production
+  // configuration (radius 1, 8 tables, τ=0.9, bits = ceil(log2 n)).
+  // Twins perturb each sampled vector by ±20% per dimension (deterministic
+  // sign from hash(vec_id, dim)), which pins the planted cosine into
+  // [0.98, 1.0] — analytically: cos = (1+0.2t)/sqrt(1.04+0.4t) over
+  // t ∈ [-1,1] has its minimum 0.9806 at t=0 — so every planted pair IS a
+  // τ=0.9 true pair, and recall = found-planted / planted needs no
+  // all-pairs oracle pass (which is exactly what's intractable at ×26).
+  val PlantEvery = 10L // sample 1 in 10 vectors for twinning
+  val PlantOff = 1000000000L // twin id offset, beyond any replica's id space
+
+  def scaleAnnRecall(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    replicateVecs(spark, src, s"$out/base", m)
+    val base = spark.read.parquet(s"$out/base/embeddings.parquet")
+    val twins = base.filter(pmod(col("vec_id"), lit(PlantEvery)) === 0)
+      .select(
+        (col("vec_id") + lit(PlantOff)).as("vec_id"),
+        // perturbation is seeded by the ORIGINAL vec_id (input column
+        // scope), so the corpus is bit-reproducible across builds
+        expr("""transform(embedding, (x, j) ->
+             cast(x * (1.0 + CASE WHEN pmod(hash(vec_id * 64 + j), 2) = 0
+                               THEN 0.2 ELSE -0.2 END) as float))""").as("embedding"),
+        col("label"))
+    base.unionByName(twins)
+      .repartition(math.max(4, m))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    new java.io.File(fs, "_DONE").createNewFile()
+    ()
+  }
+
+  private def annRecallProbe(spark: SparkSession, m: Int, runs: Int): Unit = {
+    val dir = s"/tmp/graft_annrecall_x$m"
+    scaleAnnRecall(spark, "/root/testdata/sf0.1", dir, m)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = vecs.count()
+    val planted = vecs.filter(col("vec_id") >= PlantOff).count()
+    // the rule under test: bits ~ log2(n) holds bucket load ~1
+    val bits = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    val timings = (1 to math.max(1, runs)).map { _ =>
+      val t0 = System.nanoTime()
+      val res = queries.DedupQueries.embeddingAnnScaled(spark, dir, bits)
+      // a planted pair is (id, id + PlantOff) with id in the sample
+      val found = res
+        .filter(col("vec_b") - col("vec_a") === PlantOff &&
+          pmod(col("vec_a"), lit(PlantEvery)) === 0)
+        .count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (dt, found)
+    }
+    val found = timings.last._2
+    val recall = if (planted == 0) 0.0 else found.toDouble / planted
+    println(s"""{"metric":"ann_recall","multiplier":$m,"vectors":$n,"bits":$bits,""" +
+      s""""tau":0.9,"radius":1,"tables":8,"planted":$planted,"found":$found,""" +
+      s""""recall":$recall,"sec":${timings.map(_._1).min}}""")
+  }
+
   /** `suite` mode corpus: ALL ten fixture tables at ×m in one directory,
     * so every declared query (not just the dedup/similarity/TPC-H
     * subsets) can run on a scaled corpus. Facts replicate with disjoint
@@ -179,6 +241,7 @@ object ScaleProbe {
     val mode = args.headOption match {
       case Some("tpch") => "tpch"
       case Some("suite") => "suite"
+      case Some("annrecall") => "annrecall"
       case _ => "corpus"
     }
     val rest = if (mode == "corpus") args else args.drop(1)
@@ -187,6 +250,19 @@ object ScaleProbe {
     // past that, replica pairs share a rotation and become exact dups,
     // which silently turns the probe into a duplicate-explosion workload
     require(mode == "tpch" || m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
+    if (mode == "annrecall") {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      annRecallProbe(spark, m, Env.intVar("SPARK_GRAFT_PROBE_RUNS", 1))
+      spark.stop()
+      return
+    }
     val names = if (rest.length > 1) rest.drop(1).toSeq
       else mode match {
         case "tpch" => tpchQueries
@@ -230,7 +306,7 @@ object ScaleProbe {
     }
     // min-of-N like Bench (shared-box contention only ever ADDS time);
     // defaults to 1 because probe corpora are long sweeps
-    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
+    val runs = Env.intVar("SPARK_GRAFT_PROBE_RUNS", 1)
     val results = names.map { name =>
       val timings = (1 to math.max(1, runs)).map { _ =>
         val t0 = System.nanoTime()

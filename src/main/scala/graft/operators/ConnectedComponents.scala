@@ -46,14 +46,24 @@ object ConnectedComponents {
     *              and the loop survives executor loss at the cost of one
     *              small FS write per round (label tables are node-sized,
     *              not corpus-sized). Sets the session's checkpoint dir
-    *              as a side effect if none is configured yet.
+    *              as a side effect ONLY if none is configured yet — an
+    *              application-configured dir wins. Each round's
+    *              checkpoint files are deleted as soon as the next
+    *              round's checkpoint materializes, so a run leaves
+    *              behind exactly ONE rdd-* tree (the one backing the
+    *              returned labels); that final tree is the caller's to
+    *              release (drop the DataFrame with
+    *              `spark.cleaner.referenceTracking.cleanCheckpoints`
+    *              enabled, or clean the directory).
     * @return (node, cluster_id) — cluster_id = min node id reachable.
     */
   def run(edges: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     // setCheckpointDir creates a fresh UUID subdirectory per call, so
-    // repeated runs against the same durable path never collide.
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // repeated runs against the same durable path never collide; an
+    // already-configured session dir is left alone (see scaladoc).
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     val e = edges.toDF("u", "v")
     // symmetrize in ONE scan (explode both directions per input row):
     // union(e, e.swap) reads the upstream edge pipeline twice, which is
@@ -82,6 +92,9 @@ object ConnectedComponents {
     var prevSum: java.math.BigDecimal = null
     var changed = true
     var iter = 0
+    // reliable mode: the file tree backing the PREVIOUS round's labels,
+    // deletable once the current round's checkpoint has materialized
+    var prevCkptFile: Option[String] = None
     while (changed && iter < maxIter) {
       // neighbour labels: adj(u,v) ⋈ labels(v) → candidate labels for u
       val candidates = adj.join(labels, adj("v") === labels("node"))
@@ -107,6 +120,19 @@ object ConnectedComponents {
       labels.unpersist()
       labels = next
       iter += 1
+      // Round i's reliable checkpoint is dead the moment round i+1's has
+      // materialized (the sum action above): next's plan is a scan of its
+      // OWN files, with no lineage back. Without this, a maxIter=50 run
+      // leaves up to 50 node-sized rdd-* trees in the durable path —
+      // Spark only reclaims checkpoints via the ContextCleaner, and only
+      // with spark.cleaner.referenceTracking.cleanCheckpoints enabled.
+      if (checkpointDir.isDefined) {
+        prevCkptFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        }
+        prevCkptFile = checkpointFileOf(labels)
+      }
     }
     // A silent non-converged return would let a curation pipeline keep
     // multiple "canonical" docs per cluster with no signal anything is
@@ -120,4 +146,16 @@ object ConnectedComponents {
     adj.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
+
+  /** Reliable-checkpoint file tree backing a just-checkpointed Dataset:
+    * `Dataset.checkpoint` returns a plan that is a bare scan of the
+    * checkpointed internal RDD, so the file path is on that RDD. None
+    * for localCheckpoint / non-checkpoint plans — the cleanup above then
+    * simply skips (never deletes something it can't attribute).
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
 }

@@ -93,13 +93,31 @@ object DedupQueries {
     * width = 60/(d+1).
     */
   val SimhashBandCount: Int = SimhashMaxHamming + 1 // 13
-  /** (bit offset, width) per band: 8 bands of 5 bits + 5 of 4 = 60. */
-  val SimhashBandDefs: Seq[(Int, Int)] = {
-    val base = 60 / SimhashBandCount
-    val extra = 60 % SimhashBandCount
-    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(SimhashBandCount - extra)(base)
+  /** Max Hamming for the TIGHT banded form — the classic production
+    * radius (Manku et al. WWW'07 run d=3 over 64-bit signatures). bands
+    * = d+1 = 4 of 15 bits ⇒ 32k bucket values per band, ~2^15× harder
+    * pruning than the 13 narrow bands the loose declared radius forces:
+    * candidate volume per band is Σ load² over buckets, so bucket count
+    * is the whole game. This is the regime where banded simhash is
+    * linear in the TRUE pair count rather than the fixture's Θ(n²)-dense
+    * admitted set.
+    */
+  val SimhashTightMaxHamming = 3
+  /** (bit offset, width) per band for a given radius: bands = radius+1
+    * (pigeonhole losslessness needs MORE bands than differing bits),
+    * widths split 60 as evenly as possible — e.g. radius 12 → 8 bands of
+    * 5 bits + 5 of 4; radius 3 → 4 bands of 15.
+    */
+  def simhashBandDefs(maxHamming: Int): Seq[(Int, Int)] = {
+    val bands = maxHamming + 1
+    require(bands >= 1 && bands <= 60, s"radius $maxHamming needs $bands bands, outside [1, 60]")
+    val base = 60 / bands
+    val extra = 60 % bands
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(bands - extra)(base)
     widths.scanLeft(0)(_ + _).zip(widths)
   }
+  /** (bit offset, width) per band: 8 bands of 5 bits + 5 of 4 = 60. */
+  val SimhashBandDefs: Seq[(Int, Int)] = simhashBandDefs(SimhashMaxHamming)
 
   /** 60-bit integer from md5 — Spark SQL dialect. */
   private def h60Spark(e: String): String =
@@ -191,11 +209,13 @@ object DedupQueries {
     * (the checkpointed result's plan is just a scan).
     */
   private[graft] def simhashBandedPairs(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String,
+      maxHamming: Int = SimhashMaxHamming): (DataFrame, DataFrame) = {
+    val bandDefs = simhashBandDefs(maxHamming)
     val docs = simhashSigs(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
-    val bandVals = array(SimhashBandDefs.map { case (off, w) =>
+    val bandVals = array(bandDefs.map { case (off, w) =>
       expr(s"shiftright(simhash, $off) & ${(1L << w) - 1}L")
     }: _*)
     val banded = docs.select(col("doc_id"), col("simhash"),
@@ -208,7 +228,7 @@ object DedupQueries {
     // radius 12 qualifies 44% of ALL pairs, so the OUTPUT is Θ(n²)-dense
     // by construction and no candidate scheme can be sublinear in it; at
     // a production radius the same plan prunes like classic LSH).
-    val firstBand = expr("CASE " + SimhashBandDefs.zipWithIndex.map {
+    val firstBand = expr("CASE " + bandDefs.zipWithIndex.map {
       case ((off, w), i) =>
         val m = (1L << w) - 1
         s"WHEN (shiftright(a.simhash, $off) & ${m}L) = (shiftright(b.simhash, $off) & ${m}L) THEN $i"
@@ -221,7 +241,7 @@ object DedupQueries {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
+      .filter(col("hamming") <= maxHamming)
     // NO global orderBy: the output is the one Θ(n²)-dense pair set in
     // the suite (the fixture radius admits 44% of all pairs), and a total
     // sort is a full range-partition shuffle of it — the single biggest
@@ -235,7 +255,9 @@ object DedupQueries {
   /** All-pairs simhash oracle — tractable at fixture scale in DuckDB, and
     * (banding being lossless) the oracle for BOTH declared forms.
     */
-  private def simhashPairsDuckSql: String =
+  private def simhashPairsDuckSql: String = simhashPairsDuckSqlAt(SimhashMaxHamming)
+
+  private def simhashPairsDuckSqlAt(maxHamming: Int): String =
     s"""WITH hashed AS (
           SELECT doc_id,
             list_transform(list_distinct(string_split(lower(text), ' ')), t -> ${h60Duck("t")}) AS hs
@@ -249,7 +271,7 @@ object DedupQueries {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
         ORDER BY doc_a, doc_b"""
 
   private def jaccard(a: Column, b: Column): Column =
@@ -517,6 +539,29 @@ object DedupQueries {
       Some(simhashPairsDuckSql),
       doc = "Banded simhash bucket join (Manku et al. WWW'07 shape): " +
         "replaces the all-pairs compare; pair set provably equal."),
+
+    // ── SimHash near-dup, banded at the PRODUCTION radius ────────────
+    // Same pipeline as dedup_simhash_banded with the radius knob at the
+    // classic d=3 (4 bands × 15 bits, the Manku WWW'07 configuration):
+    // 32k bucket values per band prune ~2^15× harder than the loose
+    // radius's 13 narrow bands, so candidate volume — Σ load² per band —
+    // collapses to near the TRUE pair count. The loose form exists
+    // because the fixture DECLARES radius 12; this is the regime a
+    // 100 TB dedup actually runs in, and the ×26 probe shows the
+    // linear-in-true-pairs cost (BASELINE.md).
+    QueryDef(
+      "dedup_simhash_banded_tight",
+      (s, dir) => {
+        val (pairs, docs) = simhashBandedPairs(s, dir, SimhashTightMaxHamming)
+        selfContained(pairs, docs)
+      },
+      // lossless at radius 3 by the same pigeonhole (4 bands > 3 bits),
+      // so the all-pairs SQL at the tight threshold IS the oracle
+      Some(simhashPairsDuckSqlAt(SimhashTightMaxHamming)),
+      doc = "Banded simhash at the production radius d=3 (4 bands of 15 " +
+        "bits): the pruning regime where the bucket join is linear in " +
+        "the true pair count; dedup_simhash_banded is the loose-radius " +
+        "declared form."),
 
     // ── embedding cosine near-dup ────────────────────────────────────
     QueryDef(

@@ -91,12 +91,36 @@ class ConnectedComponentsSpec extends SparkSpec {
         checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == unionFind(edges))
-    // the rounds must actually have cut over to reliable storage: the
-    // checkpoint dir contains one rdd-* subtree per round
+    // the rounds must actually have cut over to reliable storage — and
+    // superseded rounds must have been deleted as the loop advanced, so
+    // exactly ONE rdd-* tree remains: the one backing the returned labels
     val ckpts = new java.io.File(dir).listFiles()
     assert(ckpts != null && ckpts.nonEmpty, s"no checkpoint data under $dir")
     val rdds = ckpts.flatMap(d =>
       Option(d.listFiles()).getOrElse(Array.empty).filter(_.getName.startsWith("rdd-")))
-    assert(rdds.nonEmpty, s"expected rdd-* checkpoint dirs under $dir")
+    assert(rdds.length == 1,
+      s"expected exactly the final round's rdd-* tree, got ${rdds.toSeq}")
+  }
+
+  test("an application-configured checkpoint dir is not clobbered by the checkpointDir arg") {
+    import spark.implicits._
+    val appDir = java.nio.file.Files.createTempDirectory("graft_cc_app").toString
+    val argDir = java.nio.file.Files.createTempDirectory("graft_cc_arg").toString
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    try {
+      sc.setCheckpointDir(appDir)
+      val configured = sc.getCheckpointDir
+      val got = ConnectedComponents.run(Seq((1L, 2L), (2L, 3L)).toDF("u", "v"),
+          checkpointDir = Some(argDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // session config wins: dir unchanged, rounds landed under appDir
+      assert(sc.getCheckpointDir == configured)
+      assert(Option(new java.io.File(argDir).listFiles()).forall(_.isEmpty),
+        "arg dir must be untouched when the session already has one")
+    } finally
+      // restore whatever the suite had (usually unset → point at a temp)
+      before.foreach(sc.setCheckpointDir)
   }
 }
