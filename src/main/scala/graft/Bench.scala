@@ -28,13 +28,24 @@ object Bench {
     // Warm shared scan state up front: parquet footer/file-listing caches
     // and the codegen/classloader paths. Every query re-opens the same 10
     // fixture files via Tables.load, so paying the first-touch cost here
-    // keeps it out of whichever query runs first.
+    // keeps it out of whichever query runs first. Beyond the scans, one
+    // representative light aggregate plus the two documents-corpus dedup
+    // heavies run once UNTIMED: their first execution carries the JVM's
+    // global warmup (C2-compiling the shingle/band codegen, shuffle +
+    // block-manager paths, localCheckpoint storage) — first-touch cost,
+    // not plan cost, and exactly what the min-of-N estimator is supposed
+    // to exclude (round-8 driver runs still showed an 8x first-touch
+    // residue on these two lines under shared-box IO).
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).foreach(_ => ())
       catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q10_agg_basic")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    Seq("q10_agg_basic", "dedup_ngram_jaccard", "dedup_simhash_banded")
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

@@ -302,6 +302,12 @@ object ScaleProbe {
     val Wide = raw"dedup_embedding_ann_w(\d+)".r
     def runQuery(name: String): org.apache.spark.sql.DataFrame = name match {
       case Wide(bits) => queries.DedupQueries.embeddingAnnScaled(spark, dir, bits.toInt)
+      // pseudo-name: dedup_cluster_cc with per-round RELIABLE checkpoints
+      // (the executor-loss-safe mode) — the localCheckpoint delta is the
+      // cluster-durability tax (VERDICT r8 item 7)
+      case "dedup_cluster_cc_ckpt" =>
+        queries.DedupQueries.clusterCc(spark, dir,
+          Some(s"/tmp/graft_cc_reliable_x$m"))
       case _ => SparkEntry.queries(name)(spark, dir)
     }
     // min-of-N like Bench (shared-box contention only ever ADDS time);

@@ -287,6 +287,25 @@ object DedupQueries {
     * unordered — shared by `dedup_minhash_lsh` (pair listing) and
     * `dedup_cluster_cc` (component resolution over the pair graph).
     */
+  /** dedup_cluster_cc's pipeline with the durability knob exposed:
+    * LSH pair graph → connected components → per-cluster sizes. The
+    * declared query runs localCheckpoint (single box); ScaleProbe's
+    * `dedup_cluster_cc_ckpt` pseudo-name runs the same pipeline with
+    * per-round RELIABLE checkpoints to measure the cluster-durability
+    * tax (BASELINE.md).
+    */
+  def clusterCc(s: SparkSession, dir: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.ConnectedComponents.run(
+      edges, checkpointDir = checkpointDir)
+    val w = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("cluster_id"), col("node").as("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Persist each narrow stage: without the InMemoryRelation barriers,
     // CollapseProject inlines the shingle-hash expression into all 32
@@ -473,15 +492,7 @@ object DedupQueries {
     // graft.operators.ConnectedComponents for the 100 TB notes).
     QueryDef(
       "dedup_cluster_cc",
-      (s, dir) => {
-        val edges = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        val labels = graft.operators.ConnectedComponents.run(edges)
-        val w = Window.partitionBy(col("cluster_id"))
-        labels
-          .select(col("cluster_id"), col("node").as("doc_id"))
-          .withColumn("cluster_size", count(lit(1)).over(w))
-          .orderBy(col("cluster_id"), col("doc_id"))
-      },
+      (s, dir) => clusterCc(s, dir),
       Some(s"""$minhashPairsDuckCteRecursive,
           und AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -127,6 +127,94 @@ object Round6Queries {
         ORDER BY l_orderkey, l_linenumber LIMIT 50"""),
       doc = "Keyset (seek) pagination after cursor (300, 2): the " +
         "predicate reaches PushedFilters, so each page is an index-like " +
-        "seek instead of OFFSET's scan-and-discard.")
+        "seek instead of OFFSET's scan-and-discard."),
+
+    // ── TPC-H Q2: minimum-cost supplier (correlated scalar subquery) ──
+    // The decorrelation macro: the WHERE-clause scalar subquery
+    // correlates on p_partkey, and Catalyst rewrites it into a
+    // min-aggregate joined back on the correlation key (one extra
+    // orderkey-sized shuffle) instead of re-running the subquery per
+    // outer row — at 100 TB the difference between one pass and n
+    // passes over the supply side. Identical SQL text runs on both
+    // engines (both decorrelate; DuckDB's result is the oracle).
+    //
+    // Fixture adaptation: no partsupp table exists (TESTDATA.md), so
+    // lineitem plays the part-supplier price list and l_extendedprice
+    // stands in for ps_supplycost — min() over DOUBLE is exact on both
+    // engines (no summation order involved). DISTINCT because a
+    // (part, supplier) pair can hit the regional minimum on several
+    // lineitems; TPC-H proper gets uniqueness from partsupp's PK.
+    QueryDef(
+      "q_tpch02",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(tpch02Sql)
+      },
+      Some(tpch02Sql),
+      doc = "TPC-H Q2 adapted (lineitem as the supply price list): " +
+        "correlated min-subquery per part within a region, decorrelated " +
+        "by Catalyst into an aggregate + join-back."),
+
+    // ── TPC-H Q21: waiting suppliers (semi-join + anti-join stack) ───
+    // The multi-(anti-)join macro: one EXISTS (another supplier shipped
+    // in the same order) and one NOT EXISTS (no OTHER supplier was
+    // late in it) over the same fact table, both correlated on
+    // l_orderkey. Catalyst turns them into a left-semi and a left-anti
+    // hash join on the orderkey — the whole stack is shuffle-bounded by
+    // the fact table, with no per-row subquery execution. The NOT
+    // EXISTS also correlates on o_orderdate from the OUTER order row —
+    // the nested-correlation shape that breaks naive decorrelation.
+    //
+    // Fixture adaptation: no l_commitdate/l_receiptdate, so "late" is
+    // l_shipdate > o_orderdate + 90 days (same-order correlation keeps
+    // the shape); no s_comment/nation filter subsetting — every nation
+    // reports, which keeps the fixture result non-trivial at sf0.001.
+    QueryDef(
+      "q_tpch21",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(tpch21Sql)
+      },
+      Some(tpch21Sql),
+      doc = "TPC-H Q21 adapted (lateness from shipdate vs order date): " +
+        "EXISTS + correlated NOT EXISTS over lineitem, compiled to " +
+        "left-semi + left-anti joins on l_orderkey.")
   )
+
+  /** Shared Spark/DuckDB SQL for q_tpch02 (dialect-common subset). */
+  private def tpch02Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+          l_extendedprice AS supplycost
+        FROM part, lineitem, supplier, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_type = 'ECONOMY' AND p_size <= 15
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch21 (dialect-common subset). */
+  private def tpch21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND s_nationkey = n_nationkey
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
 }

@@ -51,7 +51,12 @@ class TpchMetricsSpec extends SparkSpec {
     "q_tpch03" -> (2, 0.035), // measured: 2 exchanges, ratio 0.016
     "q_tpch05" -> (2, 0.005), // measured: 2 exchanges, ratio 0.0001
     "q_tpch10" -> (2, 0.012), // measured: 2 exchanges, ratio 0.005
-    "q_tpch18" -> (2, 0.400)) // measured: 2 exchanges, ratio 0.193
+    "q_tpch18" -> (2, 0.400), // measured: 2 exchanges, ratio 0.193
+    // q_tpch02's decorrelated plan legitimately carries more exchanges
+    // than the flat macros: the min-aggregate + join-back adds a
+    // partkey-keyed shuffle pair on top of the outer join tree
+    "q_tpch02" -> (6, 0.080), // measured: 6 exchanges, ratio 0.038
+    "q_tpch21" -> (2, 0.005)) // measured: 2 exchanges, ratio 0.001
 
   expected.foreach { case (name, (maxExchanges, maxShuffleRatio)) =>
     test(s"$name: bounded shuffle count and shuffle/scan volume ratio") {
