@@ -126,7 +126,8 @@ object ScaleProbe {
   // full sort) holds when the fact side grows 10×.
   val KeyOff = 100000000L
 
-  val tpchQueries: Seq[String] = Seq("q_tpch03", "q_tpch05", "q_tpch10", "q_tpch18")
+  val tpchQueries: Seq[String] = Seq(
+    "q_tpch02", "q_tpch03", "q_tpch05", "q_tpch10", "q_tpch18", "q_tpch21")
 
   def scaleTpch(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     val fs = new java.io.File(out)

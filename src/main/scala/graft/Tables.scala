@@ -35,10 +35,16 @@ object Tables {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
-  /** Register all fixture tables as temp views so `spark.sql` queries
+  /** Register fixture tables as temp views so `spark.sql` queries
     * (subqueries, EXISTS, grouping sets) can reference them by name —
-    * the same names the DuckDB oracle uses.
+    * the same names the DuckDB oracle uses. Queries that know their
+    * table set should pass it: registering only what a query touches
+    * keeps it runnable on partial corpora (the TPC-H scale probes ship
+    * only the seven relational tables).
     */
+  def register(spark: SparkSession, dir: String, tables: Seq[String]): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names)
 }

@@ -147,7 +147,8 @@ object Round6Queries {
     QueryDef(
       "q_tpch02",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir,
+          Seq("part", "lineitem", "supplier", "nation", "region"))
         s.sql(tpch02Sql)
       },
       Some(tpch02Sql),
@@ -172,7 +173,8 @@ object Round6Queries {
     QueryDef(
       "q_tpch21",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir,
+          Seq("supplier", "lineitem", "orders", "nation"))
         s.sql(tpch21Sql)
       },
       Some(tpch21Sql),

@@ -33,6 +33,23 @@ class DedupScalePathSpec extends SparkSpec {
     assert(allPairs.nonEmpty, "fixture must exercise the operator")
   }
 
+  test("tight-radius banded form equals the all-pairs set at its threshold (lossless at d=3 too)") {
+    // the production-radius variant (4 bands of 15 bits) must ALSO be
+    // exactly lossless by the same pigeonhole — at its own threshold:
+    // the loose all-pairs set filtered to hamming <= 3
+    import org.apache.spark.sql.functions.col
+    val allPairsTight = {
+      val fn = QueryDef.toQueriesMap(DedupQueries.defs)("dedup_simhash")
+      fn(spark, sf()).filter(col("hamming") <= DedupQueries.SimhashTightMaxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val tight = run("dedup_simhash_banded_tight")
+    assert(tight == allPairsTight,
+      s"tight banding must be lossless: missing=${(allPairsTight -- tight).take(5)} " +
+        s"extra=${(tight -- allPairsTight).take(5)}")
+    assert(tight.nonEmpty, "fixture must exercise the tight operator")
+  }
+
   test("dedup_embedding_ann: perfect precision, recall >= 0.8 on fixture") {
     // sf0.01 — the correctness-gate fixture (14 planted pairs; sf0.001
     // has only 7, where one miss swings recall by 0.14)
