@@ -180,8 +180,80 @@ object Round6Queries {
       Some(tpch21Sql),
       doc = "TPC-H Q21 adapted (lateness from shipdate vs order date): " +
         "EXISTS + correlated NOT EXISTS over lineitem, compiled to " +
-        "left-semi + left-anti joins on l_orderkey.")
+        "left-semi + left-anti joins on l_orderkey."),
+
+    // ── TPC-H Q1: pricing summary (the canonical scan-heavy agg) ─────
+    // One full-fact scan → 8 aggregates over 2 grouping keys: the
+    // whole-stage-codegen showcase — partial aggregation means the
+    // shuffle carries 6 rows however big lineitem is. Averages are
+    // computed as exact decimal sums divided ONCE as doubles, so both
+    // engines do the identical single division (Spark's avg() returns
+    // decimal for decimal input while DuckDB's returns double — the
+    // explicit sum/count form sidesteps the dialect divergence).
+    QueryDef(
+      "q_tpch01",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem"))
+        s.sql(tpch01Sql)
+      },
+      Some(tpch01Sql),
+      doc = "TPC-H Q1: full-scan pricing summary, map-side partials " +
+        "reduce the shuffle to group-count rows; decimal-exact sums, " +
+        "one double division per average."),
+
+    // ── TPC-H Q22: dormant high-balance customers ────────────────────
+    // The uncorrelated-scalar-subquery + anti-join macro: the global
+    // average computes ONCE (a one-row broadcast, not a per-row
+    // subquery), and the NOT EXISTS compiles to a left-anti join on
+    // o_custkey. round(avg, 2) absorbs the cross-engine ulp difference
+    // of a double summation (fixture min |acctbal − threshold| ≈ 0.98,
+    // far above any ulp effect).
+    //
+    // Fixture adaptation: every customer has at least one order, so the
+    // TPC-H "no orders at all" predicate is vacuous here; "no OPEN
+    // orders" (o_orderstatus = 'O') keeps the anti-join selective. No
+    // phone country codes in the fixture; the positive-balance filter
+    // inside the subquery is retained.
+    QueryDef(
+      "q_tpch22",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("customer", "orders", "nation"))
+        s.sql(tpch22Sql)
+      },
+      Some(tpch22Sql),
+      doc = "TPC-H Q22 adapted (dormant = no OPEN orders): uncorrelated " +
+        "scalar average broadcast once + left-anti join on o_custkey.")
   )
+
+  /** Shared Spark/DuckDB SQL for q_tpch01 (dialect-common subset). */
+  private def tpch01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+          CAST(CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch22 (dialect-common subset). */
+  private def tpch22Sql: String =
+    """SELECT n_name, count(*) AS numcust,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS totacctbal
+        FROM customer, nation
+        WHERE c_nationkey = n_nationkey
+          AND c_acctbal > (
+            SELECT round(avg(c_acctbal), 2) FROM customer
+            WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        GROUP BY n_name ORDER BY n_name"""
 
   /** Shared Spark/DuckDB SQL for q_tpch02 (dialect-common subset). */
   private def tpch02Sql: String =

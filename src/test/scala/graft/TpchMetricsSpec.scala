@@ -56,7 +56,11 @@ class TpchMetricsSpec extends SparkSpec {
     // than the flat macros: the min-aggregate + join-back adds a
     // partkey-keyed shuffle pair on top of the outer join tree
     "q_tpch02" -> (6, 0.080), // measured: 6 exchanges, ratio 0.038
-    "q_tpch21" -> (2, 0.005)) // measured: 2 exchanges, ratio 0.001
+    "q_tpch21" -> (2, 0.005), // measured: 2 exchanges, ratio 0.001
+    // q_tpch01's shuffle carries 12 records for a 60k-row scan — the
+    // partial-aggregation shape in its purest form
+    "q_tpch01" -> (2, 0.001), // measured: 2 exchanges, ratio 0.0002
+    "q_tpch22" -> (5, 0.005)) // measured: 5 exchanges, ratio 0.001
 
   expected.foreach { case (name, (maxExchanges, maxShuffleRatio)) =>
     test(s"$name: bounded shuffle count and shuffle/scan volume ratio") {
