@@ -132,6 +132,31 @@ class PlanSpec extends SparkSpec {
       "banded simhash must bucket-join, not all-pairs:\n" + p.take(3000))
   }
 
+  test("tight-radius banded simhash keeps the bucket equi-join shape (d=3, 4 bands)") {
+    val (pairs, docs) = graft.queries.DedupQueries.simhashBandedPairs(
+      spark, sf(), graft.queries.DedupQueries.SimhashTightMaxHamming)
+    val p = try pairs.queryExecution.executedPlan.toString
+      finally docs.unpersist(false)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "tight banded simhash must bucket-join, not all-pairs:\n" + p.take(3000))
+  }
+
+  test("q_tpch02's correlated subquery is decorrelated (no per-row subplans)") {
+    val p = plan("q_tpch02")
+    // Catalyst must rewrite the scalar min-subquery into an aggregate
+    // joined back on the correlation key: the executed plan then contains
+    // NO subquery nodes and no nested-loop join — a per-row re-execution
+    // would surface as either
+    assert(!p.contains("Subquery") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "Q2's min-subquery must decorrelate into an aggregate + join-back:\n" +
+        p.take(3000))
+    assert(p.contains("min(l_extendedprice)"),
+      "decorrelated min-aggregate missing:\n" + p.take(3000))
+  }
+
   test("dedup_embedding_ann candidates come from an equi-join on the signature") {
     val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(spark, sf())
     val p = try pairs.queryExecution.executedPlan.toString
