@@ -163,8 +163,9 @@ object ScaleProbe {
   // configuration (radius 1, 8 tables, τ=0.9, bits = ceil(log2 n)).
   // Twins perturb each sampled vector by ±20% per dimension (deterministic
   // sign from hash(vec_id, dim)), which pins the planted cosine into
-  // [0.98, 1.0] — analytically: cos = (1+0.2t)/sqrt(1.04+0.4t) over
-  // t ∈ [-1,1] has its minimum 0.9806 at t=0 — so every planted pair IS a
+  // [sqrt(0.96), 1.0] — analytically: cos = (1+0.2t)/sqrt(1.04+0.4t) over
+  // sign-mass imbalance t ∈ [-1,1] has its minimum sqrt(0.96) ≈ 0.9798 at
+  // t = -0.2 (ScaleProbeSpec pins the floor) — so every planted pair IS a
   // τ=0.9 true pair, and recall = found-planted / planted needs no
   // all-pairs oracle pass (which is exactly what's intractable at ×26).
   val PlantEvery = 10L // sample 1 in 10 vectors for twinning

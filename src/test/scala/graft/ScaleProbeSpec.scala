@@ -61,4 +61,35 @@ class ScaleProbeSpec extends SparkSpec {
     // key shift must keep replicas disjoint: distinct orderkeys double too
     assert(scaled.select("o_orderkey").distinct().count() == 2 * base)
   }
+
+  test("annrecall corpus: every planted twin is a true tau=0.9 pair, ids disjoint") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("annrecall-scale")
+    ScaleProbe.scaleAnnRecall(spark, sf(), out, 2)
+    val vecs = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = vecs.filter(col("vec_id") < ScaleProbe.PlantOff)
+    val twins = vecs.filter(col("vec_id") >= ScaleProbe.PlantOff)
+    assert(twins.count() ==
+      base.filter(pmod(col("vec_id"), lit(ScaleProbe.PlantEvery)) === 0).count(),
+      "one twin per sampled base vector")
+    // the ±20% deterministic perturbation pins planted cosine into
+    // [sqrt(0.96), 1.0] analytically: cos(t) = (1+0.2t)/sqrt(1.04+0.4t)
+    // over sign-mass imbalance t ∈ [−1,1] has its minimum sqrt(0.96) ≈
+    // 0.9798 at t = −0.2 — the invariant the probe's no-oracle recall
+    // measurement stands on (every planted pair is a τ=0.9 true pair)
+    val pairs = base.as("a").join(twins.as("b"),
+        col("b.vec_id") === col("a.vec_id") + ScaleProbe.PlantOff)
+      .select(
+        graft.queries.VectorOps.dot(
+          graft.queries.VectorOps.toDouble(col("a.embedding")),
+          graft.queries.VectorOps.toDouble(col("b.embedding")))
+          .divide(
+            graft.queries.VectorOps.norm(graft.queries.VectorOps.toDouble(col("a.embedding"))) *
+            graft.queries.VectorOps.norm(graft.queries.VectorOps.toDouble(col("b.embedding"))))
+          .as("cosine"))
+    val stats = pairs.agg(min(col("cosine")), max(col("cosine"))).head
+    assert(stats.getDouble(0) >= math.sqrt(0.96) - 1e-9,
+      s"planted cosine floor violated: min = ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) <= 1.0 + 1e-9)
+  }
 }
