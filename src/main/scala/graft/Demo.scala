@@ -24,6 +24,13 @@ import graft.sources.{DocumentSource, Generators, Ingest, InMemorySink, TableIO}
   *                                             read back and previewed;
   *                                             N caps fetched docs
   *                                             (≙ --limit, run_example.py:152)
+  *   export-jsonl --store DIR --out DIR [--limit N] [--batch-size B]
+  *                                             JSONL store on shared storage
+  *                                             → DSv2 descriptor read →
+  *                                             parquet; the CLUSTER-REAL
+  *                                             export path (S15): each task
+  *                                             opens the store from the
+  *                                             serializable descriptor
   *   roundtrip [--rows N] --out DIR            generate → ingest → export →
   *                                             count check, end to end
   *
@@ -66,6 +73,7 @@ object Demo {
       |  ingest    --in PARQUET --sink NAME [--batch-size B] [--upsert PK[,PK..]]
       |            [--partitions P] [--dry-run]
       |  export    --sink NAME --out DIR [--limit N]
+      |  export-jsonl --store DIR --out DIR [--limit N] [--batch-size B]
       |  roundtrip [--rows N] --out DIR""".stripMargin
 
   /** Runs one mode; returns a small report map (printed by main, asserted
@@ -143,6 +151,28 @@ object Demo {
         Map("rows" -> back.count().toString, "path" -> path,
           "fetch_path" -> fetched.path,
           "schema" -> back.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(","))
+
+      case "export-jsonl" =>
+        // Store-on-shared-storage → DSv2 descriptor read → parquet: the
+        // cluster-real half of the export surface. Unlike `export` (an
+        // in-process sink, served by the plain rung), every Spark task
+        // here re-opens the JSONL store from the serializable descriptor
+        // riding in its own input partition — fetch_path reports
+        // "ranged", and the partition count is the planned range count.
+        val limit = args.int("limit", DocumentSource.NoLimit)
+        require(limit >= 0, s"--limit must be >= 0\n$usage")
+        val fetched = DocumentSource.toDFResilient(spark,
+          new graft.sources.JsonlDocumentStore(args.str("store")),
+          batchSize = args.int("batch-size", 10000), limit = limit)
+        val jpath = s"${args.str("out")}/exported.parquet"
+        TableIO.write(fetched.df, jpath)
+        val jback = TableIO.read(spark, jpath)
+        jback.show(5, truncate = false)
+        Map("rows" -> jback.count().toString, "path" -> jpath,
+          "fetch_path" -> fetched.path,
+          "partitions" -> fetched.df.rdd.getNumPartitions.toString,
+          "schema" -> jback.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
             .mkString(","))
 
       case "roundtrip" =>

@@ -57,6 +57,25 @@ class DemoSpec extends SparkSpec {
     InMemorySink.clear("demo_exp")
   }
 
+  test("export-jsonl mode runs the cluster-real descriptor path end to end") {
+    val store = tmpDir("demo-jsonl-store")
+    graft.sources.JsonlStore.write(store,
+      (1 to 120).map(i => Map[String, Any](
+        "_id" -> i.toLong, "name" -> s"d$i", "score" -> i * 0.5)),
+      maxPerFile = 50)
+    val dir = tmpDir("demo-jsonl-out")
+    val r = run("export-jsonl", "--store", store, "--out", dir,
+      "--batch-size", "32")
+    assert(r("rows") == "120")
+    assert(r("fetch_path") == "ranged", s"expected the descriptor rung: $r")
+    assert(r("partitions") == "4") // ceil(120/32) planned ranges
+    assert(r("schema").contains("id:string"))
+    // --limit caps at partition-planning time here too
+    val capped = run("export-jsonl", "--store", store, "--out", dir,
+      "--batch-size", "32", "--limit", "40")
+    assert(capped("rows") == "40" && capped("partitions") == "2")
+  }
+
   test("roundtrip mode: generate → ingest → export agree on row count") {
     val dir = tmpDir("demo-rt")
     val r = run("roundtrip", "--rows", "400", "--out", dir)
