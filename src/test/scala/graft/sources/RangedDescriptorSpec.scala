@@ -86,6 +86,31 @@ class RangedDescriptorSpec extends SparkSpec {
     assert(df.count() == 40)
   }
 
+  test("edge cases: empty store reads as empty, ragged docs follow first-doc schema") {
+    // empty directory → total 0, zero planned ranges, empty DataFrame
+    val empty = Files.createTempDirectory("graft_jsonl_empty").toFile.getAbsolutePath
+    JsonlStore.write(empty, Seq.empty)
+    val es = new JsonlDocumentStore(empty)
+    assert(es.total() == 0 && es.fetch().isEmpty)
+    val got = DocumentSource.toDFResilient(spark, es)
+    assert(got.path == "ranged" && got.df.count() == 0)
+    // ragged documents: schema comes from the FIRST doc (run_example.py
+    // semantics) — extra keys in later docs are dropped, missing keys
+    // read as null, matching every other rung
+    val ragged = Files.createTempDirectory("graft_jsonl_ragged").toFile.getAbsolutePath
+    JsonlStore.write(ragged, Seq(
+      Map[String, Any]("_id" -> 1L, "a" -> 10L, "b" -> "x"),
+      Map[String, Any]("_id" -> 2L, "a" -> 20L, "b" -> "y", "extra" -> 99L),
+      Map[String, Any]("_id" -> 3L, "b" -> "z")))
+    val rs = DocumentSource.toDFResilient(spark, new JsonlDocumentStore(ragged))
+    assert(rs.path == "ranged")
+    assert(rs.df.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = rs.df.collect().map(r =>
+      r.getAs[String]("id") -> (Option(r.get(r.fieldIndex("a"))), r.getAs[String]("b"))).toMap
+    assert(rows("2") == (Some(20L), "y")) // extra key dropped, no error
+    assert(rows("3") == (None, "z"))      // missing key → null
+  }
+
   test("a store whose descriptor fails at open() degrades at load(), not at first action") {
     // descriptor open() throws (bad dir) but the store's own fetch works:
     // the ranged rung degrades and the chain continues to plain
