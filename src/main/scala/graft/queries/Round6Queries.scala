@@ -222,8 +222,110 @@ object Round6Queries {
       },
       Some(tpch22Sql),
       doc = "TPC-H Q22 adapted (dormant = no OPEN orders): uncorrelated " +
-        "scalar average broadcast once + left-anti join on o_custkey.")
+        "scalar average broadcast once + left-anti join on o_custkey."),
+
+    // ── TPC-H Q4: order priority checking (EXISTS → left-semi) ───────
+    // The pure semi-join macro: EXISTS dedups on the lineitem side BY
+    // CONSTRUCTION (a left-semi hash join emits each order at most
+    // once), so the count is over orders, never inflated by the ~4
+    // matching lineitems — the shape a rewrite to a plain inner join
+    // gets wrong. The EXISTS correlates on BOTH o_orderkey and
+    // o_orderdate (the lateness cutoff references the outer row), the
+    // same nested-correlation flavor as q_tpch21's NOT EXISTS.
+    //
+    // Fixture adaptation: no l_commitdate/l_receiptdate, so "late" is
+    // l_shipdate > o_orderdate + 90 days, as in q_tpch21.
+    QueryDef(
+      "q_tpch04",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("orders", "lineitem"))
+        s.sql(tpch04Sql)
+      },
+      Some(tpch04Sql),
+      doc = "TPC-H Q4 adapted (lateness from shipdate vs order date): " +
+        "correlated EXISTS compiled to a left-semi hash join on " +
+        "l_orderkey; count dedups by construction."),
+
+    // ── TPC-H Q17: small-quantity revenue (correlated AVG subquery) ──
+    // The per-group-threshold macro: the WHERE-clause scalar AVG
+    // subquery correlates on p_partkey, and Catalyst decorrelates it
+    // into ONE aggregate over lineitem grouped by partkey, joined back
+    // on the correlation key — one pass over the fact table instead of
+    // one subquery execution per outer row. Q2 pinned the min() flavor;
+    // this pins avg(), whose decorrelated form must also carry count()
+    // to keep empty-group semantics (NULL, filters false) correct.
+    //
+    // Determinism: the threshold avg is an exact decimal sum divided
+    // once as double, so both engines compare l_quantity against the
+    // bit-identical threshold; the outer sum is decimal-exact.
+    // Fixture adaptation: p_type stands in for p_container.
+    QueryDef(
+      "q_tpch17",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem", "part"))
+        s.sql(tpch17Sql)
+      },
+      Some(tpch17Sql),
+      doc = "TPC-H Q17 adapted (p_type for p_container): correlated " +
+        "avg-subquery per part, decorrelated into one grouped " +
+        "aggregate + join-back on p_partkey."),
+
+    // ── TPC-H Q19: disjunctive mixed-table predicates ────────────────
+    // The OR-pushdown macro: the join predicate is a disjunction of
+    // three conjunctions, each mixing part and lineitem columns. A
+    // naive planner evaluates everything post-join; CNF extraction
+    // derives the single-side residuals (brand IN (...) ∧ size ≤ 35 on
+    // part, quantity BETWEEN 1 AND 30 on lineitem) and pushes them into
+    // the scans, so the join sees only possibly-matching rows. The pin:
+    // both scans carry PushedFilters derived from the OR (PlanSpec).
+    QueryDef(
+      "q_tpch19",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem", "part"))
+        s.sql(tpch19Sql)
+      },
+      Some(tpch19Sql),
+      doc = "TPC-H Q19 adapted (fixture brands, no containers): " +
+        "disjunction of mixed-table conjunctions; CNF extraction " +
+        "pushes per-side residuals into both parquet scans.")
   )
+
+  /** Shared Spark/DuckDB SQL for q_tpch04 (dialect-common subset). */
+  private def tpch04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch17 (dialect-common subset). */
+  private def tpch17Sql: String =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND p_type = 'MEDIUM'
+          AND l_quantity < (
+            SELECT CAST(0.2 AS DOUBLE) *
+              (CAST(sum(CAST(l2.l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*))
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch19 (dialect-common subset). */
+  private def tpch19Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30))"""
 
   /** Shared Spark/DuckDB SQL for q_tpch01 (dialect-common subset). */
   private def tpch01Sql: String =

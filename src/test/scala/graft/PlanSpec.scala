@@ -157,6 +157,39 @@ class PlanSpec extends SparkSpec {
       "decorrelated min-aggregate missing:\n" + p.take(3000))
   }
 
+  test("q_tpch04's EXISTS compiles to a left-semi join (dedup by construction)") {
+    val p = plan("q_tpch04")
+    assert(p.contains("LeftSemi"),
+      "EXISTS must become a semi-join, not a rewritten inner join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the o_orderdate correlation rides the join as an extra condition,
+    // not a nested-loop: the join must still key on the orderkey
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "order-date window must be pushed to the orders scan:\n" + p.take(3000))
+  }
+
+  test("q_tpch17's correlated avg-subquery is decorrelated (one grouped aggregate)") {
+    val p = plan("q_tpch17")
+    assert(!p.contains("Subquery") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "Q17's avg-subquery must decorrelate into an aggregate + join-back:\n" +
+        p.take(3000))
+    assert(p.contains("sum(cast(l_quantity"),
+      "decorrelated per-part threshold aggregate missing:\n" + p.take(3000))
+  }
+
+  test("q_tpch19's disjunctive predicates push CNF residuals into BOTH scans") {
+    val p = plan("q_tpch19")
+    // lineitem side: the union of the three quantity windows
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "quantity OR-residual must reach the lineitem scan:\n" + p.take(3000))
+    // part side: the union of the three brand/size clauses
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "brand/size OR-residual must reach the part scan:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("dedup_embedding_ann candidates come from an equi-join on the signature") {
     val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(spark, sf())
     val p = try pairs.queryExecution.executedPlan.toString
