@@ -308,6 +308,128 @@ object CurationQueries {
                ELSE 'new' END AS status
         FROM i ORDER BY doc_id"""),
       doc = "Batch-vs-history exact dedup classification (the incremental " +
-        "ingest path of dedup_exact).")
+        "ingest path of dedup_exact)."),
+
+    // ── expectations gate: declarative constraint validation ─────────
+    // The Deequ/Great-Expectations shape a pipeline runs before letting
+    // a batch into the training corpus: not-null, PK uniqueness, value
+    // ranges, accepted values, and referential integrity, each reported
+    // as (rule, violations, checked, pass) — exact integers, so the
+    // report is bit-stable cross-engine.
+    //
+    // Shape at scale: ALL row-level rules fold into ONE scalar aggregate
+    // pass over the fact scan (map-side partials → a few bytes per
+    // partition); PK uniqueness rides the same pass as a count-distinct
+    // (one Expand, the pipe_profile trick); only referential integrity
+    // needs a second input — a left-anti join against the parent keys,
+    // which AQE broadcasts when the parent is small and shuffles
+    // key-only projections otherwise. Nothing row-sized ever reaches
+    // the driver; the report is 6 rows however big the fact table is.
+    //
+    // The fixture makes two rules REALLY fail (the generator's lineitem
+    // PK is non-unique and quantity reaches 50), so violation counting
+    // is exercised, not just the all-green path.
+    QueryDef(
+      "pipe_expectations",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders").select(col("o_orderkey"))
+        val scalar = l.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_nn"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 49, 1L)
+            .otherwise(0L)).as("v_qty"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("v_disc"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("v_rf"))
+        val fk = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk"))
+        scalar.crossJoin(fk) // 1 row × 1 row
+          .select(expr(
+            """stack(6,
+               'accepted_returnflag_ANR', v_rf,
+               'fk_orderkey_in_orders', v_fk,
+               'not_null_quantity', v_nn,
+               'pk_unique_orderkey_linenumber', v_pk,
+               'range_discount_0_0.1', v_disc,
+               'range_quantity_1_49', v_qty) AS (rule, violations)"""),
+            col("n_rows").as("checked"))
+          .withColumn("pass", col("violations") === 0L)
+          .orderBy(col("rule"))
+      },
+      Some("""WITH m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+            CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_pk,
+            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 49 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+            CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+            CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_rf
+          FROM lineitem),
+        f AS (
+          SELECT CAST(count(*) AS BIGINT) AS v_fk FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        SELECT rule, violations, checked, violations = 0 AS pass FROM (
+          SELECT 'accepted_returnflag_ANR' AS rule, v_rf AS violations, n_rows AS checked FROM m, f
+          UNION ALL SELECT 'fk_orderkey_in_orders', v_fk, n_rows FROM m, f
+          UNION ALL SELECT 'not_null_quantity', v_nn, n_rows FROM m, f
+          UNION ALL SELECT 'pk_unique_orderkey_linenumber', v_pk, n_rows FROM m, f
+          UNION ALL SELECT 'range_discount_0_0.1', v_disc, n_rows FROM m, f
+          UNION ALL SELECT 'range_quantity_1_49', v_qty, n_rows FROM m, f)
+        ORDER BY rule"""),
+      doc = "Deequ-style expectations gate over lineitem: 6 rules, one " +
+        "scalar-aggregate pass + count-distinct + anti-join FK check; " +
+        "two rules genuinely fail on the fixture (non-unique PK, qty=50)."),
+
+    // ── sequence packing: docs → fixed-token training sequences ──────
+    // The tokenizer-side packing step of a pretraining pipeline:
+    // documents are concatenated in a deterministic order and cut every
+    // B tokens into training sequences (GPT-style contiguous packing —
+    // docs may straddle a cut). The closed form over the exclusive
+    // prefix sum gives each doc the sequence its FIRST token lands in
+    // (seq_id = floor(prior/B)) and its offset inside that sequence —
+    // no sequential scan, so the assignment parallelizes as a window.
+    // `least(n_tokens, B)` models the long-doc truncation a packer
+    // applies before concatenation.
+    //
+    // Shape at scale: packing is per-(lang) stream — ONE hash shuffle
+    // on the partition key, then a sorted window per partition; no
+    // global order, no driver involvement. 100 TB packs as thousands of
+    // independent language×shard streams; the fixture's 4 lang streams
+    // stand in for them.
+    QueryDef(
+      "pipe_pack_sequences",
+      (s, dir) => {
+        val B = 2048
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            least(size(split(col("text"), " ")), lit(B)).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            ((col("cum") - col("n_tok")) / B).cast("long").as("seq_id"),
+            (col("cum") - col("n_tok") - (((col("cum") - col("n_tok")) / B)
+              .cast("long") * B)).cast("long").as("seq_offset"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, lang,
+            CAST(least(len(string_split(text, ' ')), 2048) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tok,
+            sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS prior
+          FROM d)
+        SELECT doc_id, lang, n_tok,
+          CAST(floor(prior / 2048) AS BIGINT) AS seq_id,
+          CAST(prior - floor(prior / 2048) * 2048 AS BIGINT) AS seq_offset
+        FROM c ORDER BY lang, doc_id"""),
+      doc = "GPT-style contiguous sequence packing (budget 2048) per " +
+        "language stream: exclusive prefix-sum window → seq_id/offset; " +
+        "one shuffle on the stream key, sorted window per partition.")
   )
 }
