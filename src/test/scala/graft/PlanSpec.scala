@@ -103,6 +103,38 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected a single orders scan, saw $scans:\n" + p.take(3000))
   }
 
+  test("pipe_expectations runs all row-level rules in one pass (2 fact scans total: rules + FK probe)") {
+    val p = plan("pipe_expectations")
+    // the count-distinct PK rule rides the SAME HashAggregate as the
+    // row-level rule sums (one distinct group needs no Expand — Spark
+    // folds it into the two-phase aggregate), so all 5 scalar rules are
+    // one pass over one scan
+    assert(p.linesIterator.exists(l =>
+      l.contains("count(distinct") && l.contains("sum(CASE WHEN")),
+      "PK count-distinct must share the rule aggregate, not run its own job:\n" +
+        p.take(3000))
+    val factScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 2,
+      s"expected exactly 2 lineitem scans (rule pass + anti-join probe), saw $factScans:\n" +
+        p.take(3000))
+  }
+
+  test("pipe_pack_sequences packs over ONE stream-key shuffle (no global sort)") {
+    val p = plan("pipe_pack_sequences")
+    val streamShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(lang"))
+    // exactly one hash shuffle feeds the window; the only range
+    // partitioning allowed is the single presentation orderBy
+    assert(streamShuffles == 1,
+      s"expected one lang-keyed shuffle for the packing window, saw $streamShuffles:\n" +
+        p.take(3000))
+    val rangeShuffles = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(rangeShuffles <= 1,
+      s"packing grew a sort beyond the presentation orderBy ($rangeShuffles):\n" +
+        p.take(3000))
+  }
+
   test("ev_session_ids computes both windows over one (user_id) shuffle") {
     val p = plan("ev_session_ids")
     val shuffles = p.linesIterator.count(l =>
