@@ -287,8 +287,145 @@ object Round6Queries {
       Some(tpch19Sql),
       doc = "TPC-H Q19 adapted (fixture brands, no containers): " +
         "disjunction of mixed-table conjunctions; CNF extraction " +
-        "pushes per-side residuals into both parquet scans.")
+        "pushes per-side residuals into both parquet scans."),
+
+    // ── TPC-H Q7: volume shipping between two nations ────────────────
+    // The self-joined-dimension macro: nation joins the fact tree TWICE
+    // (supplier's nation and customer's nation) with a symmetric
+    // pair-disjunction across the two aliases. Both nation sides
+    // broadcast; the disjunction can't push below either join (it
+    // spans both aliases) and must evaluate exactly once, post-join.
+    // Grouping on year(l_shipdate) exercises expression keys.
+    QueryDef(
+      "q_tpch07",
+      (s, dir) => {
+        Tables.register(s, dir,
+          Seq("supplier", "lineitem", "orders", "customer", "nation"))
+        s.sql(tpch07Sql)
+      },
+      Some(tpch07Sql),
+      doc = "TPC-H Q7 adapted (fixture nations): nation dim joined twice " +
+        "under two aliases, symmetric pair-disjunction post-join, " +
+        "year(l_shipdate) expression grouping."),
+
+    // ── TPC-H Q8: market share (conditional ratio aggregation) ───────
+    // The conditional-ratio macro: one 8-table join tree feeds TWO
+    // aggregates of the same column — a CASE-gated numerator and a
+    // total denominator — divided once. At scale this is the shape
+    // where computing the ratio as two separate queries would double
+    // the join cost; the single-pass CASE form halves it.
+    QueryDef(
+      "q_tpch08",
+      (s, dir) => {
+        Tables.register(s, dir,
+          Seq("part", "supplier", "lineitem", "orders", "customer",
+            "nation", "region"))
+        s.sql(tpch08Sql)
+      },
+      Some(tpch08Sql),
+      doc = "TPC-H Q8 adapted (ASIA region, NATION_3 share, p_type " +
+        "STANDARD): CASE-gated numerator and denominator in one pass " +
+        "over one join tree; decimal-exact sums, one double division."),
+
+    // ── TPC-H Q14: promo revenue ratio (scalar conditional ratio) ────
+    // Q8's ratio shape reduced to its scalar core: one month-pruned
+    // fact scan, one part join, numerator and denominator in the same
+    // aggregate. The l_shipdate window is pushed to the scan, so the
+    // join probes ~1/60th of lineitem.
+    QueryDef(
+      "q_tpch14",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem", "part"))
+        s.sql(tpch14Sql)
+      },
+      Some(tpch14Sql),
+      doc = "TPC-H Q14 (p_type = 'PROMO' is the fixture's literal promo " +
+        "class): scalar conditional-ratio aggregate over a month-pruned " +
+        "scan."),
+
+    // ── TPC-H Q20: nested IN subqueries (semi-join over an aggregate) ─
+    // The double-semi-join macro: the outer IN feeds on a GROUPED
+    // subquery (per (supplier, part) shipped volume over a HAVING
+    // threshold), whose own IN prunes parts by name prefix. Catalyst
+    // compiles both INs to left-semi joins — the inner one BEFORE the
+    // aggregation, so the volume rollup only runs over the name-pruned
+    // slice. No correlated execution anywhere.
+    QueryDef(
+      "q_tpch20",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("supplier", "lineitem", "part", "nation"))
+        s.sql(tpch20Sql)
+      },
+      Some(tpch20Sql),
+      doc = "TPC-H Q20 adapted (shipped volume for the absent partsupp; " +
+        "round-then-cast exact threshold): nested INs compile to " +
+        "left-semi joins, the part prune running below the rollup.")
   )
+
+  /** Shared Spark/DuckDB SQL for q_tpch07 (dialect-common subset). */
+  private def tpch07Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+          CAST(sum(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS BIGINT) AS l_year,
+            l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch08 (dialect-common subset). */
+  private def tpch08Sql: String =
+    """SELECT o_year,
+          CAST(CAST(sum(CASE WHEN nation = 'NATION_3'
+                THEN CAST(volume AS DECIMAL(24,6))
+                ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) /
+            CAST(sum(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            l_extendedprice * (1 - l_discount) AS volume,
+            n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer,
+            nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'STANDARD'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch14 (dialect-common subset). */
+  private def tpch14Sql: String =
+    """SELECT CAST(100.00 *
+          CAST(sum(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+              ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+          AS DOUBLE) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch20 (dialect-common subset). */
+  private def tpch20Sql: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 60)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        ORDER BY s_suppkey"""
 
   /** Shared Spark/DuckDB SQL for q_tpch04 (dialect-common subset). */
   private def tpch04Sql: String =

@@ -222,6 +222,15 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q_tpch20's nested INs compile to left-semi joins (no correlated execution)") {
+    val p = plan("q_tpch20")
+    val semis = "LeftSemi".r.findAllIn(p).length
+    assert(semis >= 2,
+      s"both IN subqueries must become semi-joins, saw $semis:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("dedup_embedding_ann candidates come from an equi-join on the signature") {
     val (pairs, v, sigs) = graft.queries.DedupQueries.embeddingAnnPairs(spark, sf())
     val p = try pairs.queryExecution.executedPlan.toString

@@ -69,7 +69,17 @@ class TpchMetricsSpec extends SparkSpec {
     "q_tpch17" -> (2, 0.035), // measured: 2 exchanges, ratio 0.016
     // q_tpch19's pushed CNF residuals shrink both scan outputs so far
     // that the single exchange carries one partial-sum record
-    "q_tpch19" -> (1, 0.001)) // measured: 1 exchange, ratio 0.00002
+    "q_tpch19" -> (1, 0.001), // measured: 1 exchange, ratio 0.00002
+    // q_tpch07/08: the nation-pair disjunction / CASE-ratio evaluate
+    // post-join but the shuffles carry only group partials
+    "q_tpch07" -> (2, 0.001), // measured: 2 exchanges, ratio 0.0004
+    "q_tpch08" -> (2, 0.001), // measured: 2 exchanges, ratio 0.0002
+    // q_tpch14's month window is pushed to the scan; like q19 the one
+    // exchange carries a single partial-sum record
+    "q_tpch14" -> (1, 0.001), // measured: 1 exchange, ratio 0.00002
+    // q_tpch20's rollup shuffles the name-pruned (supp,part) partials —
+    // the largest legitimate ratio of the family after q18
+    "q_tpch20" -> (2, 0.250)) // measured: 2 exchanges, ratio 0.111
 
   expected.foreach { case (name, (maxExchanges, maxShuffleRatio)) =>
     test(s"$name: bounded shuffle count and shuffle/scan volume ratio") {
