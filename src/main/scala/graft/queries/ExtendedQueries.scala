@@ -682,7 +682,7 @@ object ExtendedQueries {
     QueryDef(
       "q85_percentile_cont_disc",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir, Seq("lineitem"))
         s.sql("""SELECT l_returnflag,
             percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_cont,
             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,

@@ -304,8 +304,9 @@ object Round6Queries {
         s.sql(tpch07Sql)
       },
       Some(tpch07Sql),
-      doc = "TPC-H Q7 adapted (fixture nations): nation dim joined twice " +
-        "under two aliases, symmetric pair-disjunction post-join, " +
+      doc = "TPC-H Q7 adapted (fixture nations — the 18/19 pair is " +
+        "chosen so even sf0.001 ships between them): nation dim joined " +
+        "twice under two aliases, symmetric pair-disjunction post-join, " +
         "year(l_shipdate) expression grouping."),
 
     // ── TPC-H Q8: market share (conditional ratio aggregation) ───────
@@ -358,8 +359,9 @@ object Round6Queries {
       },
       Some(tpch20Sql),
       doc = "TPC-H Q20 adapted (shipped volume for the absent partsupp; " +
-        "round-then-cast exact threshold): nested INs compile to " +
-        "left-semi joins, the part prune running below the rollup.")
+        "round-then-cast exact threshold; NATION_19 chosen so the " +
+        "smallest fixture still yields a supplier): nested INs compile " +
+        "to left-semi joins, the part prune running below the rollup.")
   )
 
   /** Shared Spark/DuckDB SQL for q_tpch07 (dialect-common subset). */
@@ -374,8 +376,8 @@ object Round6Queries {
           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
             AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
             AND c_nationkey = n2.n_nationkey
-            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         ) shipping
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year"""
@@ -424,7 +426,7 @@ object Round6Queries {
               SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
             GROUP BY l_suppkey, l_partkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 60)
-          AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_19'
         ORDER BY s_suppkey"""
 
   /** Shared Spark/DuckDB SQL for q_tpch04 (dialect-common subset). */
