@@ -128,8 +128,9 @@ object ScaleProbe {
 
   val tpchQueries: Seq[String] = Seq(
     "q_tpch01", "q_tpch02", "q_tpch03", "q_tpch04", "q_tpch05",
-    "q_tpch07", "q_tpch08", "q_tpch10", "q_tpch14", "q_tpch17",
-    "q_tpch18", "q_tpch19", "q_tpch20", "q_tpch21", "q_tpch22")
+    "q_tpch07", "q_tpch08", "q_tpch09", "q_tpch10", "q_tpch13",
+    "q_tpch14", "q_tpch17", "q_tpch18", "q_tpch19", "q_tpch20",
+    "q_tpch21", "q_tpch22")
 
   def scaleTpch(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     val fs = new java.io.File(out)

@@ -361,8 +361,108 @@ object Round6Queries {
       doc = "TPC-H Q20 adapted (shipped volume for the absent partsupp; " +
         "round-then-cast exact threshold; NATION_19 chosen so the " +
         "smallest fixture still yields a supplier): nested INs compile " +
-        "to left-semi joins, the part prune running below the rollup.")
+        "to left-semi joins, the part prune running below the rollup."),
+
+    // ── TPC-H Q13: customer order-count distribution ─────────────────
+    // The LEFT OUTER fact-aggregation macro — the one join shape the
+    // family lacked. The textbook form joins customer ⟕ orders THEN
+    // counts per customer: the join sees every order row and a power-law
+    // customer becomes a skewed task. Catalyst does not push aggregates
+    // below outer joins, so we compose the scale form by hand: count
+    // orders per custkey FIRST (map-side partials → the shuffle carries
+    // distinct custkeys, not orders), then LEFT OUTER join customer to
+    // the pre-aggregated counts — one row per custkey on the probe side,
+    // so the skew is gone by construction, and zero-order customers
+    // surface as coalesce(cnt, 0), preserving the outer-join semantics
+    // (count(o_orderkey) = 0 is a real histogram bucket). The exclusion
+    // filter runs below the pre-aggregation — equivalent to the join-
+    // condition placement of the textbook form.
+    QueryDef(
+      "q_tpch13",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val perCust = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(tpch13Sql),
+      doc = "TPC-H Q13 adapted (priority-class exclusion stands in for " +
+        "the comment-pattern filter — same selectivity role): orders " +
+        "pre-aggregated per custkey BELOW the outer join (a pushdown " +
+        "Catalyst won't do itself), so the join probes one row per " +
+        "customer and the power-law skew never materializes."),
+
+    // ── TPC-H Q9: product-type profit by nation and year ─────────────
+    // The multi-dimension profit-rollup macro: a LIKE-pruned part dim
+    // gates the fact scan, then the fact tree climbs through orders
+    // (year) and supplier→nation (geography) to a two-key rollup. The
+    // %substring% prune can't use a range index on ANY engine — it's a
+    // full dim scan — but it broadcasts, so the fact side sees a
+    // build-side prune (runtime row reduction), never a second fact
+    // pass. Profit per row is pure IEEE double arithmetic (identical
+    // parse tree both engines) cast to DECIMAL(24,6) pre-sum.
+    QueryDef(
+      "q_tpch09",
+      (s, dir) => {
+        val p = t(s, dir, "part").filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val su = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = t(s, dir, "nation")
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        t(s, dir, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))
+              - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+              .cast(DecimalType(24, 6)).as("amount"))
+          .groupBy(col("nation"), col("o_year"))
+          .agg(sum(col("amount")).cast(DoubleType).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(tpch09Sql),
+      doc = "TPC-H Q9 adapted (no partsupp in the fixture: supply cost = " +
+        "0.6 × p_retailprice, the spec's own seeding formula; '%gear%' " +
+        "stands in for '%green%'): LIKE-pruned part dim broadcast into " +
+        "the fact tree, profit rolled up by nation × year.")
   )
+
+  /** Shared DuckDB oracle SQL for q_tpch13 (dialect-common subset). */
+  private def tpch13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
+  /** Shared DuckDB oracle SQL for q_tpch09 (dialect-common subset). */
+  private def tpch09Sql: String =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+            CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            CAST(l_extendedprice * (1 - l_discount)
+              - 0.6 * p_retailprice * l_quantity AS DECIMAL(24,6)) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%gear%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""
 
   /** Shared Spark/DuckDB SQL for q_tpch07 (dialect-common subset). */
   private def tpch07Sql: String =

@@ -79,7 +79,15 @@ class TpchMetricsSpec extends SparkSpec {
     "q_tpch14" -> (1, 0.001), // measured: 1 exchange, ratio 0.00002
     // q_tpch20's rollup shuffles the name-pruned (supp,part) partials —
     // the largest legitimate ratio of the family after q18
-    "q_tpch20" -> (2, 0.250)) // measured: 2 exchanges, ratio 0.111
+    "q_tpch20" -> (2, 0.250), // measured: 2 exchanges, ratio 0.111
+    // q_tpch13 pre-aggregates orders below the outer join: the custkey
+    // shuffle carries distinct-custkey partials, AQE broadcasts the
+    // aggregated side, and customer never shuffles at all (4 counts the
+    // AQE ShuffleQueryStages incl. the final range sort)
+    "q_tpch13" -> (4, 0.200), // measured: 4 stages, ratio 0.093
+    // q_tpch09's three dims broadcast; the 2 exchanges are the
+    // lineitem⋈orders orderkey shuffle pair — group partials only
+    "q_tpch09" -> (2, 0.012)) // measured: 2 exchanges, ratio 0.005
 
   expected.foreach { case (name, (maxExchanges, maxShuffleRatio)) =>
     test(s"$name: bounded shuffle count and shuffle/scan volume ratio") {
