@@ -5,9 +5,10 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -131,9 +132,7 @@ class DocumentSourceV2 extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DocumentSourceV2.inferredSchema(
-      DocumentSourceV2.resolverFrom(options),
-      DocumentSourceV2.batchSize(options))
+    DocumentSourceV2.inferredSchema(options)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -204,21 +203,48 @@ object DocumentSourceV2 {
   }
 
   /** First-document schema inference through the shared rename/normalize
-    * path — only the first batch is pulled, never the whole store.
+    * path — only the first batch is pulled, never the whole store. An
+    * EMPTY store infers an empty schema (zero planned ranges → empty
+    * DataFrame, the ladder's contract) unless `write-schema` (a DDL
+    * string) names one. Writes never consult this — the provider's
+    * `supportsExternalMetadata` hands the df's schema straight to
+    * `getTable`, so a fresh store accepts its first write with no
+    * inference and no options.
     */
-  private def inferredSchema(resolver: DocsResolver, batch: Int): StructType = {
+  private def inferredSchema(options: CaseInsensitiveStringMap): StructType = {
+    val explicit = Option(options.get("write-schema")).map(StructType.fromDDL)
+    val resolver = resolverFrom(options)
     val store = resolver.open()
-    val first = store.fetchRange(0, math.min(batch, math.max(store.total(), 1)))
-      .map(DocumentSource.renameId)
-    DocumentSource.normalizeIdSchema(SchemaInfer.inferSchema(first))
+    if (store.total() == 0 && explicit.isDefined) explicit.get
+    else {
+      val first = store.fetchRange(0, math.min(batchSize(options),
+        math.max(store.total(), 1))).map(DocumentSource.renameId)
+      DocumentSource.normalizeIdSchema(SchemaInfer.inferSchema(first))
+    }
   }
 
   private final class DocsTable(resolver: DocsResolver, tableSchema: StructType,
-      properties: java.util.Map[String, String]) extends Table with SupportsRead {
+      properties: java.util.Map[String, String])
+      extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"graft-docs:${resolver.describe}"
     override def schema(): StructType = tableSchema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+    /** Writes need a store reachable from EXECUTOR tasks, so only the
+      * descriptor route qualifies — a registry name is driver-JVM state
+      * by definition (and the write must also survive the commit, which
+      * re-opens the store on the driver).
+      */
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      resolver match {
+        case ByDescriptor(d) => new DocumentWriteV2.DocsWriteBuilder(d, info)
+        case ByRegistry(n) => throw new IllegalArgumentException(
+          s"graft-docs writes require the 'descriptor' option (registry " +
+            s"source '$n' is driver-JVM state; tasks could not reach it " +
+            "on a real cluster)")
+      }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       // DataFrameReader options arrive via getTable's properties on the
       // inferSchema path; merge both so either wiring works

@@ -44,6 +44,10 @@ object JsonlStore {
     }
   }
 
+  /** One document → one JSON line (the staging writer's row format). */
+  private[sources] def toJsonLine(doc: Map[String, Any]): String =
+    mapper.writeValueAsString(toJava(doc))
+
   private def toJava(v: Any): Any = v match {
     case m: Map[_, _] =>
       val out = new java.util.LinkedHashMap[String, Any]()
@@ -80,6 +84,46 @@ object JsonlStore {
       .asInstanceOf[Map[String, Any]]
 }
 
+/** Write half of a document-store connector: EXECUTOR tasks stream their
+  * partition's documents into store-side staging (a wire connector's
+  * buffered bulk writes), the DRIVER applies the staged batches as one
+  * keyed upsert at commit (the connector's transaction finalize). Task
+  * retries are safe by construction — only the tokens of COMMITTED tasks
+  * reach `commitUpsert`, and everything else in the write's staging area
+  * is discarded there.
+  */
+trait StagedDocumentWrite { self: DocumentSource =>
+
+  /** Open a streaming staged batch for one task attempt. `taskToken`
+    * must be unique per attempt (partitionId + taskId); the returned
+    * writer is single-threaded, used from exactly one task.
+    */
+  def openStagedBatch(writeId: String, taskToken: String): StagedBatchWriter
+
+  /** Apply the staged batches named by `tokens` (in order) as a keyed
+    * upsert: existing documents keep their stable-order position and are
+    * replaced in place on key match (last writer wins across tokens);
+    * new keys append in token order. `truncate` drops the existing
+    * contents first (overwrite mode). Cleans the write's whole staging
+    * area, including leftovers from failed attempts. Returns
+    * (inserted, updated, totalAfter).
+    */
+  def commitUpsert(writeId: String, keyField: String, tokens: Seq[String],
+      truncate: Boolean): (Long, Long, Long)
+
+  /** Discard every staged batch of this write. */
+  def abortWrite(writeId: String): Unit
+}
+
+/** Streaming writer for one task's staged batch. */
+trait StagedBatchWriter {
+  def add(doc: Map[String, Any]): Unit
+  /** Finish and return the batch's token for the commit message. */
+  def finish(): String
+  /** Best-effort cleanup of this attempt's staging. */
+  def abort(): Unit
+}
+
 /** The serializable recipe: a path is all a task needs. */
 final case class JsonlDirDescriptor(dir: String) extends RangedDescriptor {
   def open(): DocumentSource with RangedFetch = new JsonlDocumentStore(dir)
@@ -89,13 +133,17 @@ final case class JsonlDirDescriptor(dir: String) extends RangedDescriptor {
   * `fetchRange` opens its own reader per call, and the file index is
   * built once under lazy-val initialization.
   */
-final class JsonlDocumentStore(dir: String) extends DocumentSource with RangedFetch {
+final class JsonlDocumentStore(dir: String)
+    extends DocumentSource with RangedFetch with StagedDocumentWrite {
 
   override def descriptor: Option[RangedDescriptor] = Some(JsonlDirDescriptor(dir))
 
   /** (file, lineCount) in stable (file-name) order. A wire connector
     * gets these from server-side counts; here it is one line scan per
-    * open.
+    * open. A missing directory is an ERROR on the read side (a typo'd
+    * path must not read as an empty store); the WRITE side never hits
+    * this on a fresh store — staging creates the directory before any
+    * index access, so first-write-into-nothing works.
     */
   private lazy val index: Seq[(File, Int)] = {
     val d = new File(dir)
@@ -134,4 +182,86 @@ final class JsonlDocumentStore(dir: String) extends DocumentSource with RangedFe
   }
 
   def fetch(): Seq[Map[String, Any]] = fetchRange(0, total())
+
+  // ── StagedDocumentWrite: task-side staging, driver-side upsert ─────
+  // Staging lives under `<dir>/.staging-<writeId>/<token>.jsonl`; the
+  // part-file index above only matches `*.jsonl` in the TOP directory,
+  // so in-flight writes are invisible to concurrent reads. The commit
+  // swap (delete old parts, move new ones in) is not atomic across
+  // files — the single-writer contract a directory store can offer; a
+  // wire store gets atomicity from its server's transaction instead.
+
+  private def stagingDir(writeId: String) =
+    Paths.get(dir, s".staging-$writeId")
+
+  override def openStagedBatch(writeId: String, taskToken: String): StagedBatchWriter = {
+    val sd = stagingDir(writeId)
+    Files.createDirectories(sd)
+    val target = sd.resolve(s"$taskToken.jsonl")
+    val out = Files.newBufferedWriter(target, StandardCharsets.UTF_8)
+    new StagedBatchWriter {
+      def add(doc: Map[String, Any]): Unit = {
+        out.write(JsonlStore.toJsonLine(doc)); out.write('\n')
+      }
+      def finish(): String = { out.close(); s"$taskToken.jsonl" }
+      def abort(): Unit = {
+        try out.close() catch { case _: Throwable => () }
+        try Files.deleteIfExists(target) catch { case _: Throwable => () }
+        ()
+      }
+    }
+  }
+
+  override def commitUpsert(writeId: String, keyField: String,
+      tokens: Seq[String], truncate: Boolean): (Long, Long, Long) = {
+    val sd = stagingDir(writeId)
+    def readStaged(token: String): Seq[Map[String, Any]] = {
+      val src = scala.io.Source.fromFile(sd.resolve(token).toFile, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(JsonlStore.parseLine).toList
+      finally src.close()
+    }
+    def keyOf(doc: Map[String, Any], origin: String): Any = {
+      val k = doc.getOrElse(keyField,
+        throw new IllegalArgumentException(
+          s"upsert key '$keyField' missing in a document from $origin"))
+      require(k != null, s"upsert key '$keyField' is null in a document from $origin")
+      k
+    }
+    // LinkedHashMap IS the upsert semantics: existing docs seed the
+    // order, key matches replace in place, new keys append — the same
+    // observable contract as the reference's ordered bulk upsert
+    val merged = scala.collection.mutable.LinkedHashMap[Any, Map[String, Any]]()
+    if (!truncate)
+      fetch().foreach(d => merged.put(keyOf(d, "the existing store"), d))
+    val existingKeys = merged.keySet.toSet
+    val insertedKeys = scala.collection.mutable.Set[Any]()
+    val updatedKeys = scala.collection.mutable.Set[Any]()
+    tokens.foreach { token =>
+      readStaged(token).foreach { d =>
+        val k = keyOf(d, s"staged batch $token")
+        if (existingKeys(k)) updatedKeys += k else insertedKeys += k
+        merged.put(k, d)
+      }
+    }
+    val inserted = insertedKeys.size.toLong
+    val updated = updatedKeys.size.toLong
+    // swap: fresh part files replace the old set (old tail files beyond
+    // the new count are deleted too — the rewrite renumbers from zero)
+    val oldParts = Option(new File(dir).listFiles((_, n) => n.endsWith(".jsonl")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    oldParts.foreach(f => Files.deleteIfExists(f.toPath))
+    JsonlStore.write(dir, merged.values.toSeq)
+    abortWrite(writeId) // staging cleanup, incl. failed-attempt leftovers
+    (inserted, updated, merged.size.toLong)
+  }
+
+  override def abortWrite(writeId: String): Unit = {
+    val sd = stagingDir(writeId)
+    if (Files.isDirectory(sd)) {
+      Option(sd.toFile.listFiles()).foreach(_.foreach(f =>
+        try Files.deleteIfExists(f.toPath) catch { case _: Throwable => () }))
+      try Files.deleteIfExists(sd) catch { case _: Throwable => () }
+    }
+    ()
+  }
 }
