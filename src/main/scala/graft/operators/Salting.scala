@@ -35,6 +35,77 @@ object Salting {
     salted.join(replicated, Seq(key, SaltCol), joinType).drop(SaltCol)
   }
 
+  /** Bucket self-join pair enumeration with BOUNDED task skew — the
+    * guard for LSH-banded dedup on adversarial corpora. A hot bucket
+    * (boilerplate documents all sharing a band value) is a quadratic
+    * blowup inside ONE join key: load H puts H² candidate work on a
+    * single task, and AQE's skew splitting cannot help because the skew
+    * is within a key, not across partitions of a key range.
+    *
+    * The fix is the classic fragment-replicate grid: rows of buckets
+    * whose load exceeds `hotLoad` get a deterministic group
+    * g = hash(id) % grid and are replicated into the `grid` cells
+    * (min(g,k), max(g,k)) for k < grid; the join key becomes
+    * (bucket, cellLo, cellHi), so a hot bucket's pair work spreads over
+    * grid·(grid+1)/2 cells of ~(2H/grid)² each — task parallelism grows
+    * quadratically with `grid` at constant total work. Each unordered
+    * pair is emitted EXACTLY once:
+    *  - same-group pairs (g,g) exist only in cell (g,g) (a row reaches
+    *    cell (g,g) only via k = g);
+    *  - cross-group pairs (i,j) pass the emission filter
+    *    {a.g, b.g} = {cellLo, cellHi} only in cell (min,max) — in any
+    *    other shared cell one side's group is not a cell coordinate.
+    * Cold buckets join exactly as before (one equi-join, no overhead).
+    *
+    * Returns one row per candidate pair with `a_`/`b_`-prefixed id and
+    * payload columns plus the bucket columns (from the a side).
+    */
+  def gridSelfPairs(rows: DataFrame, bucketCols: Seq[String], idCol: String,
+      payload: Seq[String], grid: Int, hotLoad: Long): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    require(hotLoad > 0, "hotLoad must be positive")
+    val bc = bucketCols.map(col)
+    // bucket loads: tiny (one row per DISTINCT bucket value) — the hot
+    // set is smaller still and broadcasts; this is the one extra pass
+    // the guard costs, and it is a map-side-combinable count
+    val hot = rows.groupBy(bc: _*).agg(count(lit(1)).as("__load"))
+      .filter(col("__load") > hotLoad)
+      .select(bc: _*).withColumn("__hot", lit(true))
+    val tagged = rows.join(broadcast(hot), bucketCols, "left")
+    val outCols = (idCol +: payload)
+    def prefixed(df: DataFrame, p: String, extra: Seq[String]): DataFrame =
+      df.select((bucketCols ++ extra).map(col) ++
+        outCols.map(c => col(c).as(s"$p$c")): _*)
+    def result(joined: DataFrame): DataFrame =
+      joined.select((bucketCols.map(c => col(s"a.$c")) ++
+        outCols.flatMap(c => Seq(col(s"a.a_$c"), col(s"b.b_$c")))): _*)
+
+    val cold = tagged.filter(col("__hot").isNull).drop("__hot")
+    val coldPairs = result(
+      prefixed(cold, "a_", Seq.empty).as("a")
+        .join(prefixed(cold, "b_", Seq.empty).as("b"),
+          bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+            .reduce(_ && _) && col(s"a.a_$idCol") < col(s"b.b_$idCol")))
+
+    val hotRows = tagged.filter(col("__hot") === true).drop("__hot")
+      .withColumn("__g", pmod(xxhash64(col(idCol)), lit(grid.toLong)))
+      .withColumn("__k", explode(sequence(lit(0L), lit((grid - 1).toLong))))
+      .withColumn("__lo", least(col("__g"), col("__k")))
+      .withColumn("__hi", greatest(col("__g"), col("__k")))
+    val cellCols = Seq("__lo", "__hi")
+    val emitOnce =
+      (col("a.__g") === col("a.__lo") && col("b.__g") === col("a.__hi")) ||
+        (col("a.__g") === col("a.__hi") && col("b.__g") === col("a.__lo"))
+    val hotPairs = result(
+      prefixed(hotRows, "a_", cellCols :+ "__g").as("a")
+        .join(prefixed(hotRows, "b_", cellCols :+ "__g").as("b"),
+          (bucketCols ++ cellCols).map(c => col(s"a.$c") === col(s"b.$c"))
+            .reduce(_ && _) && emitOnce &&
+            col(s"a.a_$idCol") < col(s"b.b_$idCol")))
+
+    coldPairs.unionByName(hotPairs)
+  }
+
   /** Two-phase aggregation for a skewed groupBy key: partial-aggregate on
     * (key, salt), then final-aggregate on key. `sum`/`count` compose as
     * sum-of-sums; pass the partial and final expressions explicitly.

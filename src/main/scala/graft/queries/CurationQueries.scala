@@ -319,8 +319,11 @@ object CurationQueries {
     //
     // Shape at scale: ALL row-level rules fold into ONE scalar aggregate
     // pass over the fact scan (map-side partials → a few bytes per
-    // partition); PK uniqueness rides the same pass as a count-distinct
-    // (one Expand, the pipe_profile trick); only referential integrity
+    // partition); PK uniqueness rides the same pass as a count-distinct —
+    // a SINGLE distinct group, which Catalyst folds into the two-phase
+    // aggregate with NO Expand (PlanSpec pins exactly this plan; an
+    // Expand only appears at 2+ distinct groups, the pipe_profile case);
+    // only referential integrity
     // needs a second input — a left-anti join against the parent keys,
     // which AQE broadcasts when the parent is small and shuffles
     // key-only projections otherwise. Nothing row-sized ever reaches
@@ -409,10 +412,13 @@ object CurationQueries {
           .select(col("doc_id"), col("lang"),
             least(size(split(col("text"), " ")), lit(B)).cast("long").as("n_tok"))
           .withColumn("cum", sum(col("n_tok")).over(w))
+          // INTEGER div/pmod, not `/`-then-cast: Column `/` is double
+          // division, and a stream whose cumulative token count passes
+          // 2^53 would round seq_id (the operator's own framing is
+          // 100 TB corpora; same trap Tables.loadEvents documents)
           .select(col("doc_id"), col("lang"), col("n_tok"),
-            ((col("cum") - col("n_tok")) / B).cast("long").as("seq_id"),
-            (col("cum") - col("n_tok") - (((col("cum") - col("n_tok")) / B)
-              .cast("long") * B)).cast("long").as("seq_offset"))
+            expr(s"(cum - n_tok) div $B").as("seq_id"),
+            expr(s"pmod(cum - n_tok, $B)").as("seq_offset"))
           .orderBy(col("lang"), col("doc_id"))
       },
       Some("""WITH d AS (
@@ -425,11 +431,61 @@ object CurationQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS prior
           FROM d)
         SELECT doc_id, lang, n_tok,
-          CAST(floor(prior / 2048) AS BIGINT) AS seq_id,
-          CAST(prior - floor(prior / 2048) * 2048 AS BIGINT) AS seq_offset
+          CAST(prior // 2048 AS BIGINT) AS seq_id,
+          CAST(prior % 2048 AS BIGINT) AS seq_offset
         FROM c ORDER BY lang, doc_id"""),
       doc = "GPT-style contiguous sequence packing (budget 2048) per " +
-        "language stream: exclusive prefix-sum window → seq_id/offset; " +
-        "one shuffle on the stream key, sorted window per partition.")
+        "language stream: exclusive prefix-sum window → seq_id/offset " +
+        "via exact integer div/mod; one shuffle on the stream key, " +
+        "sorted window per partition."),
+
+    // ── sharded sequence packing: the declared 100 TB scale form ─────
+    // Per-lang packing caps parallelism at |languages| (the fixture's 4
+    // streams). The production decomposition packs language×shard
+    // streams: shard = stable_hash(doc_id) % S is deterministic and
+    // engine-agnostic (same md5-prefix hash both engines), and each
+    // (lang, shard) stream packs independently with the same closed
+    // form. The (lang, shard, seq_id) triple IS the sequence identity a
+    // downstream packer consumes — sequences never cross shards by
+    // construction, so no global renumbering is needed. ONE shuffle on
+    // the composite key; parallelism = |lang| × S and grows with S, not
+    // the language inventory.
+    QueryDef(
+      "pipe_pack_sequences_sharded",
+      (s, dir) => {
+        val B = 2048
+        val S = 8
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr(s"pmod(${h60Spark("cast(doc_id as string)")}, $S)").as("shard"),
+            least(size(split(col("text"), " ")), lit(B)).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+            expr(s"(cum - n_tok) div $B").as("seq_id"),
+            expr(s"pmod(cum - n_tok, $B)").as("seq_offset"))
+          .orderBy(col("lang"), col("shard"), col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, lang,
+            ${h60Duck("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+            CAST(least(len(string_split(text, ' ')), 2048) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, shard, n_tok,
+            sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS prior
+          FROM d)
+        SELECT doc_id, lang, shard, n_tok,
+          CAST(prior // 2048 AS BIGINT) AS seq_id,
+          CAST(prior % 2048 AS BIGINT) AS seq_offset
+        FROM c ORDER BY lang, shard, doc_id"""),
+      doc = "Sharded sequence packing — the 100 TB decomposition: " +
+        "deterministic hash shard × language composite stream key, ONE " +
+        "shuffle on (lang, shard), exclusive prefix-sum within shard; " +
+        "(lang, shard, seq_id) is the sequence identity and parallelism " +
+        "scales with the shard count, not the language inventory.")
   )
 }

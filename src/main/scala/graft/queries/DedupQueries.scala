@@ -252,6 +252,45 @@ object DedupQueries {
     (pairs, docs)
   }
 
+  /** The banded pipeline with the SKEW GUARD on the bucket join: buckets
+    * whose load exceeds `hotLoad` route through Salting.gridSelfPairs'
+    * fragment-replicate grid — a hot band value (boilerplate docs) costs
+    * grid² tasks of (2H/grid)² instead of ONE task of H². Pair set is
+    * identical (the grid emits each unordered pair exactly once, the
+    * cold path is the plain equi-join), so the all-pairs oracle carries
+    * over unchanged. Package-private for SkewGuardSpec's planted-hot-
+    * bucket probe.
+    */
+  private[graft] def simhashBandedPairsGuarded(
+      s: SparkSession, dir: String,
+      maxHamming: Int = SimhashTightMaxHamming,
+      grid: Int = 8, hotLoad: Long = 256L): (DataFrame, DataFrame) = {
+    val bandDefs = simhashBandDefs(maxHamming)
+    val docs = simhashSigs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    val bandVals = array(bandDefs.map { case (off, w) =>
+      expr(s"shiftright(simhash, $off) & ${(1L << w) - 1}L")
+    }: _*)
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val cand = graft.operators.Salting.gridSelfPairs(banded,
+      Seq("band_idx", "band_val"), "doc_id", Seq("simhash"), grid, hotLoad)
+    // same first-agreeing-band dedup as the unguarded path, over the
+    // prefixed pair columns
+    val firstBand = expr("CASE " + bandDefs.zipWithIndex.map {
+      case ((off, w), i) =>
+        val m = (1L << w) - 1
+        s"WHEN (shiftright(a_simhash, $off) & ${m}L) = (shiftright(b_simhash, $off) & ${m}L) THEN $i"
+    }.mkString(" ") + " END")
+    val pairs = cand.filter(col("band_idx") === firstBand)
+      .select(
+        col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        expr("bit_count(a_simhash ^ b_simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    (pairs, docs)
+  }
+
   /** All-pairs simhash oracle — tractable at fixture scale in DuckDB, and
     * (banding being lossless) the oracle for BOTH declared forms.
     */
@@ -573,6 +612,29 @@ object DedupQueries {
         "bits): the pruning regime where the bucket join is linear in " +
         "the true pair count; dedup_simhash_banded is the loose-radius " +
         "declared form."),
+
+    // ── banded simhash with the hot-bucket skew guard ────────────────
+    // Production corpora have boilerplate: thousands of near-identical
+    // docs sharing a band value turn one bucket into an H² single-task
+    // job that AQE cannot split (the skew is INSIDE one join key).
+    // This form routes buckets over a load threshold through a
+    // fragment-replicate grid (Salting.gridSelfPairs) — same pair set,
+    // task work bounded by (2H/grid)² — and is what a 100 TB dedup
+    // should run when the corpus is not pre-cleaned. Cold buckets pay
+    // one broadcast-tagged pass extra, nothing else.
+    QueryDef(
+      "dedup_simhash_banded_guarded",
+      (s, dir) => {
+        val (pairs, docs) = simhashBandedPairsGuarded(s, dir)
+        selfContained(pairs, docs)
+      },
+      // the guard preserves the pair set exactly ⇒ the tight-radius
+      // all-pairs SQL is the oracle, same as the unguarded tight form
+      Some(simhashPairsDuckSqlAt(SimhashTightMaxHamming)),
+      doc = "Tight-radius banded simhash with the hot-bucket grid guard: " +
+        "buckets over 256 docs spread across an 8x8 fragment-replicate " +
+        "grid, bounding task skew on boilerplate-heavy corpora; pair " +
+        "set provably unchanged."),
 
     // ── embedding cosine near-dup ────────────────────────────────────
     QueryDef(

@@ -135,6 +135,20 @@ class PlanSpec extends SparkSpec {
         p.take(3000))
   }
 
+  test("pipe_pack_sequences_sharded packs over ONE composite-key shuffle") {
+    val p = plan("pipe_pack_sequences_sharded")
+    // the packing window must shuffle ONCE on the (lang, shard)
+    // composite key — shard must be inside the hash partitioning, or
+    // parallelism silently collapses back to |languages|
+    val composite = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(lang") && l.contains("shard"))
+    assert(composite == 1,
+      s"expected one (lang, shard)-keyed shuffle, saw $composite:\n" + p.take(3000))
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"packing grew extra hash shuffles ($hashShuffles):\n" + p.take(3000))
+  }
+
   test("ev_session_ids computes both windows over one (user_id) shuffle") {
     val p = plan("ev_session_ids")
     val shuffles = p.linesIterator.count(l =>
