@@ -128,8 +128,9 @@ object ScaleProbe {
 
   val tpchQueries: Seq[String] = Seq(
     "q_tpch01", "q_tpch02", "q_tpch03", "q_tpch04", "q_tpch05",
-    "q_tpch07", "q_tpch08", "q_tpch09", "q_tpch10", "q_tpch13",
-    "q_tpch14", "q_tpch17", "q_tpch18", "q_tpch19", "q_tpch20",
+    "q_tpch06", "q_tpch07", "q_tpch08", "q_tpch09", "q_tpch10",
+    "q_tpch11", "q_tpch12", "q_tpch13", "q_tpch14", "q_tpch15",
+    "q_tpch16", "q_tpch17", "q_tpch18", "q_tpch19", "q_tpch20",
     "q_tpch21", "q_tpch22")
 
   def scaleTpch(spark: SparkSession, src: String, out: String, m: Int): Unit = {
@@ -253,8 +254,12 @@ object ScaleProbe {
     val m = rest.headOption.map(_.toInt).getOrElse(10)
     // the 26-letter rotation is only collision-free for 26 replicas;
     // past that, replica pairs share a rotation and become exact dups,
-    // which silently turns the probe into a duplicate-explosion workload
-    require(mode == "tpch" || m <= 26, s"multiplier $m > 26: alphabet rotations repeat")
+    // which silently turns the probe into a duplicate-explosion workload.
+    // Only DOCUMENT replication (corpus/suite modes) rotates text —
+    // tpch shifts key spaces and annrecall sign-flips vectors (2^-32
+    // pattern-collision odds per replica pair), so both scale past 26.
+    require(mode == "tpch" || mode == "annrecall" || m <= 26,
+      s"multiplier $m > 26: alphabet rotations repeat")
     if (mode == "annrecall") {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

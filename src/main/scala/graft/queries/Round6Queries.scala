@@ -435,8 +435,170 @@ object Round6Queries {
       doc = "TPC-H Q9 adapted (no partsupp in the fixture: supply cost = " +
         "0.6 × p_retailprice, the spec's own seeding formula; '%gear%' " +
         "stands in for '%green%'): LIKE-pruned part dim broadcast into " +
-        "the fact tree, profit rolled up by nation × year.")
+        "the fact tree, profit rolled up by nation × year."),
+
+    // ── TPC-H Q6: forecasting revenue change (pure pruned-scan agg) ──
+    // The degenerate macro every engine must get EXACTLY right: no join,
+    // no group — three pushable predicates and one scalar sum. The whole
+    // query is a scan whose PushedFilters carry the year window, the
+    // discount band and the quantity cap; the exchange moves ONE partial
+    // per partition. At 100 TB this is the shape where pushdown is the
+    // entire cost model: a scan that reads all columns or all row groups
+    // is the only way to lose.
+    QueryDef(
+      "q_tpch06",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem"))
+        s.sql(tpch06Sql)
+      },
+      Some(tpch06Sql),
+      doc = "TPC-H Q6: three scan-pushed predicates, one decimal-exact " +
+        "scalar sum — the pure pushdown macro; the single exchange " +
+        "carries one partial per partition."),
+
+    // ── TPC-H Q12: shipmode service-level split (join + CASE rollup) ─
+    // The late-shipment split: lineitem's date window pushes to ITS
+    // scan, the lateness predicate (l_shipdate > o_orderdate + 30d)
+    // spans both tables so it evaluates post-join, and the two service
+    // classes are CASE-gated sums over ONE orderkey join — Q8's
+    // conditional-ratio trick applied to counts. The fixture has no
+    // l_shipmode; l_returnflag plays the low-cardinality group role.
+    QueryDef(
+      "q_tpch12",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("orders", "lineitem"))
+        s.sql(tpch12Sql)
+      },
+      Some(tpch12Sql),
+      doc = "TPC-H Q12 adapted (l_returnflag for the absent l_shipmode; " +
+        "lateness = shipdate - orderdate > 30d): date window pushed to " +
+        "the lineitem scan, cross-table lateness post-join, CASE-gated " +
+        "priority split in one pass."),
+
+    // ── TPC-H Q15: top-revenue supplier (aggregate → max → join-back) ─
+    // The VIEW-reuse macro: a quarter's per-supplier revenue rollup is
+    // consumed TWICE — once as the join input, once under max() — and
+    // Catalyst computes the scalar max as its own broadcast stage, so
+    // the rollup's equality filter costs one comparison per supplier,
+    // not a re-aggregation. The double equality is safe cross-engine
+    // because both sides come from the SAME decimal-sum recipe.
+    QueryDef(
+      "q_tpch15",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("supplier", "lineitem"))
+        s.sql(tpch15Sql)
+      },
+      Some(tpch15Sql),
+      doc = "TPC-H Q15 (revenue view + scalar max + join-back): the " +
+        "per-supplier rollup feeds both the join and the max; ties all " +
+        "surface (no LIMIT), ordered by suppkey."),
+
+    // ── TPC-H Q11: important stock values (HAVING scalar subquery) ───
+    // The group-filter-by-global-aggregate macro: per-part value within
+    // one nation, kept only when above a fraction of that nation's
+    // TOTAL — the scalar subquery repeats the whole join+aggregate, so
+    // the plan runs the fact pass twice (outer + threshold), with the
+    // threshold side collapsing to ONE row that broadcasts into the
+    // HAVING. Distinct from Q22 (scalar in WHERE prunes rows) — here
+    // the scalar prunes GROUPS after aggregation.
+    QueryDef(
+      "q_tpch11",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem", "supplier", "nation"))
+        s.sql(tpch11Sql)
+      },
+      Some(tpch11Sql),
+      doc = "TPC-H Q11 adapted (lineitem value = extendedprice × " +
+        "quantity stands in for the absent partsupp; NATION_20 and " +
+        "fraction 0.008 chosen non-trivial at every fixture scale): " +
+        "HAVING against a broadcast scalar total."),
+
+    // ── TPC-H Q16: supplier counts by part attrs (NOT IN anti-join) ──
+    // The distinct-count-under-anti-join macro: (brand, type, size)
+    // combinations count DISTINCT suppliers, minus suppliers from a
+    // NOT IN subquery — the null-aware anti join — with three pushable
+    // dim predicates (≠, NOT LIKE, IN-list) pruning the part side
+    // before the join. The distinct aggregation shuffles (group, supp)
+    // pairs once, then collapses.
+    QueryDef(
+      "q_tpch16",
+      (s, dir) => {
+        Tables.register(s, dir, Seq("lineitem", "part", "supplier"))
+        s.sql(tpch16Sql)
+      },
+      Some(tpch16Sql),
+      doc = "TPC-H Q16 adapted (lineitem supplier-part pairs stand in " +
+        "for partsupp; low-acctbal suppliers play the complaints " +
+        "exclusion): NOT IN anti-join under a count-distinct rollup, " +
+        "three pushed part predicates.")
   )
+
+  /** Shared Spark/DuckDB SQL for q_tpch15 (dialect-common subset). */
+  private def tpch15Sql: String =
+    """WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch11 (dialect-common subset). */
+  private def tpch11Sql: String =
+    """SELECT l_partkey,
+          CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS value
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_20'
+        GROUP BY l_partkey
+        HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6))) AS DOUBLE) >
+          (SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6))) AS DOUBLE) * 0.008
+           FROM lineitem, supplier, nation
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_20')
+        ORDER BY value DESC, l_partkey"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch16 (dialect-common subset). */
+  private def tpch16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+          count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch06 (dialect-common subset). */
+  private def tpch06Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24"""
+
+  /** Shared Spark/DuckDB SQL for q_tpch12 (dialect-common subset). */
+  private def tpch12Sql: String =
+    """SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Shared DuckDB oracle SQL for q_tpch13 (dialect-common subset). */
   private def tpch13Sql: String =

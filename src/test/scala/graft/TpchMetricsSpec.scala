@@ -87,7 +87,20 @@ class TpchMetricsSpec extends SparkSpec {
     "q_tpch13" -> (4, 0.200), // measured: 4 stages, ratio 0.093
     // q_tpch09's three dims broadcast; the 2 exchanges are the
     // lineitem⋈orders orderkey shuffle pair — group partials only
-    "q_tpch09" -> (2, 0.012)) // measured: 2 exchanges, ratio 0.005
+    "q_tpch09" -> (2, 0.012), // measured: 2 exchanges, ratio 0.005
+    // q_tpch06: three pushed predicates, one scalar partial per
+    // partition — the purest pushdown shape alongside q19/q14
+    "q_tpch06" -> (1, 0.001), // measured: 1 exchange, ratio 0.00002
+    // q_tpch12: date window pushed, lateness post-join, the 2 exchanges
+    // carry 6 CASE partials
+    "q_tpch12" -> (2, 0.001), // measured: 2 exchanges, ratio 0.00008
+    // q_tpch15: rollup reused by join + scalar max adds an exchange
+    // pair like q22's scalar stage
+    "q_tpch15" -> (6, 0.005), // measured: 6 exchanges, ratio 0.002
+    // q_tpch11: two fact passes (outer rollup + broadcast scalar total)
+    "q_tpch11" -> (4, 0.009), // measured: 4 exchanges, ratio 0.004
+    // q_tpch16: distinct (group, supp) shuffle + null-aware anti join
+    "q_tpch16" -> (4, 0.200)) // measured: 4 exchanges, ratio 0.092
 
   expected.foreach { case (name, (maxExchanges, maxShuffleRatio)) =>
     test(s"$name: bounded shuffle count and shuffle/scan volume ratio") {
