@@ -486,6 +486,105 @@ object CurationQueries {
         "deterministic hash shard × language composite stream key, ONE " +
         "shuffle on (lang, shard), exclusive prefix-sum within shard; " +
         "(lang, shard, seq_id) is the sequence identity and parallelism " +
-        "scales with the shard count, not the language inventory.")
+        "scales with the shard count, not the language inventory."),
+
+    // ── deterministic global shuffle + train/val/test split ──────────
+    // The step between curation and tokenization: assign every document
+    // a seeded pseudo-random position (its shuffle key) and a split
+    // (90/5/5 by key residue). Deterministic by construction — the same
+    // seed replays the same permutation on any engine, any cluster
+    // size, any partitioning — which is what makes a training run
+    // reproducible and a val set stable across corpus rebuilds.
+    //
+    // Shape at scale: deliberately NO global row_number (an un-
+    // partitioned window is a single task — the classic driver-shaped
+    // bottleneck). The shuffle key ITSELF is the permutation: emitting
+    // it costs a map-only pass, and the final ORDER BY is Spark's
+    // range-partitioned distributed sort (sample → range boundaries →
+    // per-partition sort), the same mechanism that writes sorted 100 TB
+    // outputs. Split assignment is a residue test on the key — no
+    // second hash, no join.
+    QueryDef(
+      "pipe_shuffle_split",
+      (s, dir) => {
+        val hk = expr(h60Spark("concat('shuf42:', cast(doc_id as string))"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), hk.as("shuffle_key"))
+          .withColumn("split",
+            when(col("shuffle_key") % 100 < 90, lit("train"))
+              .when(col("shuffle_key") % 100 < 95, lit("val"))
+              .otherwise(lit("test")))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+      },
+      Some(s"""WITH k AS (
+          SELECT doc_id,
+            ${h60Duck("('shuf42:' || CAST(doc_id AS VARCHAR))")} AS shuffle_key
+          FROM documents)
+        SELECT doc_id, shuffle_key,
+          CASE WHEN shuffle_key % 100 < 90 THEN 'train'
+               WHEN shuffle_key % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM k ORDER BY shuffle_key, doc_id"""),
+      doc = "Seeded deterministic corpus shuffle + 90/5/5 split: the " +
+        "md5 shuffle key IS the permutation (no single-task global " +
+        "window), materialized by a range-partitioned distributed " +
+        "sort; split = key residue, replayable on any engine."),
+
+    // ── temperature-scaled language/domain resampling ────────────────
+    // The multilingual mixing step (XLM-R/mT5-style): raw language
+    // shares follow a power law, so training samples lang d with
+    // probability ∝ p_d^α (α = 0.5 here) — rare languages upsampled
+    // relative to their share, dominant ones damped. This form keeps
+    // the rarest stream whole (rate 1.0) and downsamples every other
+    // stream by sqrt(n_min/n_d): monotone in n_d, budget-free, and
+    // deterministic — membership is a residue test on a seeded md5
+    // hash, so the SAME docs are kept on every engine and every rerun.
+    //
+    // Shape at scale: the rate table is |languages| rows — an agg over
+    // a lang-only projection (map-side combinable), broadcast back to
+    // the corpus; the fact side streams past with zero shuffle before
+    // the per-lang count rollup. No sampling state, no RNG, no
+    // collect: the filter is a pure per-row expression.
+    QueryDef(
+      "pipe_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"))
+        val rates = counts
+          .crossJoin(broadcast(counts.agg(min(col("n_total")).as("n_min"))))
+          .select(col("lang"), col("n_total"),
+            sqrt(col("n_min").cast(DoubleType) / col("n_total"))
+              .as("keep_rate"))
+        val hk = expr(h60Spark("concat('mix7:', cast(doc_id as string))"))
+        val kept = docs.join(broadcast(rates), Seq("lang"))
+          .where((hk % 1000000L) < col("keep_rate") * lit(1000000.0))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        rates.join(broadcast(kept), Seq("lang"), "left")
+          .select(col("lang"), col("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH counts AS (
+          SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        rates AS (
+          SELECT lang, n_total,
+            sqrt(CAST((SELECT min(n_total) FROM counts) AS DOUBLE)
+              / n_total) AS keep_rate
+          FROM counts),
+        kept AS (
+          SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE ${h60Duck("('mix7:' || CAST(d.doc_id AS VARCHAR))")} % 1000000
+            < keep_rate * 1000000.0
+          GROUP BY d.lang)
+        SELECT r.lang, r.n_total, coalesce(k.n_kept, 0) AS n_kept
+        FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+        ORDER BY r.lang"""),
+      doc = "Temperature-scaled (α = 0.5) language resampling: keep " +
+        "rate sqrt(n_min/n_d) per language — rarest stream whole, " +
+        "power-law head damped; membership is a seeded md5 residue " +
+        "test (reproducible, RNG-free), rates broadcast, corpus side " +
+        "un-shuffled until the count rollup.")
   )
 }

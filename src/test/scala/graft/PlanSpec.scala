@@ -337,4 +337,28 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("pipe_shuffle_split is a map pass + range sort (no window, no hash shuffle)") {
+    val p = plan("pipe_shuffle_split")
+    // the permutation is the hash key itself — an un-partitioned
+    // row_number window here would collapse 100 TB to a single task
+    assert(!p.contains("Window"),
+      "shuffle/split must not use a window operator:\n" + p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "shuffle/split needs no hash shuffle — key derivation is map-only:\n" +
+        p.take(3000))
+    val rangeShuffles = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(rangeShuffles == 1,
+      s"expected exactly the one presentation range sort, saw $rangeShuffles:\n" +
+        p.take(3000))
+  }
+
+  test("pipe_temperature_mix broadcasts the rate table (corpus side never sort-merge joins)") {
+    val p = plan("pipe_temperature_mix")
+    assert(!p.contains("SortMergeJoin"),
+      "the |languages|-row rate table must broadcast into the corpus pass:\n" +
+        p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "expected a broadcast join of rates onto documents:\n" + p.take(3000))
+  }
 }
