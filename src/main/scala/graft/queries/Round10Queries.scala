@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Round-10 training-data pipeline operators: the published corpus-hygiene
+  * passes a 100 TB pretraining build runs that the round-4..9 surface did
+  * not yet cover —
+  *
+  *  - SEGMENT-granular boilerplate removal (CCNet / RefinedWeb "line
+  *    dedup": strip text segments repeated across documents, keep the
+  *    rest of the document),
+  *  - exact substring-duplication coverage (Lee et al. 2022,
+  *    "Deduplicating Training Data Makes Language Models Better":
+  *    fraction of each document covered by a duplicated k-token window),
+  *  - SemDeDup (Abbas et al. 2023): k-cell semantic clustering over
+  *    embeddings, then cosine pruning WITHIN cells only,
+  *  - DSIR importance weighting (Xie et al. 2023): hashed/unigram
+  *    log-likelihood-ratio score of every document against a target
+  *    distribution,
+  *  - URL canonicalization + blocklist + URL-level keep-first dedup (the
+  *    crawl-frontier hygiene pass that runs before any content dedup).
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no text analytics
+  * (its compute surface is type coercion + ETL batching,
+  * src/parquet_demo/io.py:21-66); this file is [EXT] surface like the
+  * rest of SURVEY §2.7.
+  *
+  * Determinism recipe (the q62/CurationQueries contract): every ratio is
+  * one division of exact integer sums rounded once; DSIR's per-feature
+  * log-ratios are rounded to 6 dp FIRST and then summed as exact
+  * DECIMAL(18,6) — so the per-document score is an exact decimal sum of
+  * identical addends in both engines, immune to float summation order.
+  */
+object Round10Queries {
+
+  /** Segment length (tokens) for boilerplate removal; a segment counts as
+    * boilerplate when it appears verbatim in ≥ MinDupDocs distinct docs.
+    * (The fixture's 31-word vocabulary yields 168 such segments at
+    * sf0.01 — a real removal set; production corpora key this on lines.)
+    */
+  val SegLen = 8
+  val MinDupDocs = 2
+
+  /** Window length for exact substring-duplication coverage. */
+  val DupK = 8
+
+  /** SemDeDup: same deterministic centroid set as sim_ivf_topk (vec_id %
+    * CentroidEvery == 0, capped), prune within cells at CosineTau — the
+    * paper's ε ball, reusing the engine-wide τ so pipe_semdedup and
+    * dedup_embedding_cosine are directly comparable.
+    */
+  val SemTau: Double = DedupQueries.CosineTau
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
+
+  private val tokenizedDuck =
+    "(SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)"
+
+  private val vectorsDuck =
+    """vecs AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       nvecs AS (
+         SELECT vec_id, v, %s AS nrm FROM vecs)""".format(VectorOps.duckNorm("v"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── CCNet/RefinedWeb boilerplate removal at segment granularity ──
+    // Scale shape: three keyed shuffles (segment-hash count, anti-join
+    // back, per-doc reassembly) and NO window — exactly the shape CCNet
+    // shards by hash(segment) across machines. The duplicated-segment
+    // set is the only intermediate that is not linear in the corpus's
+    // unique content, and it only ever carries (segment) keys, not text
+    // positions. Reassembly sorts each doc's surviving segments with
+    // array_sort inside the row — no global or per-partition sort.
+    QueryDef(
+      "pipe_segment_dedup",
+      (s, dir) => {
+        val segs = tokenized(s, dir)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, ((size(toks) + ${SegLen - 1}) div $SegLen) - 1), " +
+              s"i -> concat_ws(' ', slice(toks, i * $SegLen + 1, $SegLen)))"))
+            .as(Seq("seg_id", "seg_text")))
+        val dup = segs.groupBy(col("seg_text"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= MinDupDocs)
+          .select(col("seg_text"))
+        val kept = segs.join(dup, Seq("seg_text"), "left_anti")
+        val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+        val ka = kept.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("kept_segs"),
+          sum(size(split(col("seg_text"), " ")).cast("long")).as("kept_toks"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(seg_id, seg_text))), x -> x.seg_text)"))
+            .as("new_text"))
+        tot.join(ka, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segs"),
+            coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+            coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+            coalesce(col("new_text"), lit("")).as("new_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS ord
+          FROM $tokenizedDuck),
+        seg AS (
+          SELECT doc_id, (ord - 1) // $SegLen AS seg_id,
+            string_agg(w, ' ' ORDER BY ord) AS seg_text
+          FROM tok GROUP BY doc_id, ((ord - 1) // $SegLen)),
+        dup AS (SELECT seg_text FROM seg GROUP BY seg_text
+                HAVING count(DISTINCT doc_id) >= $MinDupDocs),
+        kept AS (SELECT * FROM seg WHERE seg_text NOT IN (SELECT seg_text FROM dup)),
+        tot AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id),
+        ka AS (
+          SELECT doc_id, count(*) AS kept_segs,
+            CAST(sum(len(string_split(seg_text, ' '))) AS BIGINT) AS kept_toks,
+            string_agg(seg_text, ' ' ORDER BY seg_id) AS new_text
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segs,
+          coalesce(ka.kept_segs, 0) AS kept_segs,
+          coalesce(ka.kept_toks, 0) AS kept_toks,
+          coalesce(ka.new_text, '') AS new_text
+        FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id"""),
+      doc = "CCNet/RefinedWeb-style boilerplate removal: drop " +
+        s"$SegLen-token segments repeated across ≥ $MinDupDocs docs, " +
+        "reassemble survivors in order; 3 keyed shuffles, no window."),
+
+    // ── exact substring-duplication coverage (Lee et al. 2022) ───────
+    // Overlapping k-token windows; a window is duplicated when its text
+    // occurs in ≥2 distinct docs; a token is covered when any duplicated
+    // window contains it. Coverage = covered/total, the statistic the
+    // paper thresholds at 50 tokens. Scale shape: the window→count
+    // shuffle is the only superlinear-in-duplication step and it carries
+    // (gram, doc) keys with map-side partials; coverage explodes each
+    // duplicated window into exactly K positions (bounded fan-out).
+    QueryDef(
+      "text_dup_spans",
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val wins = toks.filter(size(col("toks")) >= DupK)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, size(toks) - $DupK), " +
+              s"i -> concat_ws(' ', slice(toks, i + 1, $DupK)))"))
+            .as(Seq("start", "gram")))
+        val dupGrams = wins.groupBy(col("gram"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("gram"))
+        val dupWins = wins.join(dupGrams, Seq("gram"))
+        val cov = dupWins
+          .select(col("doc_id"), explode(expr(s"sequence(start, start + ${DupK - 1})")).as("pos"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_toks"))
+        val dwc = dupWins.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+        toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+          .join(dwc, Seq("doc_id"), "left")
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+            coalesce(col("covered_toks"), lit(0L)).as("covered_toks"))
+          .withColumn("dup_frac",
+            round(col("covered_toks").cast(DoubleType) / col("n_toks"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, toks FROM $tokenizedDuck),
+        win AS (
+          SELECT doc_id,
+            unnest(range(len(toks) - ${DupK - 1})) AS start,
+            unnest(list_transform(range(len(toks) - ${DupK - 1}),
+              i -> array_to_string(toks[i + 1 : i + $DupK], ' '))) AS gram
+          FROM d WHERE len(toks) >= $DupK),
+        dup AS (SELECT gram FROM win GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        dw AS (SELECT win.doc_id, win.start FROM win JOIN dup USING (gram)),
+        cov AS (
+          SELECT doc_id, count(*) AS covered_toks FROM (
+            SELECT DISTINCT doc_id, start + u AS pos
+            FROM dw CROSS JOIN range($DupK) t(u)) GROUP BY doc_id),
+        dwc AS (SELECT doc_id, count(*) AS dup_windows FROM dw GROUP BY doc_id),
+        n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d)
+        SELECT n.doc_id, n.n_toks,
+          coalesce(dwc.dup_windows, 0) AS dup_windows,
+          coalesce(cov.covered_toks, 0) AS covered_toks,
+          round(CAST(coalesce(cov.covered_toks, 0) AS DOUBLE) / n.n_toks, 6) AS dup_frac
+        FROM n LEFT JOIN dwc USING (doc_id) LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id"""),
+      doc = s"Exact substring-dup coverage (Lee et al. 2022): fraction of " +
+        s"each doc inside a duplicated $DupK-token window; bounded " +
+        "K-fan-out coverage explode, map-side-partial gram counts."),
+
+    // ── SemDeDup (Abbas et al. 2023) ─────────────────────────────────
+    // Cluster embeddings into cells (deterministic IVF centroid set, the
+    // sim_ivf_topk index), then prune near-duplicates WITHIN cells only:
+    // a vector is pruned when a smaller-id cell-mate sits at cosine ≥ τ.
+    // Scale shape: centroids broadcast (k rows), assignment is one
+    // narrow pass + a vec_id-keyed window; the quadratic pair step is
+    // confined to single cells, whose size is n/k — k is chosen so
+    // cells fit a task (the paper runs k=50k on 5B embeddings for
+    // exactly this reason). No all-pairs join ever leaves a cell.
+    QueryDef(
+      "pipe_semdedup",
+      (s, dir) => {
+        import SimilarityQueries.{CentroidCap, CentroidEvery}
+        val all = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val cents = all.filter(col("vec_id") % CentroidEvery === 0 &&
+            col("vec_id") < CentroidEvery * CentroidCap)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cent_id").asc)
+        val assign = all.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+            VectorOps.dist2(col("v"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+        val prunes = assign.as("a")
+          .join(assign.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("by_id"),
+            round(VectorOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+              .as("cs"))
+          .filter(col("cs") >= SemTau)
+          .groupBy(col("vec_id")).agg(min(col("by_id")).as("pruned_by"))
+        assign.select(col("vec_id"), col("cell"))
+          .join(prunes, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("pruned_by"),
+            col("pruned_by").isNull.as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $vectorsDuck,
+          cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM nvecs
+            WHERE vec_id % ${SimilarityQueries.CentroidEvery} = 0
+              AND vec_id < ${SimilarityQueries.CentroidEvery * SimilarityQueries.CentroidCap}),
+          assign AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM (
+              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM nvecs a CROSS JOIN cents c)
+            WHERE rn = 1),
+          prunes AS (
+            SELECT b.vec_id, min(a.vec_id) AS pruned_by
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $SemTau
+            GROUP BY b.vec_id)
+        SELECT a.vec_id, a.cell, p.pruned_by, p.pruned_by IS NULL AS kept
+        FROM assign a LEFT JOIN prunes p USING (vec_id) ORDER BY a.vec_id"""),
+      doc = "SemDeDup: IVF-cell clustering then in-cell cosine pruning at " +
+        s"τ=$SemTau; centroids broadcast, quadratic step confined to " +
+        "cells of size n/k."),
+
+    // ── DSIR importance weighting (Xie et al. 2023) ──────────────────
+    // Score every document by the unigram log-likelihood ratio between a
+    // target distribution (here: the English slice) and the raw corpus,
+    // add-1 smoothed. Per-feature log-ratios are rounded to 6 dp and
+    // cast DECIMAL(18,6) BEFORE summing, so each doc's score is an exact
+    // decimal sum of identical addends in both engines (float summation
+    // order can't flip it). Scale shape: the rate table is |V| rows →
+    // broadcast; the corpus side shuffles once (per-doc sum). kept =
+    // score > 0 ⇔ importance weight > 1 — a deterministic, rank-free
+    // selection rule (the paper's sampled variant needs RNG; the
+    // thresholded form is its reproducible pipeline twin).
+    QueryDef(
+      "pipe_dsir",
+      (s, dir) => {
+        val words = tokenized(s, dir)
+          .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+        val counts = words.groupBy(col("w")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+          count(lit(1)).as("vsz"))
+        val rate = counts.crossJoin(broadcast(tot))
+          .select(col("w"),
+            round(
+              log((col("ct") + lit(1)).cast(DoubleType) /
+                (col("tt") + col("vsz")).cast(DoubleType)) -
+                log((col("cr") + lit(1)).cast(DoubleType) /
+                  (col("tr") + col("vsz")).cast(DoubleType)), 6)
+              .cast(DecimalType(18, 6)).as("lam"))
+        words.join(broadcast(rate), Seq("w"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("lam")).as("sd"))
+          .select(col("doc_id"), col("lang"),
+            col("sd").cast(DoubleType).as("score"),
+            (col("sd") > 0).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (
+          SELECT doc_id, lang, unnest(toks) AS w FROM $tokenizedDuck),
+        c AS (
+          SELECT w, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+            count(*) AS cr
+          FROM w GROUP BY w),
+        t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr,
+              count(*) AS vsz FROM c),
+        r AS (
+          SELECT w, CAST(round(
+              ln((ct + 1.0) / (tt + vsz)) - ln((cr + 1.0) / (tr + vsz)), 6)
+            AS DECIMAL(18,6)) AS lam
+          FROM c CROSS JOIN t),
+        s AS (
+          SELECT doc_id, lang, sum(lam) AS sd
+          FROM w JOIN r USING (w) GROUP BY doc_id, lang)
+        SELECT doc_id, lang, CAST(sd AS DOUBLE) AS score, sd > 0 AS kept
+        FROM s ORDER BY doc_id"""),
+      doc = "DSIR unigram importance weighting vs the English target " +
+        "slice; per-feature log-ratios rounded then summed as exact " +
+        "decimals; |V|-row rate table broadcast, ONE corpus shuffle."),
+
+    // ── URL canonicalization + blocklist + keep-first dedup ──────────
+    // The crawl-frontier hygiene pass: normalize scheme/host case, strip
+    // the default port, tracking params and fragments, drop blocklisted
+    // hosts, then keep the first doc per canonical URL. The messy URL is
+    // synthesized deterministically from doc_id (the fixture has no URL
+    // column) with every normalization hazard present: upper-case
+    // scheme/host, :443, utm_* param, #fragment. Scale shape: narrow
+    // canonicalization pass, blocklist as a literal filter (a real
+    // blocklist broadcasts), ONE shuffle on canonical_url.
+    QueryDef(
+      "pipe_url_dedup",
+      (s, dir) => {
+        val messy = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(
+              when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+              lit("Site"), pmod(col("doc_id"), lit(20)).cast("string"),
+              lit(".Example.COM"),
+              when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+              lit("/docs/"), pmod(col("doc_id"), lit(100)).cast("string"),
+              lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(100)).cast("string"),
+              when(col("doc_id") % 2 === 0,
+                concat(lit("#sec"), pmod(col("doc_id"), lit(5)).cast("string")))
+                .otherwise(lit(""))).as("url"))
+        val canon = messy.select(col("doc_id"),
+          lower(regexp_replace(regexp_replace(regexp_replace(
+            col("url"), "#.*$", ""), "utm_source=feed&", ""), ":443", ""))
+            .as("canonical_url"))
+          .withColumn("host", regexp_extract(col("canonical_url"), "^https://([^/]+)", 1))
+          .filter(!col("host").isin("site3.example.com", "site7.example.com"))
+        canon.groupBy(col("canonical_url"), col("host"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_dups"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH messy AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+            || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+            || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+            || '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+            || '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+            || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || CAST(doc_id % 5 AS VARCHAR)
+                ELSE '' END) AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id,
+            lower(regexp_replace(regexp_replace(regexp_replace(
+              url, '#.*$', ''), 'utm_source=feed&', ''), ':443', '')) AS canonical_url
+          FROM messy),
+        hosts AS (
+          SELECT doc_id, canonical_url,
+            regexp_extract(canonical_url, '^https://([^/]+)', 1) AS host
+          FROM canon
+          WHERE regexp_extract(canonical_url, '^https://([^/]+)', 1)
+            NOT IN ('site3.example.com', 'site7.example.com'))
+        SELECT canonical_url, host,
+          min(doc_id) AS keeper_doc_id, count(*) AS n_dups
+        FROM hosts GROUP BY canonical_url, host ORDER BY canonical_url"""),
+      doc = "URL canonicalization (case, :443, utm_*, fragment) + host " +
+        "blocklist + keep-first-per-canonical dedup; narrow pass, ONE " +
+        "shuffle on canonical_url.")
+  )
+}

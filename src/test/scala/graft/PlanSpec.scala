@@ -361,4 +361,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "expected a broadcast join of rates onto documents:\n" + p.take(3000))
   }
+
+  test("pipe_segment_dedup reassembles in-row (no window) with map-side partials") {
+    val p = plan("pipe_segment_dedup")
+    // per-doc reassembly is array_sort inside the aggregated row — a
+    // per-doc sort window here would add a full extra shuffle+sort
+    assert(!p.contains("Window"),
+      "segment dedup must not use a window operator:\n" + p.take(3000))
+    assert(p.contains("partial_"),
+      "segment counts must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
+  test("text_dup_spans gram counts partial-aggregate; coverage has no window") {
+    val p = plan("text_dup_spans")
+    assert(p.contains("partial_"),
+      "window-text counts must partial-aggregate map-side:\n" + p.take(3000))
+    assert(!p.contains("Window"),
+      "coverage is explode+distinct, not a window:\n" + p.take(3000))
+  }
+
+  test("pipe_semdedup broadcasts centroids and keeps vec_dot native") {
+    val p = plan("pipe_semdedup")
+    // centroid assignment: k-row centroid set broadcast against the scan
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast into the assignment pass:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "the in-cell pair step must be a keyed join on cell, not a cartesian:\n" +
+        p.take(3000))
+    assert(p.contains("vec_dot"),
+      "cosine must run as the native codegen'd vec_dot expression:\n" + p.take(3000))
+  }
+
+  test("pipe_dsir broadcasts the rate table (corpus side never sort-merge joins)") {
+    val p = plan("pipe_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |V|-row rate table must broadcast onto the exploded corpus:\n" +
+        p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized sort-merge join in the DSIR scoring pass:\n" + p.take(3000))
+  }
+
+  test("pipe_url_dedup is one hash shuffle on canonical_url") {
+    val p = plan("pipe_url_dedup")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"canonicalization must stay narrow — expected 1 hash shuffle, saw $hashShuffles:\n" +
+        p.take(3000))
+    assert(p.contains("partial_"),
+      "keeper/count agg must partial-aggregate map-side:\n" + p.take(3000))
+  }
 }
