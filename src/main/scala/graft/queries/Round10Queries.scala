@@ -379,6 +379,93 @@ object Round10Queries {
         FROM hosts GROUP BY canonical_url, host ORDER BY canonical_url"""),
       doc = "URL canonicalization (case, :443, utm_*, fragment) + host " +
         "blocklist + keep-first-per-canonical dedup; narrow pass, ONE " +
-        "shuffle on canonical_url.")
+        "shuffle on canonical_url."),
+
+    // ── distributed BPE merge training (Sennrich et al. 2016) ────────
+    // The tokenizer-training step: learn the first BpeMerges byte-pair
+    // merges over the corpus. Scale formulation (the paper's own trick):
+    // ONE corpus-sized shuffle builds the (word, freq) vocabulary
+    // rollup; every merge iteration then runs on the VOCAB table
+    // (millions of rows at 100 TB, not the corpus), counting
+    // frequency-weighted adjacent symbol pairs and rewriting the symbol
+    // strings with the winning pair. The argmax is a 1-row aggregate
+    // broadcast back — no driver-side loop state beyond the unrolled
+    // step count, no collect. Merge application is literal left-to-right
+    // space-sentinel string replace — identical non-overlapping scan
+    // semantics in Spark and DuckDB, and exactly BPE's greedy-left merge
+    // order within a word.
+    QueryDef(
+      "pipe_bpe_merges",
+      (s, dir) => {
+        val words = tokenized(s, dir)
+          .select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        val sym0 = words.select(
+          concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("ws"),
+          col("f"))
+
+        // one merge iteration over the vocab table: weighted pair counts
+        // → 1-row argmax (count desc, pair asc) → broadcast rewrite.
+        def step(df: DataFrame): (DataFrame, DataFrame) = {
+          val pairs = df.select(col("f"), explode(expr(
+            "transform(sequence(0, size(split(ws, ' ')) - 2), " +
+              "i -> concat(split(ws, ' ')[i], ' ', split(ws, ' ')[i+1]))"))
+            .as("pair"))
+            .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+          val top = pairs
+            .select(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("m"))
+            .select(col("m.p").as("pair"), (-col("m.nc")).as("cnt"))
+          val applied = df.crossJoin(broadcast(top))
+            .select(expr(
+              "trim(replace(concat(' ', ws, ' '), concat(' ', pair, ' '), " +
+                "concat(' ', replace(pair, ' ', ''), ' ')))").as("ws"),
+              col("f"))
+          (applied, top)
+        }
+
+        val (s1, t1) = step(sym0)
+        val (s2, t2) = step(s1)
+        val (_, t3) = step(s2)
+        Seq(t1, t2, t3).zipWithIndex
+          .map { case (t, i) =>
+            t.select(lit(i + 1).cast("int").as("merge_rank"), col("pair"),
+              regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
+          }
+          .reduce(_.union(_))
+          .orderBy(col("merge_rank"))
+      },
+      Some { // three unrolled merge iterations, same logic per stage
+        def stage(prev: String, k: Int): String =
+          s"""p$k AS (
+               SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+                 SELECT f, unnest(list_transform(range(len(string_split(ws, ' ')) - 1),
+                   i -> string_split(ws, ' ')[i + 1] || ' ' || string_split(ws, ' ')[i + 2])) AS pair
+                 FROM $prev) GROUP BY pair),
+             t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+             s$k AS (
+               SELECT trim(replace(' ' || ws || ' ', ' ' || t$k.pair || ' ',
+                 ' ' || replace(t$k.pair, ' ', '') || ' ')) AS ws, f
+               FROM ${if (k == 1) "s0" else s"s${k - 1}"} CROSS JOIN t$k)"""
+        s"""WITH words AS (
+            SELECT w, count(*) AS f FROM (
+              SELECT unnest(toks) AS w FROM $tokenizedDuck) GROUP BY w),
+          s0 AS (
+            SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS ws, f
+            FROM words),
+          ${stage("s0", 1)},
+          ${stage("s1", 2)},
+          ${stage("s2", 3)}
+          SELECT * FROM (
+            SELECT CAST(1 AS INTEGER) AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt FROM t1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), pair, replace(pair, ' ', ''), cnt FROM t2
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), pair, replace(pair, ' ', ''), cnt FROM t3)
+          ORDER BY merge_rank"""
+      },
+      doc = "Distributed BPE merge training (3 unrolled iterations): one " +
+        "corpus shuffle to the (word, freq) vocab rollup, then every " +
+        "iteration runs on the vocab table with a 1-row argmax broadcast " +
+        "back — Sennrich et al. 2016's scalable formulation.")
   )
 }

@@ -410,4 +410,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"),
       "keeper/count agg must partial-aggregate map-side:\n" + p.take(3000))
   }
+
+  test("pipe_bpe_merges iterates on the vocab rollup with broadcast argmax") {
+    val p = plan("pipe_bpe_merges")
+    // each merge's 1-row argmax rides back as a broadcast, never a
+    // shuffle of the (word, freq) table against a scalar
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "top-pair scalar must broadcast into the rewrite pass:\n" + p.take(3000))
+    assert(p.contains("partial_"),
+      "pair counts must partial-aggregate map-side:\n" + p.take(3000))
+    assert(!p.contains("Window"),
+      "no window in the BPE loop:\n" + p.take(3000))
+  }
 }
