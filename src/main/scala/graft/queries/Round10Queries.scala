@@ -466,6 +466,95 @@ object Round10Queries {
       doc = "Distributed BPE merge training (3 unrolled iterations): one " +
         "corpus shuffle to the (word, freq) vocab rollup, then every " +
         "iteration runs on the vocab table with a 1-row argmax broadcast " +
-        "back — Sennrich et al. 2016's scalable formulation.")
+        "back — Sennrich et al. 2016's scalable formulation.",
+    ),
+
+    // ── ST15 batch twin: incremental near-dup dedup vs arrival order ─
+    // The declared, oracle-checked semantics of the streaming dedup
+    // index (graft.streaming.DocumentStreams): a doc is a duplicate of
+    // the SMALLEST earlier-arrived doc that shares ≥1 LSH band bucket
+    // with ≥ SigMatchMin of K minhash components equal (estimated
+    // Jaccard ≥ 1/2), arrival order := doc_id order. The state the
+    // stream holds is signatures only — so the twin also compares
+    // signatures, not shingle sets: same verdict the online index can
+    // actually compute. StreamingDedupConvergenceSpec pins stream ≡
+    // this query across multi-file micro-batch replays.
+    QueryDef(
+      "st_incremental_minhash",
+      (s, dir) => {
+        import graft.streaming.DocumentStreams
+        val docs = Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+        val b = DocumentStreams.bandedSigs(docs).persist()
+        val cand = b.as("a").join(b.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_sig") === col("b.band_sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("doc_a"),
+            expr("cast(aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) as bigint)")
+              .as("n_match"))
+          .filter(col("n_match") >= DocumentStreams.SigMatchMin)
+          .distinct()
+        val verdict = cand.groupBy(col("doc_id"))
+          .agg(min(struct(col("doc_a"), col("n_match"))).as("m"))
+          .select(col("doc_id"), col("m.doc_a").as("dup_of"),
+            col("m.n_match").as("n_match"))
+        val out = docs.select(col("doc_id"))
+          .join(verdict, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"), col("n_match"),
+            when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("status"))
+          .orderBy(col("doc_id"))
+        selfContainedDocs(out, b)
+      },
+      Some {
+        import DedupQueries.{A, B, BANDS, K, P, ROWS}
+        val sigExpr = (0 until K).map { i =>
+          s"list_min(list_transform(hs, h -> (CAST(${A(i)} AS BIGINT) * h + ${B(i)}) % $P))"
+        }.mkString("[", ", ", "]")
+        s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          hashed AS (
+            SELECT doc_id,
+              list_transform(shingles, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % $P) AS hs
+            FROM sh),
+          sigs AS (SELECT doc_id, $sigExpr AS sig FROM hashed),
+          banded AS (
+            SELECT doc_id, sig,
+              unnest(range($BANDS)) AS band_idx,
+              unnest(list_transform(range($BANDS),
+                b -> array_to_string(list_transform(array_slice(sig, CAST(b * $ROWS + 1 AS INTEGER), CAST(b * $ROWS + $ROWS AS INTEGER)), v -> CAST(v AS VARCHAR)), '_'))) AS band_sig
+            FROM sigs),
+          cand AS (
+            SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS doc_a,
+              CAST(len(list_filter(range($K), i -> a.sig[i+1] = b.sig[i+1])) AS BIGINT) AS n_match
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+          hits AS (SELECT * FROM cand WHERE n_match >= ${graft.streaming.DocumentStreams.SigMatchMin}),
+          verdict AS (SELECT doc_id, min(doc_a) AS dup_of FROM hits GROUP BY doc_id),
+          v2 AS (
+            SELECT v.doc_id, v.dup_of, min(h.n_match) AS n_match
+            FROM verdict v JOIN hits h ON h.doc_id = v.doc_id AND h.doc_a = v.dup_of
+            GROUP BY v.doc_id, v.dup_of)
+          SELECT d.doc_id, v2.dup_of, v2.n_match,
+            CASE WHEN v2.dup_of IS NULL THEN 'new' ELSE 'dup' END AS status
+          FROM documents d LEFT JOIN v2 USING (doc_id) ORDER BY d.doc_id"""
+      },
+      doc = "Batch twin of the streaming incremental minhash dedup index " +
+        "(DocumentStreams): smallest earlier-arrived bucket-mate with " +
+        "≥16/32 matching minhash components; signatures only, the state " +
+        "the online index actually holds.")
   )
+
+  /** Collect-then-unpersist wrapper (the DedupQueries.selfContained
+    * pattern): the banded-signature table is referenced by both join
+    * sides, so it persists for the query and must release after.
+    */
+  private def selfContainedDocs(result: DataFrame, cached: DataFrame): DataFrame =
+    try result.localCheckpoint(true)
+    finally cached.unpersist(false)
 }
