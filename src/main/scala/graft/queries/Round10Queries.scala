@@ -260,6 +260,72 @@ object Round10Queries {
         s"τ=$SemTau; centroids broadcast, quadratic step confined to " +
         "cells of size n/k."),
 
+    // ── SemDeDup, load-scaled cells (the production configuration) ───
+    // Identical pipeline to pipe_semdedup except the centroid CAP is
+    // dropped: centroids are every CentroidEvery-th vector, so the cell
+    // count grows with the corpus and the expected cell load stays
+    // ~CentroidEvery regardless of n — the in-cell quadratic step stays
+    // LINEAR in corpus size (the teaching form's fixed k=64 cells grow
+    // as n/64 and the pair step as n²/64). The trade is assignment cost
+    // O(n·k): that is IVF's real scale knob — production systems pay it
+    // once per reclustering with a hierarchical/sampled assignment, and
+    // the two declared queries differ in exactly the knob under test
+    // (the D5b/D5c pattern).
+    QueryDef(
+      "pipe_semdedup_scaled",
+      (s, dir) => {
+        import SimilarityQueries.CentroidEvery
+        val all = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val cents = all.filter(col("vec_id") % CentroidEvery === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cent_id").asc)
+        val assign = all.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+            VectorOps.dist2(col("v"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+        val prunes = assign.as("a")
+          .join(assign.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("by_id"),
+            round(VectorOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+              .as("cs"))
+          .filter(col("cs") >= SemTau)
+          .groupBy(col("vec_id")).agg(min(col("by_id")).as("pruned_by"))
+        assign.select(col("vec_id"), col("cell"))
+          .join(prunes, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("pruned_by"),
+            col("pruned_by").isNull.as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $vectorsDuck,
+          cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM nvecs
+            WHERE vec_id % ${SimilarityQueries.CentroidEvery} = 0),
+          assign AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM (
+              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM nvecs a CROSS JOIN cents c)
+            WHERE rn = 1),
+          prunes AS (
+            SELECT b.vec_id, min(a.vec_id) AS pruned_by
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $SemTau
+            GROUP BY b.vec_id)
+        SELECT a.vec_id, a.cell, p.pruned_by, p.pruned_by IS NULL AS kept
+        FROM assign a LEFT JOIN prunes p USING (vec_id) ORDER BY a.vec_id"""),
+      doc = "SemDeDup with load-scaled cells (no centroid cap): cell " +
+        s"count n/${SimilarityQueries.CentroidEvery}, cell load constant " +
+        "⇒ the in-cell pair step stays linear in corpus size."),
+
     // ── DSIR importance weighting (Xie et al. 2023) ──────────────────
     // Score every document by the unigram log-likelihood ratio between a
     // target distribution (here: the English slice) and the raw corpus,
@@ -396,44 +462,7 @@ object Round10Queries {
     // order within a word.
     QueryDef(
       "pipe_bpe_merges",
-      (s, dir) => {
-        val words = tokenized(s, dir)
-          .select(explode(col("toks")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        val sym0 = words.select(
-          concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("ws"),
-          col("f"))
-
-        // one merge iteration over the vocab table: weighted pair counts
-        // → 1-row argmax (count desc, pair asc) → broadcast rewrite.
-        def step(df: DataFrame): (DataFrame, DataFrame) = {
-          val pairs = df.select(col("f"), explode(expr(
-            "transform(sequence(0, size(split(ws, ' ')) - 2), " +
-              "i -> concat(split(ws, ' ')[i], ' ', split(ws, ' ')[i+1]))"))
-            .as("pair"))
-            .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
-          val top = pairs
-            .select(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("m"))
-            .select(col("m.p").as("pair"), (-col("m.nc")).as("cnt"))
-          val applied = df.crossJoin(broadcast(top))
-            .select(expr(
-              "trim(replace(concat(' ', ws, ' '), concat(' ', pair, ' '), " +
-                "concat(' ', replace(pair, ' ', ''), ' ')))").as("ws"),
-              col("f"))
-          (applied, top)
-        }
-
-        val (s1, t1) = step(sym0)
-        val (s2, t2) = step(s1)
-        val (_, t3) = step(s2)
-        Seq(t1, t2, t3).zipWithIndex
-          .map { case (t, i) =>
-            t.select(lit(i + 1).cast("int").as("merge_rank"), col("pair"),
-              regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
-          }
-          .reduce(_.union(_))
-          .orderBy(col("merge_rank"))
-      },
+      (s, dir) => bpeMerges(s, dir, materialize = true),
       Some { // three unrolled merge iterations, same logic per stage
         def stage(prev: String, k: Int): String =
           s"""p$k AS (
@@ -557,4 +586,69 @@ object Round10Queries {
   private def selfContainedDocs(result: DataFrame, cached: DataFrame): DataFrame =
     try result.localCheckpoint(true)
     finally cached.unpersist(false)
+
+  /** The BPE pipeline. `materialize = true` (the declared query) persists
+    * the vocab rollup and each rewritten generation — the tables are
+    * vocab-sized, tiny next to the corpus, but three unrolled stages
+    * reference their predecessors once per argmax AND once per rewrite,
+    * so without the barrier every t_k would re-run the corpus-sized
+    * explode k times (measured 9.5 → 7.5 s at the ×10 probe; what
+    * remains is the one corpus pass — the ×1→×10 trajectory is linear,
+    * 0.88 → 7.5 s). `materialize = false` returns the raw composed plan
+    * so PlanSpec can pin the broadcast-argmax shape (a localCheckpoint
+    * boundary hides it behind an RDD scan).
+    */
+  private[graft] def bpeMerges(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val words = tokenized(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val sym0raw = words.select(
+      concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")).as("ws"),
+      col("f"))
+    val sym0 = if (materialize) sym0raw.persist() else sym0raw
+
+    // one merge iteration over the vocab table: weighted pair counts
+    // → 1-row argmax (count desc, pair asc) → broadcast rewrite.
+    def step(df: DataFrame): (DataFrame, DataFrame) = {
+      // a word can collapse to ONE symbol once a '<x> </w>' pair wins
+      // (single-letter words) — it then contributes no pairs. The
+      // size guard matters beyond semantics: Spark's sequence(0, -1)
+      // is the DESCENDING [0, -1], so the unguarded transform indexes
+      // out of bounds (caught by the ×10 probe, where 'a </w>' wins
+      // merge 3).
+      val pairs = df.filter(size(split(col("ws"), " ")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(0, size(split(ws, ' ')) - 2), " +
+            "i -> concat(split(ws, ' ')[i], ' ', split(ws, ' ')[i+1]))"))
+        .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      val top = pairs
+        .select(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("m"))
+        .select(col("m.p").as("pair"), (-col("m.nc")).as("cnt"))
+      val applied = df.crossJoin(broadcast(top))
+        .select(expr(
+          "trim(replace(concat(' ', ws, ' '), concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', ''), ' ')))").as("ws"),
+          col("f"))
+      (applied, top)
+    }
+
+    val (s1u, t1) = step(sym0)
+    val s1 = if (materialize) s1u.persist() else s1u
+    val (s2u, t2) = step(s1)
+    val s2 = if (materialize) s2u.persist() else s2u
+    val (_, t3) = step(s2)
+    val out = Seq(t1, t2, t3).zipWithIndex
+      .map { case (t, i) =>
+        t.select(lit(i + 1).cast("int").as("merge_rank"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("merge_rank"))
+    if (!materialize) out
+    else
+      try out.localCheckpoint(true)
+      finally Seq(sym0, s1, s2).foreach(_.unpersist(false))
+  }
 }

@@ -412,7 +412,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pipe_bpe_merges iterates on the vocab rollup with broadcast argmax") {
-    val p = plan("pipe_bpe_merges")
+    // inspect the un-materialized plan: the declared query localCheckpoints
+    // its result, which hides the pipeline behind an RDD scan
+    val p = graft.queries.Round10Queries.bpeMerges(spark, sf(), materialize = false)
+      .queryExecution.executedPlan.toString
     // each merge's 1-row argmax rides back as a broadcast, never a
     // shuffle of the (word, freq) table against a scalar
     assert(p.contains("BroadcastNestedLoopJoin"),
