@@ -56,6 +56,15 @@ object Round10Queries {
     */
   val SemTau: Double = DedupQueries.CosineTau
 
+  /** Hashing-trick dimension for the quality classifier. */
+  val ClassifierD = 4096
+
+  /** 60-bit integer from md5 — same recipe as DedupQueries/CurationQueries. */
+  private def h60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
@@ -497,6 +506,61 @@ object Round10Queries {
         "iteration runs on the vocab table with a 1-row argmax broadcast " +
         "back — Sennrich et al. 2016's scalable formulation.",
     ),
+
+    // ── fasttext-style hashed linear quality classifier ──────────────
+    // Model inference as a pure Catalyst expression pass: features are
+    // hashed BIGRAMS (the hashing trick, dimension D), the weight vector
+    // is data-independent — w[j] derived from md5(j) — and the document
+    // score is the mean feature weight. The determinism recipe is the
+    // interesting part: weights are DYADIC rationals (k/1024 with
+    // |k| ≤ 1024), so every addend is an exact double with denominator
+    // 2^10 and the sum of thousands of them is EXACT float arithmetic —
+    // no rounding ever happens, so the result is independent of
+    // aggregation order on both engines with no DECIMAL detour. Scale
+    // shape: the weight table never materializes anywhere (w[h] is
+    // computed inline from the hash), the pass is narrow until one
+    // doc_id-keyed rollup — a real fasttext scorer broadcasts its weight
+    // array; this shows the same plan with the broadcast replaced by
+    // arithmetic.
+    QueryDef(
+      "pipe_quality_classifier",
+      (s, dir) => {
+        val grams = tokenized(s, dir)
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+            .as("g"))
+        // h = bucket in [0, D); w = ((h60(bucket-string) % 2049) - 1024) / 1024
+        val scored = grams.select(col("doc_id"), col("lang"),
+          expr(s"pmod(${h60("g")}, $ClassifierD)").as("h"))
+          .select(col("doc_id"), col("lang"),
+            // CAST(1024 AS DOUBLE): a bare 1024.0 literal is DECIMAL in
+            // Spark SQL and the division silently goes decimal-typed
+            expr(s"(pmod(${h60("concat('w', cast(h as string))")}, 2049) - 1024) / cast(1024 as double)")
+              .as("w"))
+        scored.groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("sw"))
+          .select(col("doc_id"), col("lang"), col("n_feats"),
+            round(col("sw") / col("n_feats"), 6).as("score"),
+            (col("sw") > 0).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH g AS (
+          SELECT doc_id, lang,
+            unnest(list_transform(range(len(toks) - 1),
+              i -> toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM $tokenizedDuck WHERE len(toks) >= 2),
+        h AS (SELECT doc_id, lang, ${h60Duck("g")} % $ClassifierD AS h FROM g),
+        w AS (SELECT doc_id, lang,
+            (${h60Duck("'w' || CAST(h AS VARCHAR)")} % 2049 - 1024) / CAST(1024 AS DOUBLE) AS w
+          FROM h),
+        s AS (SELECT doc_id, lang, count(*) AS n_feats, sum(w) AS sw
+          FROM w GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_feats, round(sw / n_feats, 6) AS score, sw > 0 AS kept
+        FROM s ORDER BY doc_id"""),
+      doc = "Hashed-bigram linear classifier inference (fasttext shape) " +
+        "as one narrow expression pass + one doc rollup; dyadic-rational " +
+        "weights make the float sum EXACT and order-independent."),
 
     // ── ST15 batch twin: incremental near-dup dedup vs arrival order ─
     // The declared, oracle-checked semantics of the streaming dedup

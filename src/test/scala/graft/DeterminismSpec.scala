@@ -12,7 +12,10 @@ class DeterminismSpec extends SparkSpec {
   private val floatHeavy = Seq(
     "q10_agg_basic", "q34_stats_agg", "q62_skew_kurt",
     "ev_anomaly", "ev_ewma", "dedup_embedding_cosine", "sim_quantize",
-    "q93_typed_agg", "q97_moving_avg")
+    "q93_typed_agg", "q97_moving_avg",
+    // round-10: DSIR (decimal-summed log-ratios) and the classifier
+    // (dyadic-rational float sums — exact without any decimal detour)
+    "pipe_dsir", "pipe_quality_classifier")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -411,6 +411,16 @@ class PlanSpec extends SparkSpec {
       "keeper/count agg must partial-aggregate map-side:\n" + p.take(3000))
   }
 
+  test("pipe_quality_classifier scores in one narrow pass + one doc rollup") {
+    val p = plan("pipe_quality_classifier")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"hash-and-score must stay narrow — expected 1 hash shuffle, saw $hashShuffles:\n" +
+        p.take(3000))
+    assert(p.contains("partial_"),
+      "the doc rollup must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
   test("pipe_bpe_merges iterates on the vocab rollup with broadcast argmax") {
     // inspect the un-materialized plan: the declared query localCheckpoints
     // its result, which hides the pipeline behind an RDD scan

@@ -118,6 +118,18 @@ class Round10Spec extends SparkSpec {
     assert(got == expected, s"distributed $got != reference $expected")
   }
 
+  test("pipe_quality_classifier: one feature per bigram, mean weight bounded by ±1") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"),
+        (size(split(lower(col("text")), " ")) - 1).cast("long").as("expected"))
+    val out = q("pipe_quality_classifier")
+    assert(out.join(docs, "doc_id")
+      .filter(col("n_feats") =!= col("expected")).count() == 0,
+      "every bigram must contribute exactly one hashed feature")
+    assert(out.filter(abs(col("score")) > 1).count() == 0,
+      "mean of weights in [-1, 1] must stay in [-1, 1]")
+  }
+
   test("st_incremental_minhash: dup verdicts point at earlier docs and are transitive-free") {
     val out = q("st_incremental_minhash").cache()
     try {
