@@ -270,32 +270,54 @@ object Round10Queries {
         "cells of size n/k."),
 
     // ── SemDeDup, load-scaled cells (the production configuration) ───
-    // Identical pipeline to pipe_semdedup except the centroid CAP is
-    // dropped: centroids are every CentroidEvery-th vector, so the cell
-    // count grows with the corpus and the expected cell load stays
-    // ~CentroidEvery regardless of n — the in-cell quadratic step stays
-    // LINEAR in corpus size (the teaching form's fixed k=64 cells grow
-    // as n/64 and the pair step as n²/64). The trade is assignment cost
-    // O(n·k): that is IVF's real scale knob — production systems pay it
-    // once per reclustering with a hierarchical/sampled assignment, and
-    // the two declared queries differ in exactly the knob under test
-    // (the D5b/D5c pattern).
+    // The centroid CAP is dropped: fine centroids are every
+    // CentroidEvery-th vector, so cell count grows with the corpus and
+    // the expected cell load stays ~CentroidEvery regardless of n — the
+    // in-cell quadratic step stays LINEAR in corpus size (the teaching
+    // form's fixed k=64 cells grow as n/64 and the pair step as n²/64).
+    // With k ∝ n a FLAT argmin over all fine centroids is O(n·k) = O(n²)
+    // — measured 172 s at ×26 (52k vectors × 2080 centroids) — so
+    // assignment is HIERARCHICAL, the way production IVF actually
+    // assigns: a coarse level of every CentroidEvery²-th vector routes
+    // each vector (and each fine centroid) to its nearest coarse cell,
+    // and the fine argmin runs only within that cell — O(n·(n/E² + E))
+    // probes instead of O(n²/E), 172 → 7.0 s at ×26. Both levels use the
+    // same deterministic (d2, id) tiebreak and the oracle replays the
+    // identical two-level rule, so the declared output stays bit-exact.
     QueryDef(
       "pipe_semdedup_scaled",
       (s, dir) => {
         import SimilarityQueries.CentroidEvery
+        val CoarseEvery = CentroidEvery * CentroidEvery
         val all = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
           .repartition(s.sparkContext.defaultParallelism)
-        val cents = all.filter(col("vec_id") % CentroidEvery === 0)
+        val coarse = all.filter(col("vec_id") % CoarseEvery === 0)
+          .select(col("vec_id").as("c2"), col("v").as("c2v"))
+        val fine = all.filter(col("vec_id") % CentroidEvery === 0)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
+
+        def nearestCoarse(df: DataFrame, idCol: String, vCol: String): DataFrame = {
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(col("cd2").asc, col("c2").asc)
+          df.join(broadcast(coarse), lit(true))
+            .withColumn("cd2", VectorOps.dist2(col(vCol), col("c2v")))
+            .withColumn("crn", row_number().over(w))
+            .filter(col("crn") === 1)
+            .drop("c2v", "cd2", "crn")
+        }
+
+        // fine centroids routed to coarse cells once (k rows), then each
+        // vector probes only the fine centroids of ITS coarse cell.
+        val fineRouted = nearestCoarse(fine, "cent_id", "cv")
+        val wFine = Window.partitionBy(col("vec_id"))
           .orderBy(col("d2").asc, col("cent_id").asc)
-        val assign = all.join(broadcast(cents), lit(true))
+        val assign = nearestCoarse(all, "vec_id", "v")
+          .join(broadcast(fineRouted), Seq("c2"))
           .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
             VectorOps.dist2(col("v"), col("cv")).as("d2"))
-          .withColumn("rn", row_number().over(wAssign))
+          .withColumn("rn", row_number().over(wFine))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
         val prunes = assign.as("a")
@@ -312,16 +334,34 @@ object Round10Queries {
             col("pruned_by").isNull.as("kept"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH $vectorsDuck,
-          cents AS (
-            SELECT vec_id AS cent_id, v AS cv FROM nvecs
-            WHERE vec_id % ${SimilarityQueries.CentroidEvery} = 0),
+      Some {
+        import SimilarityQueries.CentroidEvery
+        val coarseEvery = CentroidEvery * CentroidEvery
+        s"""WITH $vectorsDuck,
+          coarse AS (SELECT vec_id AS c2, v AS c2v FROM nvecs
+            WHERE vec_id % $coarseEvery = 0),
+          fine AS (SELECT vec_id AS cent_id, v AS cv FROM nvecs
+            WHERE vec_id % $CentroidEvery = 0),
+          frouted AS (
+            SELECT cent_id, cv, c2 FROM (
+              SELECT f.cent_id, f.cv, c.c2,
+                row_number() OVER (PARTITION BY f.cent_id
+                  ORDER BY ${VectorOps.duckDist2("f.cv", "c.c2v")} ASC, c.c2 ASC) AS crn
+              FROM fine f CROSS JOIN coarse c)
+            WHERE crn = 1),
+          vrouted AS (
+            SELECT vec_id, v, nrm, c2 FROM (
+              SELECT a.vec_id, a.v, a.nrm, c.c2,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${VectorOps.duckDist2("a.v", "c.c2v")} ASC, c.c2 ASC) AS crn
+              FROM nvecs a CROSS JOIN coarse c)
+            WHERE crn = 1),
           assign AS (
             SELECT vec_id, v, nrm, cent_id AS cell FROM (
-              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+              SELECT a.vec_id, a.v, a.nrm, f.cent_id,
                 row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM nvecs a CROSS JOIN cents c)
+                  ORDER BY ${VectorOps.duckDist2("a.v", "f.cv")} ASC, f.cent_id ASC) AS rn
+              FROM vrouted a JOIN frouted f USING (c2))
             WHERE rn = 1),
           prunes AS (
             SELECT b.vec_id, min(a.vec_id) AS pruned_by
@@ -330,10 +370,11 @@ object Round10Queries {
             WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $SemTau
             GROUP BY b.vec_id)
         SELECT a.vec_id, a.cell, p.pruned_by, p.pruned_by IS NULL AS kept
-        FROM assign a LEFT JOIN prunes p USING (vec_id) ORDER BY a.vec_id"""),
-      doc = "SemDeDup with load-scaled cells (no centroid cap): cell " +
-        s"count n/${SimilarityQueries.CentroidEvery}, cell load constant " +
-        "⇒ the in-cell pair step stays linear in corpus size."),
+        FROM assign a LEFT JOIN prunes p USING (vec_id) ORDER BY a.vec_id"""
+      },
+      doc = "SemDeDup with load-scaled cells and HIERARCHICAL assignment " +
+        "(coarse route → in-cell fine argmin): cell load constant AND " +
+        "assignment subquadratic — the production IVF shape."),
 
     // ── DSIR importance weighting (Xie et al. 2023) ──────────────────
     // Score every document by the unigram log-likelihood ratio between a
