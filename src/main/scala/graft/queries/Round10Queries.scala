@@ -231,19 +231,7 @@ object Round10Queries {
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-        val prunes = assign.as("a")
-          .join(assign.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("by_id"),
-            round(VectorOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
-              .as("cs"))
-          .filter(col("cs") >= SemTau)
-          .groupBy(col("vec_id")).agg(min(col("by_id")).as("pruned_by"))
-        assign.select(col("vec_id"), col("cell"))
-          .join(prunes, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cell"), col("pruned_by"),
-            col("pruned_by").isNull.as("kept"))
-          .orderBy(col("vec_id"))
+        semdedupPrune(assign)
       },
       Some(s"""WITH $vectorsDuck,
           cents AS (
@@ -320,19 +308,7 @@ object Round10Queries {
           .withColumn("rn", row_number().over(wFine))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-        val prunes = assign.as("a")
-          .join(assign.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("by_id"),
-            round(VectorOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
-              .as("cs"))
-          .filter(col("cs") >= SemTau)
-          .groupBy(col("vec_id")).agg(min(col("by_id")).as("pruned_by"))
-        assign.select(col("vec_id"), col("cell"))
-          .join(prunes, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cell"), col("pruned_by"),
-            col("pruned_by").isNull.as("kept"))
-          .orderBy(col("vec_id"))
+        semdedupPrune(assign)
       },
       Some {
         import SimilarityQueries.CentroidEvery
@@ -691,6 +667,27 @@ object Round10Queries {
   private def selfContainedDocs(result: DataFrame, cached: DataFrame): DataFrame =
     try result.localCheckpoint(true)
     finally cached.unpersist(false)
+
+  /** SemDeDup's in-cell prune + per-vector verdict, shared by the fixed-k
+    * and load-scaled variants: a vector is pruned when a smaller-id
+    * cell-mate sits at cosine ≥ τ. `assign` must carry
+    * (vec_id, v, nrm, cell).
+    */
+  private def semdedupPrune(assign: DataFrame): DataFrame = {
+    val prunes = assign.as("a")
+      .join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("by_id"),
+        round(VectorOps.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+          .as("cs"))
+      .filter(col("cs") >= SemTau)
+      .groupBy(col("vec_id")).agg(min(col("by_id")).as("pruned_by"))
+    assign.select(col("vec_id"), col("cell"))
+      .join(prunes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("pruned_by"),
+        col("pruned_by").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
 
   /** The BPE pipeline. `materialize = true` (the declared query) persists
     * the vocab rollup and each rewritten generation — the tables are
