@@ -579,6 +579,89 @@ object Round10Queries {
         "as one narrow expression pass + one doc rollup; dyadic-rational " +
         "weights make the float sum EXACT and order-independent."),
 
+    // ── BPE tokenization: apply the learned merges back to the corpus ─
+    // Closes the tokenizer loop (train → apply): the 3 learned merges
+    // rewrite the DISTINCT-WORD vocabulary (Sennrich's trick again — the
+    // merge chain runs on |V| rows, never the corpus), and the corpus
+    // pass is ONE join of exploded words against the rewritten vocab
+    // (vocab-sized build side, AQE-broadcast at fixture scale, a plain
+    // shuffle join at 100 TB vocab) followed by a per-doc rollup.
+    // Per-word pre-BPE symbol count is length+1 (chars + '</w>') — a
+    // closed form, no second rewrite chain needed.
+    QueryDef(
+      "pipe_bpe_tokenize",
+      (s, dir) => {
+        val merges = bpeMerges(s, dir, materialize = true)
+        def pairOf(k: Int): DataFrame =
+          merges.filter(col("merge_rank") === k).select(col("pair").as(s"p$k"))
+        def rep(c: String, p: String): String =
+          s"trim(replace(concat(' ', $c, ' '), concat(' ', $p, ' '), " +
+            s"concat(' ', replace($p, ' ', ''), ' ')))"
+        val vocab = tokenized(s, dir)
+          .select(explode(col("toks")).as("w")).distinct()
+          .withColumn("ws0",
+            concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")))
+          .crossJoin(broadcast(pairOf(1)))
+          .crossJoin(broadcast(pairOf(2)))
+          .crossJoin(broadcast(pairOf(3)))
+          .withColumn("ws1", expr(rep("ws0", "p1")))
+          .withColumn("ws2", expr(rep("ws1", "p2")))
+          .withColumn("ws3", expr(rep("ws2", "p3")))
+          .select(col("w"),
+            size(split(col("ws3"), " ")).cast("long").as("n_post"))
+        tokenized(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .join(vocab, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w")) + 1).as("n_syms_pre"),
+            sum(col("n_post")).as("n_syms_post"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def stage(prev: String, k: Int): String =
+          s"""p$k AS (
+               SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+                 SELECT f, unnest(list_transform(range(len(string_split(ws, ' ')) - 1),
+                   i -> string_split(ws, ' ')[i + 1] || ' ' || string_split(ws, ' ')[i + 2])) AS pair
+                 FROM $prev) GROUP BY pair),
+             t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+             s$k AS (
+               SELECT trim(replace(' ' || ws || ' ', ' ' || t$k.pair || ' ',
+                 ' ' || replace(t$k.pair, ' ', '') || ' ')) AS ws, f
+               FROM ${if (k == 1) "s0" else s"s${k - 1}"} CROSS JOIN t$k)"""
+        def app(prev: String, k: Int): String =
+          s"""a$k AS (
+               SELECT w, trim(replace(' ' || ws || ' ', ' ' || t$k.pair || ' ',
+                 ' ' || replace(t$k.pair, ' ', '') || ' ')) AS ws
+               FROM $prev CROSS JOIN t$k)"""
+        s"""WITH words AS (
+            SELECT w, count(*) AS f FROM (
+              SELECT unnest(toks) AS w FROM $tokenizedDuck) GROUP BY w),
+          s0 AS (
+            SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS ws, f
+            FROM words),
+          ${stage("s0", 1)},
+          ${stage("s1", 2)},
+          ${stage("s2", 3)},
+          a0 AS (
+            SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS ws
+            FROM (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM $tokenizedDuck))),
+          ${app("a0", 1)},
+          ${app("a1", 2)},
+          ${app("a2", 3)},
+          vocab AS (SELECT w, CAST(len(string_split(ws, ' ')) AS BIGINT) AS n_post FROM a3),
+          tok AS (SELECT doc_id, unnest(toks) AS w FROM $tokenizedDuck)
+          SELECT doc_id, count(*) AS n_words,
+            CAST(sum(length(w) + 1) AS BIGINT) AS n_syms_pre,
+            CAST(sum(n_post) AS BIGINT) AS n_syms_post
+          FROM tok JOIN vocab USING (w)
+          GROUP BY doc_id ORDER BY doc_id"""
+      },
+      doc = "Apply the 3 learned BPE merges to the corpus: merge chain " +
+        "on the |V|-row vocab, ONE corpus join against the rewritten " +
+        "vocab + per-doc rollup — train→apply with no corpus-sized rewrite."),
+
     // ── ST15 batch twin: incremental near-dup dedup vs arrival order ─
     // The declared, oracle-checked semantics of the streaming dedup
     // index (graft.streaming.DocumentStreams): a doc is a duplicate of

@@ -411,6 +411,24 @@ class PlanSpec extends SparkSpec {
       "keeper/count agg must partial-aggregate map-side:\n" + p.take(3000))
   }
 
+  test("st_incremental_minhash bucket join is keyed and the signature is native") {
+    // inspect the un-checkpointed twin via its banded-signature builder:
+    // the candidate step must be an equi-join on (band_idx, band_sig) —
+    // never a cartesian — and minhash_sig must run as the codegen'd
+    // native expression
+    val b = graft.streaming.DocumentStreams.bandedSigs(
+      Tables.load(spark, sf(), "documents"))
+    val pairs = b.as("a").join(b.as("b"),
+      org.apache.spark.sql.functions.col("a.band_idx") === org.apache.spark.sql.functions.col("b.band_idx") &&
+        org.apache.spark.sql.functions.col("a.band_sig") === org.apache.spark.sql.functions.col("b.band_sig") &&
+        org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "bucket candidate step must be a keyed join:\n" + p.take(3000))
+    assert(p.contains("minhash_sig"),
+      "signatures must come from the native codegen'd minhash_sig:\n" + p.take(3000))
+  }
+
   test("pipe_quality_classifier scores in one narrow pass + one doc rollup") {
     val p = plan("pipe_quality_classifier")
     val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
