@@ -23,7 +23,14 @@ import graft.Tables
   *    log-likelihood-ratio score of every document against a target
   *    distribution,
   *  - URL canonicalization + blocklist + URL-level keep-first dedup (the
-  *    crawl-frontier hygiene pass that runs before any content dedup).
+  *    crawl-frontier hygiene pass that runs before any content dedup),
+  *  - distributed BPE merge training AND apply-side tokenization
+  *    (Sennrich et al. 2016: both directions run on the vocab rollup,
+  *    never the corpus),
+  *  - hashed linear quality-classifier inference (fasttext shape,
+  *    dyadic-rational weights ⇒ exact order-independent float sums),
+  *  - the batch twin of the ST15 streaming incremental dedup index
+  *    (graft.streaming.DocumentStreams).
   *
   * Reference scope note: alxmancilla/parquet-demo has no text analytics
   * (its compute surface is type coercion + ETL batching,
