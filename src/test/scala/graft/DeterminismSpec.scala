@@ -13,9 +13,11 @@ class DeterminismSpec extends SparkSpec {
     "q10_agg_basic", "q34_stats_agg", "q62_skew_kurt",
     "ev_anomaly", "ev_ewma", "dedup_embedding_cosine", "sim_quantize",
     "q93_typed_agg", "q97_moving_avg",
-    // round-10: DSIR (decimal-summed log-ratios) and the classifier
-    // (dyadic-rational float sums — exact without any decimal detour)
-    "pipe_dsir", "pipe_quality_classifier")
+    // round-10: DSIR (decimal-summed log-ratios), the classifier
+    // (dyadic-rational float sums — exact without any decimal detour),
+    // and SemDeDup (rounded-cosine prune + (d2, id)-tiebroken argmin
+    // assignment must not depend on partitioning)
+    "pipe_dsir", "pipe_quality_classifier", "pipe_semdedup")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
