@@ -13,7 +13,11 @@ object Plans {
     "dedup_ngram_jaccard", "ev_asof_attribution",
     "q32_pivot", "ev_interval_join", "sim_radius_search",
     "q63_lateral_agg", "q68_merge_upsert", "q71_recursive_cte",
-    "q_tpch10", "dedup_simhash_banded", "dedup_embedding_ann")
+    "q_tpch10", "dedup_simhash_banded", "dedup_embedding_ann",
+    // round 10: segment boilerplate removal (3 keyed shuffles, no
+    // window), SemDeDup with hierarchical assignment, and the
+    // classifier's narrow hash-and-score pass
+    "pipe_segment_dedup", "pipe_semdedup_scaled", "pipe_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
