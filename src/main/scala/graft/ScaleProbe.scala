@@ -72,9 +72,11 @@ object ScaleProbe {
   /** events ×m with disjoint event_id/user_id key spaces per replica and
     * UNCHANGED event time: volume grows m× while the time horizon (what
     * watermarks and windows key on) stays fixed — a busier topic, not a
-    * longer one. The raw ns `ts` longs pass through untouched so the
-    * scaled file reads through the same `Tables.loadEvents` path as the
-    * fixture (plain int64 nanos → µs conversion at load).
+    * longer one. The raw `ts` column passes through untouched in the
+    * fixture's own annotation (int64 nanos or TIMESTAMP_NTZ µs, by
+    * driver edition) so the scaled file reads through the same
+    * edition-dispatching `Tables.loadEvents` normalization as the
+    * fixture itself.
     */
   private def replicateEvents(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -19,19 +19,30 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy long mode) and convert
-    * to a microsecond TimestampType column — the same truncation every
-    * Spark pipeline applies to ns data (SURVEY §7.3; fixture ns residue
-    * is 0 so no information is lost).
+  /** events.ts normalization to a microsecond TimestampType column, keyed
+    * on the fixture's ACTUAL parquet annotation (the driver has shipped
+    * two editions):
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright —
+    *    read raw nanos (legacy long mode) and floor-divide to µs, the same
+    *    truncation every Spark pipeline applies to ns data (SURVEY §7.3;
+    *    fixture ns residue is 0 so no information is lost);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    cast to TimestampType — value-preserving under the engine-wide UTC
+    *    session timezone (Session.scala) and matches what DuckDB's naive
+    *    read sees, so downstream window/watermark code sees ONE type.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // integer division — `/` on Column is double division, which loses
-    // precision on epoch-nanos (≈1.7e18 > 2^53) and rounds instead of
-    // flooring like DuckDB's read does.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = raw.schema("ts").dataType match {
+      // integer division — `/` on Column is double division, which loses
+      // precision on epoch-nanos (≈1.7e18 > 2^53) and rounds instead of
+      // flooring like DuckDB's read does.
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -21,23 +21,40 @@ import graft.Tables
   */
 object EventStreams {
 
-  /** events schema after ns→µs normalization (streams can't infer). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events schema with `ts` as the given physical type (streams can't
+    * infer; the fixture has shipped ts as both raw INT64 nanos and
+    * TIMESTAMP(MICROS) NTZ — see Tables.loadEvents).
+    */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos (legacy long mode)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** ST1: micro-batch file stream over a directory of events parquet. */
+  /** ST1: micro-batch file stream over a directory of events parquet.
+    *
+    * The file stream needs its schema up front, and the fixture's `ts`
+    * annotation has varied across driver editions — probe the actual
+    * files with ONE batch-read schema inference at stream-build time
+    * (driver-side, metadata-only), then apply the same ns→µs / NTZ→UTC
+    * normalization as the batch loader so every downstream transform
+    * sees one TimestampType regardless of edition.
+    */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = tsType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** ST2 + ST4: watermarked tumbling window aggregation. */
