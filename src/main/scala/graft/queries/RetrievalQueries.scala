@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Retrieval / link-graph operators (round 10, [EXT] like all of SURVEY
+  * §2.7): the two web-corpus curation passes the §2.7 surface did not yet
+  * cover —
+  *
+  *  - BM25 lexical retrieval top-k (Robertson/Spärck Jones; the Lucene
+  *    `ln(1 + (N-df+0.5)/(df+0.5))` idf form): the retrieval side of
+  *    retrieval-based decontamination — "which corpus docs does this
+  *    eval query pull up" is the membership-leakage probe GPT-3-style
+  *    n-gram overlap (pipe_decontaminate) cannot express, and the same
+  *    pass is RAG/reranker training-pair mining;
+  *  - PageRank link-graph centrality (Page et al. 1999; the OPIC-style
+  *    crawl-prioritization signal Common Crawl curation keys on): K
+  *    unrolled sparse-matvec iterations over an edge table.
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no retrieval or
+  * graph surface (its compute is type coercion + ETL batching,
+  * src/parquet_demo/io.py:21-66).
+  *
+  * Scale shapes:
+  *  - BM25: the query-term table broadcasts and prunes the exploded
+  *    corpus BEFORE its only wide operation, so the one real shuffle
+  *    carries matching postings only — never the corpus. df/N/avgdl are
+  *    term- or scalar-bounded rollups that broadcast back. At 100 TB the
+  *    postings rollup is the inverted-index build restricted to the
+  *    query vocabulary; everything downstream is |q-terms|·|hit-docs|.
+  *  - PageRank: each iteration is edges ⋈ ranks (rank side broadcast
+  *    here — node table ≪ edge table; co-partition both on src when the
+  *    node table outgrows broadcast) + ONE groupBy(dst) shuffle. The
+  *    edge-build join subtree is IDENTICAL across iterations, so
+  *    Spark's ReuseExchange materializes it once — the unrolled loop
+  *    re-declares it for free instead of hand-caching (PlanSpec pins
+  *    the reuse). Bidirectional edges ⇒ no dangling mass, every node
+  *    has in-edges, and rank mass is conserved at 1 (spec-pinned).
+  *
+  * Float determinism (the text_perplexity recipe): every libm result
+  * (ln, the tf saturation) is rounded to 9–12 dp FIRST — only a
+  * value-bounded set of distinct inputs ever reaches libm — then summed
+  * as exact DECIMAL, so scores are independent of partition order and
+  * identical in both engines.
+  */
+object RetrievalQueries {
+
+  /** BM25 constants (the classic Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 5
+
+  /** PageRank: damping and unrolled iteration count. */
+  val Damping = 0.85
+  val PrIters = 3
+
+  /** Fixed benchmark query set over the fixture vocabulary — inline in
+    * both engines, the eval-set side of a decontamination probe.
+    */
+  val BmQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "merge",
+    2L -> "vector", 2L -> "window",
+    3L -> "slow", 3L -> "query", 3L -> "scan")
+
+  private val bmQueriesDuck =
+    BmQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+
+  private val tokenizedDuck =
+    "(SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── BM25 retrieval top-k ─────────────────────────────────────────
+    // One corpus pass: explode tokens, broadcast-join the query terms
+    // (the prune happens BEFORE the postings shuffle), rollup
+    // (query, term, doc) postings carrying doc length along — so doc
+    // length needs NO second corpus join. df comes from the postings
+    // themselves (distinct doc per term); N/avgdl are one scalar agg.
+    QueryDef(
+      "text_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = broadcast(BmQueries.toDF("query_id", "tok"))
+        val docs = tokenized(s, dir)
+        // corpus-wide scalars: doc count and mean doc length, as ONE
+        // double division of exact integer sums (shared both engines)
+        val stats = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("n_toks"))
+          .select(col("n_docs"),
+            (col("n_toks").cast(DoubleType) / col("n_docs")).as("avgdl"))
+        val posts = docs
+          .select(col("doc_id"), size(col("toks")).cast(DoubleType).as("dl"),
+            explode(col("toks")).as("tok"))
+          .join(qterms, "tok")
+          .groupBy(col("query_id"), col("tok"), col("doc_id"))
+          .agg(count(lit(1)).cast(DoubleType).as("tf"), first(col("dl")).as("dl"))
+        // df over the postings (term-bounded), broadcast back
+        val dfTab = broadcast(
+          posts.select(col("tok"), col("doc_id")).distinct()
+            .groupBy(col("tok")).agg(count(lit(1)).as("df")))
+        val scored = posts
+          .join(dfTab, "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("w",
+            round(
+              expr(s"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+                s" * (tf * ${K1 + 1.0} / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)))"),
+              9).cast(DecimalType(28, 9)))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(col("w")).cast(DoubleType), 6).as("score"),
+            count(lit(1)).as("n_terms"))
+        val rk = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored
+          .withColumn("rnk", row_number().over(rk))
+          .filter(col("rnk") <= TopK)
+          .select(col("query_id"), col("rnk"), col("doc_id"), col("score"),
+            col("n_terms"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH q(query_id, tok) AS (VALUES $bmQueriesDuck),
+        docs AS (SELECT doc_id, toks FROM $tokenizedDuck),
+        stats AS (
+          SELECT count(*) AS n_docs,
+            CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+          FROM docs),
+        posts AS (
+          SELECT q.query_id, t.tok, t.doc_id,
+            CAST(count(*) AS DOUBLE) AS tf, CAST(any_value(t.dl) AS DOUBLE) AS dl
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs) t
+          JOIN q ON t.tok = q.tok
+          GROUP BY q.query_id, t.tok, t.doc_id),
+        dftab AS (
+          SELECT tok, count(*) AS df
+          FROM (SELECT DISTINCT tok, doc_id FROM posts) GROUP BY tok),
+        scored AS (
+          SELECT query_id, doc_id,
+            round(CAST(sum(CAST(round(
+              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * ${K1 + 1.0} / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl))),
+              9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS score,
+            count(*) AS n_terms
+          FROM posts JOIN dftab USING (tok) CROSS JOIN stats
+          GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score, n_terms,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+          doc_id, score, n_terms
+        FROM ranked WHERE rnk <= $TopK
+        ORDER BY query_id, rnk"""),
+      doc = "BM25 top-k retrieval (Lucene idf form): query terms broadcast " +
+        "and prune the corpus BEFORE the one postings shuffle; df/avgdl " +
+        "are term-/scalar-bounded broadcasts; rounded-ln DECIMAL sums."),
+
+    // ── PageRank over the customer↔supplier transaction graph ────────
+    // Edges: DISTINCT (customer, supplier) pairs that share an order
+    // line, in BOTH directions (symmetric graph ⇒ no dangling nodes).
+    // Three unrolled iterations; each is edges ⋈ ranks (broadcast) ⋈
+    // outdeg (broadcast) with ONE groupBy(dst) shuffle.
+    //
+    // Ranks live in exact integer PICOUNITS (1 rank = 10^12) for the
+    // whole iteration: contribution = (85·r) div (100·deg), base =
+    // (15·10^12) div (100·N) — every operation is BIGINT, so the result
+    // is bit-identical in any engine at any partitioning (a first draft
+    // rounded d·r/deg to 12 dp as DECIMAL and DuckDB's double-math
+    // round disagreed with Spark's exact BigDecimal round by 1 ulp on a
+    // boundary quotient; integer floor-division has no boundaries).
+    // Floor division leaks < |E|·10⁻¹² mass per round — the spec's
+    // conservation bound covers it. Floats appear exactly once, in the
+    // final display division r/10^12 (IEEE-identical both engines).
+    QueryDef(
+      "graph_pagerank",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val line = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = line.join(orders, line("l_orderkey") === orders("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val nTab = edges.select(col("src")).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        val r0 = edges.select(col("src")).distinct()
+          .crossJoin(broadcast(nTab))
+          .select(col("src").as("node"),
+            expr("1000000000000L div n_nodes").as("r"))
+        def step(r: DataFrame): DataFrame =
+          edges
+            .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+            .join(broadcast(deg), "src")
+            .select(col("dst"), expr("(85L * r) div (100L * deg)").as("w"))
+            .groupBy(col("dst"))
+            .agg(sum(col("w")).as("sw"))
+            .crossJoin(broadcast(nTab))
+            .select(col("dst").as("node"),
+              expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
+        val rFinal = (1 to PrIters).foldLeft(r0)((r, _) => step(r))
+        rFinal
+          .select(col("node"),
+            (col("r").cast(DoubleType) / lit(1.0e12)).as("pr"))
+          .orderBy(col("pr").desc, col("node"))
+      },
+      Some {
+        val base = s"""WITH pairs AS (
+            SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          n AS (SELECT count(*) AS n_nodes FROM (SELECT DISTINCT src FROM edges)),
+          r0 AS (
+            SELECT src AS node, 1000000000000 // (SELECT n_nodes FROM n) AS r
+            FROM (SELECT DISTINCT src FROM edges))"""
+        val steps = (1 to PrIters).map { i =>
+          s""",
+          r$i AS (
+            SELECT e.dst AS node,
+              15000000000000 // (100 * (SELECT n_nodes FROM n))
+                + CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS r
+            FROM edges e
+            JOIN r${i - 1} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst)"""
+        }.mkString
+        base + steps +
+          s"""
+          SELECT node, CAST(r AS DOUBLE) / 1000000000000.0 AS pr FROM r$PrIters
+          ORDER BY pr DESC, node"""
+      },
+      doc = "PageRank (d=0.85, 3 unrolled iterations) on the symmetric " +
+        "customer-supplier transaction graph: edges ⋈ broadcast ranks + " +
+        "one groupBy(dst) shuffle per iteration; ReuseExchange " +
+        "materializes the shared edge subtree once; ranks are exact " +
+        "BIGINT picounits — no float ever enters the iteration.")
+  )
+}

@@ -17,7 +17,11 @@ class DeterminismSpec extends SparkSpec {
     // (dyadic-rational float sums — exact without any decimal detour),
     // and SemDeDup (rounded-cosine prune + (d2, id)-tiebroken argmin
     // assignment must not depend on partitioning)
-    "pipe_dsir", "pipe_quality_classifier", "pipe_semdedup")
+    "pipe_dsir", "pipe_quality_classifier", "pipe_semdedup",
+    // round-10 retrieval/graph: rounded-ln decimal sums (BM25) and
+    // rounded per-edge decimal contributions (PageRank) must hold
+    // under any partitioning
+    "text_bm25_topk", "graph_pagerank")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

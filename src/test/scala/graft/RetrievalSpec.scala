@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.RetrievalQueries
+
+/** Invariant pins for the round-10 retrieval / link-graph operators
+  * (RetrievalQueries.scala): properties the oracle hash alone would not
+  * explain if they broke — rank-mass conservation, ranking monotonicity,
+  * and the broadcast/pruned plan shapes the 100 TB story relies on.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf()).collect()
+
+  test("graph_pagerank conserves rank mass at 1 (symmetric graph, no dangling loss)") {
+    val rows = run("graph_pagerank")
+    val mass = rows.map(_.getAs[Double]("pr")).sum
+    // per-node rounding is 1e-9 and per-iteration contribution rounding
+    // 1e-12; three iterations over <=20k nodes stay well inside 1e-4
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass drifted from 1")
+    assert(rows.forall(_.getAs[Double]("pr") > 0.0), "every node keeps positive rank")
+  }
+
+  test("graph_pagerank ranks the high-degree side on top (suppliers beat customers)") {
+    val rows = run("graph_pagerank")
+    // suppliers are ~100x better connected than customers in the fixture
+    // graph; a rank that doesn't surface them is not measuring centrality
+    val top = rows.take(5).map(_.getAs[String]("node"))
+    assert(top.forall(_.startsWith("s")), s"top-5 should be suppliers: ${top.mkString(",")}")
+  }
+
+  test("text_bm25_topk ranks are dense, per-query, score-monotone") {
+    val rows = run("text_bm25_topk")
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == RetrievalQueries.BmQueries.map(_._1).toSet,
+      "every declared query returns hits on the fixture")
+    byQ.foreach { case (q, hits) =>
+      val ranks = hits.map(_.getAs[Int]("rnk")).toSeq
+      assert(ranks == (1 to hits.length), s"query $q ranks not dense: $ranks")
+      val scores = hits.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not non-increasing: ${scores.mkString(",")}")
+      assert(hits.length <= RetrievalQueries.TopK)
+    }
+  }
+
+  test("text_bm25_topk returned docs actually contain a query term") {
+    val hits = run("text_bm25_topk").map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1).toSet).toMap
+    val terms = RetrievalQueries.BmQueries.groupBy(_._1)
+      .map { case (q, ts) => q -> ts.map(_._2).toSet }
+    hits.foreach { case (q, d) =>
+      assert(docs(d).intersect(terms(q)).nonEmpty,
+        s"doc $d returned for query $q but contains none of ${terms(q)}")
+    }
+  }
+
+  test("text_bm25_topk broadcasts the query-term table (corpus side never SMJs)") {
+    val df = SparkEntry.queries("text_bm25_topk")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "query-term/df/stats joins must all broadcast:\n" + p.take(3000))
+  }
+
+  test("graph_pagerank reuses the shared edge subtree across iterations") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the edge-build join is declared once per iteration; Catalyst must
+    // materialize it once (ReusedExchange / table-cache reuse), or the
+    // unrolled loop would rescan orders x lineitem every round
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || p.contains("TableCacheQueryStage"),
+      "edge subtree must be reused across iterations:\n" + p.take(4000))
+  }
+}
