@@ -17,7 +17,10 @@ object Plans {
     // round 10: segment boilerplate removal (3 keyed shuffles, no
     // window), SemDeDup with hierarchical assignment, and the
     // classifier's narrow hash-and-score pass
-    "pipe_segment_dedup", "pipe_semdedup_scaled", "pipe_quality_classifier")
+    "pipe_segment_dedup", "pipe_semdedup_scaled", "pipe_quality_classifier",
+    // round 10b: BM25's pruned-postings broadcast shape and PageRank's
+    // ReuseExchange-shared edge subtree
+    "text_bm25_topk", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

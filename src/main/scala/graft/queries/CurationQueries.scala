@@ -272,6 +272,92 @@ object CurationQueries {
       doc = "Mean unigram surprisal per doc (the CCNet LM-quality shape); " +
         "freq table broadcast, corpus never shuffles twice."),
 
+    // ── bigram LM scoring with Stupid Backoff (Brants et al. 2007) ───
+    // The distributed n-gram LM shape from "Large Language Models in
+    // Machine Translation": score S(w2|w1) = c(w1 w2)/c(w1), backing
+    // off to 0.4·c(w2)/N when the bigram is unseen (and 0.4/N at full
+    // OOV) — no normalization pass, which is exactly what makes the
+    // model trainable as plain count tables at corpus scale. Trained
+    // HELD-OUT (even doc_ids = the "curated" half, the CCNet posture:
+    // an LM trained on clean text scores the crawl), so odd docs
+    // genuinely exercise the backoff branch. Count tables are
+    // vocab-bounded → broadcast (at 100 TB the bigram table shards by
+    // w1 and the join becomes hash-partitioned on the bigram key — the
+    // paper's serving layout); the corpus side is one narrow bigram
+    // explode + one doc rollup. Determinism: the text_perplexity
+    // recipe — round each ln to 9 dp, exact DECIMAL sum, one final
+    // round; 0.4 is written 2/(5·N) in integer terms so no decimal
+    // literal poisons the double arithmetic on either engine.
+    QueryDef(
+      "text_lm_backoff",
+      (s, dir) => {
+        val tk = tokenized(s, dir).filter(size(col("toks")) >= 2)
+        val bg = tk.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val train = bg.filter(expr("doc_id % 2 = 0"))
+        val bigCnt = train.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val uni = tk.filter(expr("doc_id % 2 = 0"))
+          .select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum(col("cu")).as("n_train"))
+        bg
+          .join(broadcast(bigCnt), Seq("w1", "w2"), "left")
+          .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("c1"))),
+            Seq("w1"), "left")
+          .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("c2"))),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("sb", expr(
+            """CASE WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / c1
+                    WHEN c2 IS NOT NULL THEN CAST(2 AS DOUBLE) * c2 / (5 * n_train)
+                    ELSE CAST(2 AS DOUBLE) / (5 * n_train) END"""))
+          .withColumn("ls", round(log(col("sb")), 9).cast(DecimalType(28, 9)))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(sum(col("ls")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_logscore"),
+            count(lit(1)).as("n_bigrams"))
+          .withColumn("trained_on", expr("doc_id % 2 = 0"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= 2),
+        bg AS (
+          SELECT doc_id,
+            unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS w1,
+            unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS w2
+          FROM tk),
+        bigcnt AS (
+          SELECT w1, w2, count(*) AS cb FROM bg WHERE doc_id % 2 = 0
+          GROUP BY w1, w2),
+        uni AS (
+          SELECT tok, count(*) AS cu
+          FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 2 = 0)
+          GROUP BY tok),
+        tot AS (SELECT sum(cu) AS n_train FROM uni),
+        sc AS (
+          SELECT bg.doc_id,
+            CAST(round(ln(
+              CASE WHEN b.cb IS NOT NULL THEN CAST(b.cb AS DOUBLE) / u1.cu
+                   WHEN u2.cu IS NOT NULL THEN CAST(2 AS DOUBLE) * u2.cu / (5 * (SELECT n_train FROM tot))
+                   ELSE CAST(2 AS DOUBLE) / (5 * (SELECT n_train FROM tot)) END),
+              9) AS DECIMAL(28,9)) AS ls
+          FROM bg
+          LEFT JOIN bigcnt b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+          LEFT JOIN uni u1 ON bg.w1 = u1.tok
+          LEFT JOIN uni u2 ON bg.w2 = u2.tok)
+        SELECT doc_id,
+          round(CAST(sum(ls) AS DOUBLE) / count(*), 6) AS avg_logscore,
+          count(*) AS n_bigrams,
+          doc_id % 2 = 0 AS trained_on
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Held-out bigram LM scoring with Stupid Backoff (Brants 2007): " +
+        "count tables broadcast, one corpus bigram pass + one doc rollup; " +
+        "odd docs exercise the unseen-bigram backoff branch for real."),
+
     // ── incremental dedup: incoming batch vs corpus history ──────────
     // The streaming-ingest companion to dedup_exact: classify each
     // incoming doc as duplicate-of-history, duplicate-within-batch, or

@@ -21,7 +21,10 @@ class DeterminismSpec extends SparkSpec {
     // round-10 retrieval/graph: rounded-ln decimal sums (BM25) and
     // rounded per-edge decimal contributions (PageRank) must hold
     // under any partitioning
-    "text_bm25_topk", "graph_pagerank")
+    "text_bm25_topk", "graph_pagerank",
+    // held-out bigram LM: rounded-ln decimal sums over three
+    // broadcast-joined count tables
+    "text_lm_backoff")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -66,6 +66,19 @@ class Round10Spec extends SparkSpec {
       s"target-slice mean ${avg(true)} must exceed non-target ${avg(false)}")
   }
 
+  test("text_lm_backoff: training-half docs outscore held-out docs on average") {
+    val out = q("text_lm_backoff")
+    val avg = out.groupBy(col("trained_on"))
+      .agg(org.apache.spark.sql.functions.avg(col("avg_logscore")).as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // an LM scores its own training text higher than held-out text; if
+    // this flips, the train/score split (or the backoff branch) broke
+    assert(avg(true) > avg(false),
+      s"train mean ${avg(true)} must exceed held-out ${avg(false)}")
+    assert(out.collect().forall(_.getAs[Double]("avg_logscore") < 0.0),
+      "log-probabilities must be negative")
+  }
+
   test("pipe_url_dedup: every canonical URL collapses its full alias group") {
     val out = q("pipe_url_dedup").cache()
     try {
