@@ -35,11 +35,15 @@ import graft.Tables
   *  - PageRank: each iteration is edges ⋈ ranks (rank side broadcast
   *    here — node table ≪ edge table; co-partition both on src when the
   *    node table outgrows broadcast) + ONE groupBy(dst) shuffle. The
-  *    edge-build join subtree is IDENTICAL across iterations, so
-  *    Spark's ReuseExchange materializes it once — the unrolled loop
-  *    re-declares it for free instead of hand-caching (PlanSpec pins
-  *    the reuse). Bidirectional edges ⇒ no dangling mass, every node
-  *    has in-edges, and rank mass is conserved at 1 (spec-pinned).
+  *    edge list is materialized ONCE with `localCheckpoint` (the
+  *    ConnectedComponents recipe): the unrolled iterations nest the
+  *    edge subtree inside broadcast-chain subplans where ReuseExchange
+  *    does NOT reliably dedup it — the ×10 probe measured the
+  *    declarative form re-running the orders⋈lineitem build per use
+  *    (51 s; checkpointed: the build runs once and iterations read
+  *    executor-local blocks). Bidirectional edges ⇒ no dangling mass,
+  *    every node has in-edges, and rank mass is conserved at 1
+  *    (spec-pinned).
   *
   * Float determinism (the text_perplexity recipe): every libm result
   * (ln, the tf saturation) is rounded to 9–12 dp FIRST — only a
@@ -68,6 +72,34 @@ object RetrievalQueries {
 
   private val bmQueriesDuck =
     BmQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Symmetric (src, dst, deg) customer↔supplier transaction edge list:
+    * DISTINCT co-order pairs in both directions, LONG node ids
+    * (cust = 2k, supp = 2k+1 — every iteration join/shuffle hashes
+    * 8-byte keys; the ×10 probe measured a string-keyed draft ~2×
+    * slower end-to-end), localCheckpoint-materialized ONCE (the CC
+    * lineage-truncation recipe): iterative consumers read these blocks
+    * instead of re-running the orders⋈lineitem⋈distinct⋈deg build
+    * inside each broadcast subplan.
+    */
+  private def transactionEdges(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = line.join(orders, line("l_orderkey") === orders("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    sym.join(degTab, "src").localCheckpoint()
+  }
+
+  /** Shared node-label projection: LONG id → 'c<k>' / 's<k>'. */
+  private val nodeLabel =
+    "IF(node % 2 = 0, concat('c', node div 2), concat('s', node div 2))"
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -184,19 +216,9 @@ object RetrievalQueries {
     QueryDef(
       "graph_pagerank",
       (s, dir) => {
-        val orders = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val line = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val pairs = line.join(orders, line("l_orderkey") === orders("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
-          .distinct()
-        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val edges = transactionEdges(s, dir)
         val nTab = edges.select(col("src")).distinct()
-          .agg(count(lit(1)).as("n_nodes"))
+          .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
         val r0 = edges.select(col("src")).distinct()
           .crossJoin(broadcast(nTab))
           .select(col("src").as("node"),
@@ -204,7 +226,6 @@ object RetrievalQueries {
         def step(r: DataFrame): DataFrame =
           edges
             .join(broadcast(r.withColumnRenamed("node", "src")), "src")
-            .join(broadcast(deg), "src")
             .select(col("dst"), expr("(85L * r) div (100L * deg)").as("w"))
             .groupBy(col("dst"))
             .agg(sum(col("w")).as("sw"))
@@ -213,19 +234,20 @@ object RetrievalQueries {
               expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
         val rFinal = (1 to PrIters).foldLeft(r0)((r, _) => step(r))
         rFinal
-          .select(col("node"),
+          .select(expr(nodeLabel).as("node"),
             (col("r").cast(DoubleType) / lit(1.0e12)).as("pr"))
           .orderBy(col("pr").desc, col("node"))
       },
       Some {
         val base = s"""WITH pairs AS (
-            SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (
+          sym AS (
             SELECT a AS src, b AS dst FROM pairs
             UNION ALL
             SELECT b AS src, a AS dst FROM pairs),
-          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+          edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
           n AS (SELECT count(*) AS n_nodes FROM (SELECT DISTINCT src FROM edges)),
           r0 AS (
             SELECT src AS node, 1000000000000 // (SELECT n_nodes FROM n) AS r
@@ -235,21 +257,104 @@ object RetrievalQueries {
           r$i AS (
             SELECT e.dst AS node,
               15000000000000 // (100 * (SELECT n_nodes FROM n))
-                + CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS r
+                + CAST(sum((85 * r.r) // (100 * e.deg)) AS BIGINT) AS r
             FROM edges e
             JOIN r${i - 1} r ON e.src = r.node
-            JOIN deg d ON e.src = d.src
             GROUP BY e.dst)"""
         }.mkString
         base + steps +
           s"""
-          SELECT node, CAST(r AS DOUBLE) / 1000000000000.0 AS pr FROM r$PrIters
+          SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                      ELSE 's' || (node // 2) END AS node,
+            CAST(r AS DOUBLE) / 1000000000000.0 AS pr FROM r$PrIters
           ORDER BY pr DESC, node"""
       },
       doc = "PageRank (d=0.85, 3 unrolled iterations) on the symmetric " +
         "customer-supplier transaction graph: edges ⋈ broadcast ranks + " +
-        "one groupBy(dst) shuffle per iteration; ReuseExchange " +
-        "materializes the shared edge subtree once; ranks are exact " +
-        "BIGINT picounits — no float ever enters the iteration.")
+        "one groupBy(dst) shuffle per iteration; the edge list is " +
+        "localCheckpoint-materialized once; ranks are exact BIGINT " +
+        "picounits — no float ever enters the iteration."),
+
+    // ── TrustRank seed-based trust propagation (Gyöngyi et al. 2004) ─
+    // "Combating Web Spam with TrustRank": personalized PageRank whose
+    // teleport mass goes ONLY to a trusted seed set — the published
+    // crawl-curation pass that expands a hand-audited whitelist into a
+    // corpus-wide trust score (low trust ⇒ spam candidate). Seeds here:
+    // every third supplier (deterministic, oracle-replayable). Same
+    // integer-picounit recipe and checkpointed edge list as
+    // graph_pagerank; each iteration UNIONs the seed base rows with the
+    // damped contributions and re-aggregates, so nodes outside the
+    // 3-hop trust frontier simply never appear (implicit zero — exactly
+    // TrustRank's semantics, and the row set itself is the frontier).
+    QueryDef(
+      "graph_trustrank",
+      (s, dir) => {
+        val edges = transactionEdges(s, dir)
+        val seeds = edges.select(col("src")).distinct()
+          .filter(expr("src % 2 = 1 AND (src div 2) % 3 = 0"))
+        val nSeedTab = seeds.agg(count(lit(1)).as("n_seeds")).localCheckpoint()
+        val t0 = seeds.crossJoin(broadcast(nSeedTab))
+          .select(col("src").as("node"),
+            expr("1000000000000L div n_seeds").as("r"))
+        def step(t: DataFrame): DataFrame = {
+          val contrib = edges
+            .join(broadcast(t.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node"),
+              expr("(85L * r) div (100L * deg)").as("w"))
+          val seedBase = seeds.crossJoin(broadcast(nSeedTab))
+            .select(col("src").as("node"),
+              expr("15000000000000L div (100L * n_seeds)").as("w"))
+          contrib.unionByName(seedBase)
+            .groupBy(col("node")).agg(sum(col("w")).as("r"))
+        }
+        val tFinal = (1 to PrIters).foldLeft(t0)((t, _) => step(t))
+        tFinal
+          .select(expr(nodeLabel).as("node"),
+            (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
+            expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
+          .orderBy(col("trust").desc, col("node"))
+      },
+      Some {
+        val base = s"""WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          sym AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs),
+          deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+          edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+          seeds AS (
+            SELECT DISTINCT src FROM edges
+            WHERE src % 2 = 1 AND (src // 2) % 3 = 0),
+          ns AS (SELECT count(*) AS n_seeds FROM seeds),
+          t0 AS (
+            SELECT src AS node, 1000000000000 // (SELECT n_seeds FROM ns) AS r
+            FROM seeds)"""
+        val steps = (1 to PrIters).map { i =>
+          s""",
+          t$i AS (
+            SELECT node, CAST(sum(w) AS BIGINT) AS r FROM (
+              SELECT e.dst AS node, (85 * t.r) // (100 * e.deg) AS w
+              FROM edges e JOIN t${i - 1} t ON e.src = t.node
+              UNION ALL
+              SELECT src AS node,
+                15000000000000 // (100 * (SELECT n_seeds FROM ns)) AS w
+              FROM seeds)
+            GROUP BY node)"""
+        }.mkString
+        base + steps +
+          s"""
+          SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                      ELSE 's' || (node // 2) END AS node,
+            CAST(r AS DOUBLE) / 1000000000000.0 AS trust,
+            node % 2 = 1 AND (node // 2) % 3 = 0 AS is_seed
+          FROM t$PrIters
+          ORDER BY trust DESC, node"""
+      },
+      doc = "TrustRank (Gyöngyi 2004): personalized PageRank with teleport " +
+        "restricted to a trusted seed set; same checkpointed edge list and " +
+        "integer-picounit iterations as graph_pagerank; unreached nodes " +
+        "stay absent — the row set IS the 3-hop trust frontier.")
   )
 }

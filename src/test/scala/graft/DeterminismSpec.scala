@@ -24,7 +24,10 @@ class DeterminismSpec extends SparkSpec {
     "text_bm25_topk", "graph_pagerank",
     // held-out bigram LM: rounded-ln decimal sums over three
     // broadcast-joined count tables
-    "text_lm_backoff")
+    "text_lm_backoff",
+    // seed-teleport integer iterations share pagerank's recipe but add
+    // the union-reaggregate step
+    "graph_trustrank")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
