@@ -18,9 +18,9 @@ object Plans {
     // window), SemDeDup with hierarchical assignment, and the
     // classifier's narrow hash-and-score pass
     "pipe_segment_dedup", "pipe_semdedup_scaled", "pipe_quality_classifier",
-    // round 10b: BM25's pruned-postings broadcast shape and PageRank's
-    // ReuseExchange-shared edge subtree
-    "text_bm25_topk", "graph_pagerank")
+    // round 10b: BM25's pruned-postings broadcast shape and the
+    // checkpointed-edge-list graph iterations
+    "text_bm25_topk", "graph_pagerank", "graph_trustrank")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
