@@ -15,7 +15,9 @@ import graft.Tables
   *  - repetition filtering (Gopher-style duplicate-n-gram fractions),
   *  - composite quality rules (Gopher/C4-style keep flags),
   *  - domain/language MIXTURE sampling to a target distribution,
-  *  - incremental dedup of an incoming batch against corpus history.
+  *  - incremental dedup of an incoming batch against corpus history,
+  *  - unigram-surprisal and held-out Stupid-Backoff bigram LM scoring
+  *    (rounds 6/10 — the CCNet-style LM-quality signals).
   *
   * Reference scope note: alxmancilla/parquet-demo has no text analytics
   * at all (its compute surface is type coercion + ETL batching,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Tables
 
 /** Retrieval / link-graph operators (round 10, [EXT] like all of SURVEY
-  * §2.7): the two web-corpus curation passes the §2.7 surface did not yet
+  * §2.7): the web-corpus curation passes the §2.7 surface did not yet
   * cover —
   *
   *  - BM25 lexical retrieval top-k (Robertson/Spärck Jones; the Lucene
@@ -19,7 +19,11 @@ import graft.Tables
   *    pass is RAG/reranker training-pair mining;
   *  - PageRank link-graph centrality (Page et al. 1999; the OPIC-style
   *    crawl-prioritization signal Common Crawl curation keys on): K
-  *    unrolled sparse-matvec iterations over an edge table.
+  *    unrolled sparse-matvec iterations over an edge table;
+  *  - TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
+  *    teleport mass goes only to a trusted seed set — whitelist
+  *    expansion / spam demotion, the same iteration with a seed-base
+  *    union per round.
   *
   * Reference scope note: alxmancilla/parquet-demo has no retrieval or
   * graph surface (its compute is type coercion + ETL batching,

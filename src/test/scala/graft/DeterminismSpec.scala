@@ -19,7 +19,7 @@ class DeterminismSpec extends SparkSpec {
     // assignment must not depend on partitioning)
     "pipe_dsir", "pipe_quality_classifier", "pipe_semdedup",
     // round-10 retrieval/graph: rounded-ln decimal sums (BM25) and
-    // rounded per-edge decimal contributions (PageRank) must hold
+    // exact integer-picounit rank iterations (PageRank) must hold
     // under any partitioning
     "text_bm25_topk", "graph_pagerank",
     // held-out bigram LM: rounded-ln decimal sums over three
