@@ -66,6 +66,10 @@ object RetrievalQueries {
   val Damping = 0.85
   val PrIters = 3
 
+  /** PMI collocations: minimum pair count and result size. */
+  val PmiMinCount = 5
+  val PmiTopK = 20
+
   /** Fixed benchmark query set over the fixture vocabulary — inline in
     * both engines, the eval-set side of a decontamination probe.
     */
@@ -359,6 +363,75 @@ object RetrievalQueries {
       doc = "TrustRank (Gyöngyi 2004): personalized PageRank with teleport " +
         "restricted to a trusted seed set; same checkpointed edge list and " +
         "integer-picounit iterations as graph_pagerank; unreached nodes " +
-        "stay absent — the row set IS the 3-hop trust frontier.")
+        "stay absent — the row set IS the 3-hop trust frontier."),
+
+    // ── PMI collocation extraction (Church & Hanks 1990) ─────────────
+    // Pointwise mutual information over adjacent-token pairs: the
+    // multi-word-expression miner a tokenizer/vocab curation pass runs
+    // before choosing merge candidates. PMI(a,b) =
+    // ln(c_ab·N² / (P·c_a·c_b)) with unordered pairs (least/greatest
+    // normalization), a min-count floor, and a global top-k.
+    // Shape: ONE (pair) count shuffle over the corpus bigrams; the
+    // unigram table is vocab-bounded and broadcast; N/P are one scalar
+    // agg; the top-k is TakeOrdered — no window, no second corpus pass.
+    // Determinism: the inner ratio is pure double arithmetic with
+    // identical association in both engines (CAST first — the integer
+    // product c_ab·N² would overflow BIGINT), one ln rounded to 6 dp;
+    // ties break on the pair text.
+    QueryDef(
+      "text_pmi_colloc",
+      (s, dir) => {
+        val tk = tokenized(s, dir).filter(size(col("toks")) >= 2)
+        val bg = tk.select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> struct(least(toks[i], toks[i+1]) AS w1, " +
+              "greatest(toks[i], toks[i+1]) AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val pairCnt = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= PmiMinCount)
+        val uni = tk.select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        val tots = tk.agg(
+          sum(size(col("toks"))).as("n_tok"),
+          sum(size(col("toks")) - 1).as("n_pair"))
+        pairCnt
+          .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("ca"))), "w1")
+          .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("cb"))), "w2")
+          .crossJoin(broadcast(tots))
+          .select(col("w1"), col("w2"), col("cab"),
+            round(expr("ln(CAST(cab AS DOUBLE) * n_tok * n_tok " +
+              "/ (CAST(n_pair AS DOUBLE) * ca * cb))"), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(PmiTopK)
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= 2),
+        bg AS (
+          SELECT least(a, b) AS w1, greatest(a, b) AS w2 FROM (
+            SELECT
+              unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS a,
+              unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS b
+            FROM tk)),
+        paircnt AS (
+          SELECT w1, w2, count(*) AS cab FROM bg GROUP BY w1, w2
+          HAVING count(*) >= $PmiMinCount),
+        uni AS (
+          SELECT tok, count(*) AS cu
+          FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+        tots AS (
+          SELECT sum(len(toks)) AS n_tok, sum(len(toks) - 1) AS n_pair FROM tk)
+        SELECT p.w1, p.w2, p.cab,
+          round(ln(CAST(p.cab AS DOUBLE) * n_tok * n_tok
+            / (CAST(n_pair AS DOUBLE) * u1.cu * u2.cu)), 6) AS pmi
+        FROM paircnt p
+        JOIN uni u1 ON p.w1 = u1.tok
+        JOIN uni u2 ON p.w2 = u2.tok
+        CROSS JOIN tots
+        ORDER BY pmi DESC, w1, w2
+        LIMIT $PmiTopK"""),
+      doc = "PMI collocations (Church & Hanks 1990): one pair-count " +
+        "shuffle, broadcast unigram table, TakeOrdered top-k; the MWE " +
+        "mining pass ahead of tokenizer merge selection.")
   )
 }

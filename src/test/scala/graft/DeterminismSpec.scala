@@ -27,7 +27,9 @@ class DeterminismSpec extends SparkSpec {
     "text_lm_backoff",
     // seed-teleport integer iterations share pagerank's recipe but add
     // the union-reaggregate step
-    "graph_trustrank")
+    "graph_trustrank",
+    // PMI: one rounded ln over a pure-double ratio, ties broken on text
+    "text_pmi_colloc")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

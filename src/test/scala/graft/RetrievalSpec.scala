@@ -48,6 +48,19 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("trust") > 0.0))
   }
 
+  test("text_pmi_colloc pairs are normalized, floored, and PMI-ordered") {
+    val rows = run("text_pmi_colloc")
+    assert(rows.nonEmpty && rows.length <= RetrievalQueries.PmiTopK)
+    rows.foreach { r =>
+      assert(r.getAs[String]("w1") <= r.getAs[String]("w2"),
+        "pairs must be least/greatest-normalized")
+      assert(r.getAs[Long]("cab") >= RetrievalQueries.PmiMinCount)
+    }
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "result must be PMI-descending")
+  }
+
   test("text_bm25_topk ranks are dense, per-query, score-monotone") {
     val rows = run("text_bm25_topk")
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
