@@ -100,6 +100,19 @@ class RetrievalSpec extends SparkSpec {
       "query-term/df/stats joins must all broadcast:\n" + p.take(3000))
   }
 
+  test("text_lm_backoff and text_pmi_colloc keep every count-table join broadcast") {
+    // SURVEY claims the count tables are vocab-bounded broadcasts; a
+    // silent fallback to SortMergeJoin would shuffle the corpus per table
+    Seq("text_lm_backoff", "text_pmi_colloc").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name: " + p.take(2000))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name count-table joins must broadcast:\n" + p.take(3000))
+    }
+  }
+
   test("graph_pagerank materializes the edge build once (no per-iteration rescan)") {
     val df = SparkEntry.queries("graph_pagerank")(spark, sf())
     df.collect()
