@@ -360,6 +360,38 @@ object CurationQueries {
         "count tables broadcast, one corpus bigram pass + one doc rollup; " +
         "odd docs exercise the unseen-bigram backoff branch for real."),
 
+    // ── weighted sampling without replacement (Efraimidis-Spirakis) ──
+    // A-Res (2006): each item draws u ~ U(0,1] and keeps key u^(1/w);
+    // the global top-k by key IS a weighted sample without replacement
+    // — the one-pass, shuffle-light way to draw a weighted corpus
+    // subsample (here w = n_chars: length-proportional, the "sample by
+    // token budget" pass). u is a seeded md5 uniform (RNG-free,
+    // replayable); ordering by u^(1/w) equals ordering by ln(u)/w, so
+    // the key is ONE ln + one division rounded once — no pow, no
+    // cross-engine exponentiation drift. The plan is a narrow key pass
+    // + TakeOrderedAndProject: no window, no global sort shuffle.
+    QueryDef(
+      "pipe_weighted_sample",
+      (s, dir) => {
+        val k = 100
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            expr(s"round(ln((${h60Spark("cast(doc_id as string)")} + 1) " +
+              "/ 1152921504606846976.0) / n_chars, 12)").as("skey"))
+          .orderBy(col("skey").desc, col("doc_id"))
+          .limit(k)
+      },
+      Some(s"""SELECT doc_id, lang, n_chars,
+          round(ln((${h60Duck("CAST(doc_id AS VARCHAR)")} + 1)
+            / 1152921504606846976.0) / n_chars, 12) AS skey
+        FROM documents
+        ORDER BY skey DESC, doc_id
+        LIMIT 100"""),
+      doc = "Efraimidis-Spirakis A-Res weighted sample without replacement " +
+        "(w = n_chars): seeded md5 uniforms, ln(u)/w keys (pow-free), " +
+        "TakeOrdered top-k — one narrow pass, no global sort."),
+
     // ── incremental dedup: incoming batch vs corpus history ──────────
     // The streaming-ingest companion to dedup_exact: classify each
     // incoming doc as duplicate-of-history, duplicate-within-batch, or

@@ -79,6 +79,26 @@ class Round10Spec extends SparkSpec {
       "log-probabilities must be negative")
   }
 
+  test("pipe_weighted_sample: length-weighted keys over-represent long docs; plan is TakeOrdered") {
+    val df = SparkEntry.queries("pipe_weighted_sample")(spark, sf())
+    val rows = df.collect()
+    assert(rows.length == 100)
+    val keys = rows.map(_.getAs[Double]("skey"))
+    assert(keys.forall(_ <= 0.0), "ln(u)/w keys are non-positive")
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "keys descend")
+    // A-Res with w = n_chars: the sample's mean length must exceed the
+    // corpus mean, or the weighting is not biting
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    val corpusMean = Tables.load(spark, sf(), "documents")
+      .agg(org.apache.spark.sql.functions.avg(col("n_chars")))
+      .collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // no global sort shuffle: top-k must be TakeOrderedAndProject
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("pipe_url_dedup: every canonical URL collapses its full alias group") {
     val out = q("pipe_url_dedup").cache()
     try {
