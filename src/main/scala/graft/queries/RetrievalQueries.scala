@@ -90,15 +90,20 @@ object RetrievalQueries {
     * instead of re-running the orders⋈lineitem⋈distinct⋈deg build
     * inside each broadcast subplan.
     */
-  private def transactionEdges(s: SparkSession, dir: String): DataFrame = {
+  /** DISTINCT directed co-order pairs (cust = 2k → supp = 2k+1). */
+  private def coOrderPairs(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val line = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = line.join(orders, line("l_orderkey") === orders("o_orderkey"))
+    line.join(orders, line("l_orderkey") === orders("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+  }
+
+  private def transactionEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -432,6 +437,93 @@ object RetrievalQueries {
         LIMIT $PmiTopK"""),
       doc = "PMI collocations (Church & Hanks 1990): one pair-count " +
         "shuffle, broadcast unigram table, TakeOrdered top-k; the MWE " +
-        "mining pass ahead of tokenizer merge selection.")
+        "mining pass ahead of tokenizer merge selection."),
+
+    // ── HITS hubs & authorities (Kleinberg 1999) ─────────────────────
+    // The mutual-reinforcement companion to PageRank on the DIRECTED
+    // bipartite customer→supplier graph: a(s) = Σ h(c) over in-edges,
+    // h(c) = Σ a(s) over out-edges, SUM-normalized to 1 after every
+    // half-step (the ℓ1 variant — same fixpoint direction as
+    // Kleinberg's ℓ2, but the normalizer stays in exact integers).
+    // Scores live in BIGINT picounits; the normalize product
+    // raw·10^12 can reach 10^24, so it widens through DECIMAL(38,0)
+    // before the exact floor-division — still no float anywhere.
+    // Shape: the checkpointed pair list ⋈ broadcast scores + ONE
+    // groupBy per half-step, a 1-row normalizer crossJoin — identical
+    // scaling behavior to graph_pagerank.
+    QueryDef(
+      "graph_hits",
+      (s, dir) => {
+        val pairs = coOrderPairs(s, dir).localCheckpoint()
+        val nCust = pairs.select(col("a")).distinct()
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        val h0 = pairs.select(col("a")).distinct()
+          .crossJoin(broadcast(nCust))
+          .select(col("a"), expr("1000000000000L div n").as("v"))
+        // one half-step: propagate scores across `key`→`out`, then
+        // l1-normalize back to 10^12 total (the scores DF's node column
+        // is always already named `key` — each half-step's output column
+        // is the next one's join key)
+        def half(scores: DataFrame, key: String, out: String): DataFrame = {
+          val raw = pairs
+            .join(broadcast(scores), key)
+            .groupBy(col(out)).agg(sum(col("v")).as("raw"))
+          val tot = raw.agg(sum(col("raw")).as("tot"))
+          raw.crossJoin(broadcast(tot))
+            .select(col(out),
+              expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 div tot AS BIGINT)")
+                .as("v"))
+        }
+        val a1 = half(h0, "a", "b")
+        val h1 = half(a1, "b", "a")
+        val a2 = half(h1, "a", "b")
+        val h2 = half(a2, "b", "a")
+        val hubs = h2.select(col("a").as("node"), lit("hub").as("kind"), col("v"))
+        val auths = a2.select(col("b").as("node"), lit("auth").as("kind"), col("v"))
+        hubs.unionByName(auths)
+          .select(expr(nodeLabel).as("node"), col("kind"),
+            (col("v").cast(DoubleType) / lit(1.0e12)).as("score"))
+          .orderBy(col("kind"), col("score").desc, col("node"))
+      },
+      Some(s"""WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nc AS (SELECT count(*) AS n FROM (SELECT DISTINCT a FROM pairs)),
+        h0 AS (
+          SELECT a, 1000000000000 // (SELECT n FROM nc) AS v
+          FROM (SELECT DISTINCT a FROM pairs)),
+        a1r AS (
+          SELECT p.b, sum(h.v) AS raw FROM pairs p JOIN h0 h ON p.a = h.a GROUP BY p.b),
+        a1 AS (
+          SELECT b, CAST(CAST(raw AS HUGEINT) * 1000000000000
+            // (SELECT sum(raw) FROM a1r) AS BIGINT) AS v FROM a1r),
+        h1r AS (
+          SELECT p.a, sum(x.v) AS raw FROM pairs p JOIN a1 x ON p.b = x.b GROUP BY p.a),
+        h1 AS (
+          SELECT a, CAST(CAST(raw AS HUGEINT) * 1000000000000
+            // (SELECT sum(raw) FROM h1r) AS BIGINT) AS v FROM h1r),
+        a2r AS (
+          SELECT p.b, sum(h.v) AS raw FROM pairs p JOIN h1 h ON p.a = h.a GROUP BY p.b),
+        a2 AS (
+          SELECT b, CAST(CAST(raw AS HUGEINT) * 1000000000000
+            // (SELECT sum(raw) FROM a2r) AS BIGINT) AS v FROM a2r),
+        h2r AS (
+          SELECT p.a, sum(x.v) AS raw FROM pairs p JOIN a2 x ON p.b = x.b GROUP BY p.a),
+        h2 AS (
+          SELECT a, CAST(CAST(raw AS HUGEINT) * 1000000000000
+            // (SELECT sum(raw) FROM h2r) AS BIGINT) AS v FROM h2r),
+        uni AS (
+          SELECT a AS node, 'hub' AS kind, v FROM h2
+          UNION ALL
+          SELECT b AS node, 'auth' AS kind, v FROM a2)
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                    ELSE 's' || (node // 2) END AS node,
+          kind, CAST(v AS DOUBLE) / 1000000000000.0 AS score
+        FROM uni
+        ORDER BY kind, score DESC, node"""),
+      doc = "HITS (Kleinberg 1999) on the directed customer→supplier " +
+        "bipartite graph: checkpointed pair list, one groupBy per " +
+        "half-step, l1 normalization in exact integer picounits " +
+        "(DECIMAL(38,0) widening for the normalize product).")
   )
 }

@@ -29,7 +29,9 @@ class DeterminismSpec extends SparkSpec {
     // the union-reaggregate step
     "graph_trustrank",
     // PMI: one rounded ln over a pure-double ratio, ties broken on text
-    "text_pmi_colloc")
+    "text_pmi_colloc",
+    // HITS: integer half-steps with DECIMAL(38,0)-widened normalization
+    "graph_hits")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

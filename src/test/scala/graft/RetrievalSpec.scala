@@ -100,6 +100,19 @@ class RetrievalSpec extends SparkSpec {
       "query-term/df/stats joins must all broadcast:\n" + p.take(3000))
   }
 
+  test("graph_hits partitions cleanly into normalized hub and authority sides") {
+    val rows = run("graph_hits")
+    val (hubs, auths) = rows.partition(_.getAs[String]("kind") == "hub")
+    // bipartite: customers (even ids → 'c') are hubs, suppliers are auths
+    assert(hubs.nonEmpty && hubs.forall(_.getAs[String]("node").startsWith("c")))
+    assert(auths.nonEmpty && auths.forall(_.getAs[String]("node").startsWith("s")))
+    // l1 normalization: each side sums to 1 within the floor-div leak
+    val hubMass = hubs.map(_.getAs[Double]("score")).sum
+    val authMass = auths.map(_.getAs[Double]("score")).sum
+    assert(math.abs(hubMass - 1.0) < 1e-4, s"hub mass $hubMass")
+    assert(math.abs(authMass - 1.0) < 1e-4, s"auth mass $authMass")
+  }
+
   test("text_lm_backoff and text_pmi_colloc keep every count-table join broadcast") {
     // SURVEY claims the count tables are vocab-bounded broadcasts; a
     // silent fallback to SortMergeJoin would shuffle the corpus per table
