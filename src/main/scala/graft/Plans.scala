@@ -20,7 +20,7 @@ object Plans {
     "pipe_segment_dedup", "pipe_semdedup_scaled", "pipe_quality_classifier",
     // round 10b: BM25's pruned-postings broadcast shape and the
     // checkpointed-edge-list graph iterations
-    "text_bm25_topk", "graph_pagerank", "graph_trustrank")
+    "text_bm25_topk", "graph_pagerank", "graph_trustrank", "graph_hits")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
