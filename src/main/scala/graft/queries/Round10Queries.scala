@@ -56,6 +56,12 @@ object Round10Queries {
   /** Window length for exact substring-duplication coverage. */
   val DupK = 8
 
+  /** Containment (Broder 1997): threshold on max(C(A,B), C(B,A)) and
+    * the document-frequency cap for the inverted-index candidate prune.
+    */
+  val ContainTau = 0.8
+  val ContainDfCap = 50
+
   /** SemDeDup: same deterministic centroid set as sim_ivf_topk (vec_id %
     * CentroidEvery == 0, capped), prune within cells at CosineTau — the
     * paper's ε ball, reusing the engine-wide τ so pipe_semdedup and
@@ -209,6 +215,74 @@ object Round10Queries {
       doc = s"Exact substring-dup coverage (Lee et al. 2022): fraction of " +
         s"each doc inside a duplicated $DupK-token window; bounded " +
         "K-fan-out coverage explode, map-side-partial gram counts."),
+
+    // ── containment / subsumption detection (Broder 1997) ────────────
+    // "On the resemblance and containment of documents": the ASYMMETRIC
+    // measure C(A,B) = |A∩B|/|A| that catches a short document embedded
+    // in a long one — a case resemblance/Jaccard (dedup_ngram_jaccard,
+    // τ on the UNION) structurally under-scores. Candidates come from
+    // the inverted shingle index with a document-frequency cap: a
+    // shingle shared by > ContainDfCap docs is boilerplate and would
+    // generate df² candidate pairs (the standard index prune; the cap
+    // is part of the declared semantics — containment is measured over
+    // the non-boilerplate shingle space on BOTH sides, and the oracle
+    // replays the identical cap). Long DupK-token shingles keep df
+    // near the true duplicate multiplicity, so the candidate join is
+    // linear in real dup pairs, not corpus².
+    QueryDef(
+      "dedup_containment",
+      (s, dir) => {
+        val sh = tokenized(s, dir)
+          .filter(size(col("toks")) >= DupK)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            s"transform(sequence(0, size(toks) - $DupK), " +
+              s"i -> concat_ws(' ', slice(toks, i + 1, $DupK)))"))).as("g"))
+        val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= ContainDfCap).select(col("g"))
+        val pr = sh.join(rare, Seq("g"))
+        val cnt = pr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val pairs = pr.as("x").join(pr.as("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("c_shared"))
+        pairs
+          .join(broadcast(cnt.select(col("doc_id").as("a"), col("n_sh").as("na"))), "a")
+          .join(broadcast(cnt.select(col("doc_id").as("b"), col("n_sh").as("nb"))), "b")
+          .withColumn("cont_a",
+            round(col("c_shared").cast(DoubleType) / col("na"), 6))
+          .withColumn("cont_b",
+            round(col("c_shared").cast(DoubleType) / col("nb"), 6))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
+          .select(col("a"), col("b"), col("c_shared"), col("cont_a"), col("cont_b"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= $DupK),
+        sh AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(range(len(toks) - ${DupK - 1}),
+              i -> array_to_string(toks[i + 1 : i + $DupK], ' ')))) AS g
+          FROM d),
+        rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= $ContainDfCap),
+        pr AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM pr GROUP BY doc_id),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c_shared
+          FROM pr x JOIN pr y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+        SELECT a, b, c_shared,
+          round(CAST(c_shared AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+          round(CAST(c_shared AS DOUBLE) / cb.n_sh, 6) AS cont_b
+        FROM pairs
+        JOIN cnt ca ON pairs.a = ca.doc_id
+        JOIN cnt cb ON pairs.b = cb.doc_id
+        WHERE greatest(round(CAST(c_shared AS DOUBLE) / ca.n_sh, 6),
+                       round(CAST(c_shared AS DOUBLE) / cb.n_sh, 6)) >= $ContainTau
+        ORDER BY a, b"""),
+      doc = s"Containment detection (Broder 1997): asymmetric " +
+        s"|A∩B|/|A| over df-capped $DupK-token shingles — catches " +
+        "short-inside-long subsumption that Jaccard under-scores; " +
+        "inverted-index candidates, doc-bounded count table broadcast."),
 
     // ── SemDeDup (Abbas et al. 2023) ─────────────────────────────────
     // Cluster embeddings into cells (deterministic IVF centroid set, the

@@ -79,6 +79,24 @@ class Round10Spec extends SparkSpec {
       "log-probabilities must be negative")
   }
 
+  test("dedup_containment: pairs are ordered, thresholded, and include exact dups at 1.0") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"), "pairs must be a < b")
+      val (ca, cb) = (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= queries.Round10Queries.ContainTau - 1e-9)
+    }
+    // the fixture has no byte-identical texts (verified against the
+    // parquet directly), so 1.0/1.0 cannot occur — but true subsumption
+    // does: some doc's entire rare-shingle set sits inside its twin.
+    // If no pair reaches 1.0 on EITHER side, the intersection broke.
+    assert(rows.exists(r => math.max(r.getAs[Double]("cont_a"),
+      r.getAs[Double]("cont_b")) == 1.0),
+      "planted twins must include at least one fully-contained side")
+  }
+
   test("pipe_weighted_sample: length-weighted keys over-represent long docs; plan is TakeOrdered") {
     val df = SparkEntry.queries("pipe_weighted_sample")(spark, sf())
     val rows = df.collect()
