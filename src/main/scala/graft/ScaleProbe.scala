@@ -320,6 +320,18 @@ object ScaleProbe {
       case "dedup_cluster_cc_ckpt" =>
         queries.DedupQueries.clusterCc(spark, dir,
           Some(s"/tmp/graft_cc_reliable_x$m"))
+      // pseudo-name: convergence-driven co-partitioned PageRank
+      // (eps = 1e8 picounits = 1e-4 rank). Emits a per-round JSON trace —
+      // round seconds must stay FLAT as rounds accumulate (checkpoint
+      // lineage truncation) and deltas contract at the damping factor.
+      case "graph_pagerank_eps" =>
+        val rounds = scala.collection.mutable.ArrayBuffer.empty[String]
+        val (df, iters, _) = queries.RetrievalQueries.pagerankUntil(
+          spark, dir, epsPico = 100000000L, maxIter = 60,
+          onRound = (i, d, sec) => rounds += s"""{"round":$i,"delta":$d,"sec":$sec}""")
+        println(s"""{"metric":"pagerank_eps_rounds","multiplier":$m,""" +
+          s""""iters":$iters,"rounds":[${rounds.mkString(",")}]}""")
+        df
       case _ => SparkEntry.queries(name)(spark, dir)
     }
     // min-of-N like Bench (shared-box contention only ever ADDS time);

@@ -19,11 +19,19 @@ import graft.Tables
   *    pass is RAG/reranker training-pair mining;
   *  - PageRank link-graph centrality (Page et al. 1999; the OPIC-style
   *    crawl-prioritization signal Common Crawl curation keys on): K
-  *    unrolled sparse-matvec iterations over an edge table;
+  *    unrolled sparse-matvec iterations over an edge table, in both a
+  *    broadcast-rank and a co-partitioned (shuffle-join) form, plus a
+  *    convergence-driven `pagerankUntil` loop;
   *  - TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
   *    teleport mass goes only to a trusted seed set — whitelist
   *    expansion / spam demotion, the same iteration with a seed-base
-  *    union per round.
+  *    union per round;
+  *  - PMI collocation extraction (Church & Hanks 1990): unordered
+  *    adjacent-token pair counts vs broadcast unigram marginals — the
+  *    multi-word-expression miner ahead of tokenizer merge selection;
+  *  - HITS hubs & authorities (Kleinberg 1999): mutual reinforcement on
+  *    the DIRECTED bipartite transaction graph, ℓ1-normalized per
+  *    half-step in exact integer picounits.
   *
   * Reference scope note: alxmancilla/parquet-demo has no retrieval or
   * graph surface (its compute is type coercion + ETL batching,
@@ -36,18 +44,33 @@ import graft.Tables
   *    term- or scalar-bounded rollups that broadcast back. At 100 TB the
   *    postings rollup is the inverted-index build restricted to the
   *    query vocabulary; everything downstream is |q-terms|·|hit-docs|.
-  *  - PageRank: each iteration is edges ⋈ ranks (rank side broadcast
-  *    here — node table ≪ edge table; co-partition both on src when the
-  *    node table outgrows broadcast) + ONE groupBy(dst) shuffle. The
-  *    edge list is materialized ONCE with `localCheckpoint` (the
-  *    ConnectedComponents recipe): the unrolled iterations nest the
-  *    edge subtree inside broadcast-chain subplans where ReuseExchange
-  *    does NOT reliably dedup it — the ×10 probe measured the
-  *    declarative form re-running the orders⋈lineitem build per use
-  *    (51 s; checkpointed: the build runs once and iterations read
-  *    executor-local blocks). Bidirectional edges ⇒ no dangling mass,
-  *    every node has in-edges, and rank mass is conserved at 1
-  *    (spec-pinned).
+  *  - PMI: ONE pair-count shuffle over the corpus bigrams; the unigram
+  *    marginal table is vocab-bounded and broadcasts; the top-k is
+  *    TakeOrdered — no window, no second corpus pass.
+  *  - PageRank/TrustRank/HITS: each iteration is edges ⋈ ranks + ONE
+  *    groupBy(dst) shuffle. The edge list is materialized ONCE with
+  *    `localCheckpoint` (the ConnectedComponents recipe): the unrolled
+  *    iterations nest the edge subtree inside per-iteration subplans
+  *    where ReuseExchange does NOT reliably dedup it — the ×10 probe
+  *    measured the declarative form re-running the orders⋈lineitem
+  *    build per use (51 s; checkpointed: the build runs once and
+  *    iterations read executor-local blocks). Bidirectional edges ⇒ no
+  *    dangling mass, every node has in-edges, and rank mass is
+  *    conserved at 1 (spec-pinned). The rank join comes in TWO pinned
+  *    forms, selected by the `bcast` knob on each builder:
+  *      - broadcast (the `graph_*` rows): right while the node table
+  *        fits the driver/executor broadcast budget — nodes ≪ edges;
+  *      - co-partitioned (the `graph_*_partitioned` rows): the edge
+  *        list is hash-partitioned on the join key BEFORE the one-time
+  *        checkpoint, so every iteration shuffles ONLY the node-sized
+  *        rank table into the edges' fixed layout (`shuffle_hash` join
+  *        — and the rank table arrives already partitioned on the key
+  *        it was grouped on, so steady-state iterations move nothing
+  *        but the groupBy itself). This is the form that survives a
+  *        crawl-scale graph where the node table outgrows broadcast;
+  *        exact BIGINT picounit arithmetic makes it bit-identical to
+  *        the broadcast form at any partitioning (spec-pinned, shared
+  *        oracle).
   *
   * Float determinism (the text_perplexity recipe): every libm result
   * (ln, the tf saturation) is rounded to 9–12 dp FIRST — only a
@@ -102,13 +125,34 @@ object RetrievalQueries {
       .distinct()
   }
 
-  private def transactionEdges(s: SparkSession, dir: String): DataFrame = {
+  /** @param partitioned when true, the edge list is hash-partitioned on
+    *   `src` BEFORE the one-time checkpoint — the co-partitioned layout
+    *   the shuffle-join rank iteration reuses every round (the captured
+    *   `HashPartitioning(src)` satisfies each iteration's join
+    *   distribution, so the edge side never re-exchanges).
+    */
+  private def transactionEdges(s: SparkSession, dir: String,
+      partitioned: Boolean = false): DataFrame = {
     val pairs = coOrderPairs(s, dir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    sym.join(degTab, "src").localCheckpoint()
+    val joined = sym.join(degTab, "src")
+    (if (partitioned) joined.repartition(col("src")) else joined)
+      .localCheckpoint()
   }
+
+  /** The per-iteration edges ⋈ ranks join, in the two pinned forms:
+    * broadcast (nodes ≪ edges) or co-partitioned shuffle-hash (the
+    * rank table is shuffled into the edges' checkpointed layout — the
+    * form that survives a node table too big to broadcast). `ranks`
+    * must carry a `src` column; exact integer rank arithmetic makes
+    * both forms bit-identical.
+    */
+  private def rankJoin(edges: DataFrame, ranks: DataFrame,
+      bcast: Boolean): DataFrame =
+    if (bcast) edges.join(broadcast(ranks), "src")
+    else edges.join(ranks.hint("shuffle_hash"), "src")
 
   /** Shared node-label projection: LONG id → 'c<k>' / 's<k>'. */
   private val nodeLabel =
@@ -121,6 +165,172 @@ object RetrievalQueries {
 
   private val tokenizedDuck =
     "(SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"
+
+  // ── shared graph-iteration builders (broadcast / co-partitioned) ───
+
+  /** One PageRank iteration: edges ⋈ ranks (strategy per `bcast`) + ONE
+    * groupBy(dst) shuffle, all in exact BIGINT picounits.
+    */
+  private def pagerankStep(edges: DataFrame, nTab: DataFrame,
+      bcast: Boolean)(r: DataFrame): DataFrame =
+    rankJoin(edges, r.withColumnRenamed("node", "src"), bcast)
+      .select(col("dst"), expr("(85L * r) div (100L * deg)").as("w"))
+      .groupBy(col("dst"))
+      .agg(sum(col("w")).as("sw"))
+      .crossJoin(broadcast(nTab))
+      .select(col("dst").as("node"),
+        expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
+
+  /** Final display projection shared by every PageRank form: LONG node →
+    * label, picounits → double (the only float, IEEE-identical in both
+    * engines).
+    */
+  private def rankProject(r: DataFrame): DataFrame =
+    r.select(expr(nodeLabel).as("node"),
+      (col("r").cast(DoubleType) / lit(1.0e12)).as("pr"))
+      .orderBy(col("pr").desc, col("node"))
+
+  private def pagerankSetup(s: SparkSession, dir: String,
+      bcast: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val edges = transactionEdges(s, dir, partitioned = !bcast)
+    val nTab = edges.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    val r0 = edges.select(col("src")).distinct()
+      .crossJoin(broadcast(nTab))
+      .select(col("src").as("node"),
+        expr("1000000000000L div n_nodes").as("r"))
+    (edges, nTab, r0)
+  }
+
+  /** PrIters unrolled PageRank iterations — the declared-row form. */
+  def pagerankPlan(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
+    val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
+    val step = pagerankStep(edges, nTab, bcast) _
+    rankProject((1 to PrIters).foldLeft(r0)((r, _) => step(r)))
+  }
+
+  /** Convergence-driven PageRank: iterate until the max per-node rank
+    * change is ≤ `epsPico` picounits (the real centrality-pass loop; the
+    * unrolled 3-iteration row is the fixture form). The ConnectedComponents
+    * recipe: every round's rank table is `localCheckpoint`ed so the plan
+    * never embeds previous rounds (analysis cost stays flat), the
+    * superseded round's blocks are released immediately, and the
+    * convergence test is one node-sized join + scalar collect — both rank
+    * tables arrive hash-partitioned on `node` from their own groupBys, so
+    * the delta join moves nothing.
+    *
+    * @return (final ranks projected for display, iterations run,
+    *         per-round max-delta trace in picounits — geometric in the
+    *         damping factor, spec-pinned monotone).
+    */
+  def pagerankUntil(s: SparkSession, dir: String, epsPico: Long,
+      maxIter: Int = 50, bcast: Boolean = false,
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ())
+      : (DataFrame, Int, Seq[Long]) = {
+    val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
+    val step = pagerankStep(edges, nTab, bcast) _
+    var r = r0.localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val next = step(r).localCheckpoint()
+      // symmetric graph: every node has in-edges, so next covers every
+      // node of r and the inner join is total
+      val d = next.as("n").join(r.as("p"), col("n.node") === col("p.node"))
+        .agg(max(abs(col("n.r") - col("p.r"))).as("d"))
+        .collect().head.getLong(0)
+      deltas += d
+      r.unpersist()
+      r = next
+      iter += 1
+      done = d <= epsPico
+      // probe hook: (round, max delta, seconds) — the flat-per-round-cost
+      // evidence that the checkpoint discipline keeps analysis+exec cost
+      // independent of the iteration count
+      onRound(iter, d, (System.nanoTime() - t0) / 1e9)
+    }
+    (rankProject(r), iter, deltas.toSeq)
+  }
+
+  /** One TrustRank iteration: damped contributions UNION the seed
+    * teleport base, re-aggregated — unreached nodes stay absent.
+    */
+  private def trustrankStep(edges: DataFrame, seeds: DataFrame,
+      nSeedTab: DataFrame, bcast: Boolean)(t: DataFrame): DataFrame = {
+    val contrib = rankJoin(edges, t.withColumnRenamed("node", "src"), bcast)
+      .select(col("dst").as("node"),
+        expr("(85L * r) div (100L * deg)").as("w"))
+    val seedBase = seeds.crossJoin(broadcast(nSeedTab))
+      .select(col("src").as("node"),
+        expr("15000000000000L div (100L * n_seeds)").as("w"))
+    contrib.unionByName(seedBase)
+      .groupBy(col("node")).agg(sum(col("w")).as("r"))
+  }
+
+  def trustrankPlan(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
+    val edges = transactionEdges(s, dir, partitioned = !bcast)
+    val seeds = edges.select(col("src")).distinct()
+      .filter(expr("src % 2 = 1 AND (src div 2) % 3 = 0"))
+    val nSeedTab = seeds.agg(count(lit(1)).as("n_seeds")).localCheckpoint()
+    val t0 = seeds.crossJoin(broadcast(nSeedTab))
+      .select(col("src").as("node"),
+        expr("1000000000000L div n_seeds").as("r"))
+    val step = trustrankStep(edges, seeds, nSeedTab, bcast) _
+    (1 to PrIters).foldLeft(t0)((t, _) => step(t))
+      .select(expr(nodeLabel).as("node"),
+        (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
+        expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
+      .orderBy(col("trust").desc, col("node"))
+  }
+
+  /** HITS in both join strategies. The partitioned form stores the
+    * directed pair list TWICE — hash-partitioned on `a` and on `b`, the
+    * standard src-/dst-partitioned double layout of a distributed graph
+    * engine — because consecutive half-steps join on alternating keys;
+    * each half-step then shuffles only the node-sized score table.
+    */
+  def hitsPlan(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
+    val basePairs = coOrderPairs(s, dir)
+    val pairsA =
+      (if (bcast) basePairs else basePairs.repartition(col("a")))
+        .localCheckpoint()
+    val pairsB =
+      if (bcast) pairsA
+      else basePairs.repartition(col("b")).localCheckpoint()
+    val nCust = pairsA.select(col("a")).distinct()
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val h0 = pairsA.select(col("a")).distinct()
+      .crossJoin(broadcast(nCust))
+      .select(col("a"), expr("1000000000000L div n").as("v"))
+    // one half-step: propagate scores across `key`→`out`, then
+    // l1-normalize back to 10^12 total (the scores DF's node column
+    // is always already named `key` — each half-step's output column
+    // is the next one's join key)
+    def half(scores: DataFrame, key: String, out: String): DataFrame = {
+      val pairs = if (key == "a") pairsA else pairsB
+      val joined =
+        if (bcast) pairs.join(broadcast(scores), key)
+        else pairs.join(scores.hint("shuffle_hash"), key)
+      val raw = joined.groupBy(col(out)).agg(sum(col("v")).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(out),
+          expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 div tot AS BIGINT)")
+            .as("v"))
+    }
+    val a1 = half(h0, "a", "b")
+    val h1 = half(a1, "b", "a")
+    val a2 = half(h1, "a", "b")
+    val h2 = half(a2, "b", "a")
+    val hubs = h2.select(col("a").as("node"), lit("hub").as("kind"), col("v"))
+    val auths = a2.select(col("b").as("node"), lit("auth").as("kind"), col("v"))
+    hubs.unionByName(auths)
+      .select(expr(nodeLabel).as("node"), col("kind"),
+        (col("v").cast(DoubleType) / lit(1.0e12)).as("score"))
+      .orderBy(col("kind"), col("score").desc, col("node"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -228,60 +438,8 @@ object RetrievalQueries {
     // final display division r/10^12 (IEEE-identical both engines).
     QueryDef(
       "graph_pagerank",
-      (s, dir) => {
-        val edges = transactionEdges(s, dir)
-        val nTab = edges.select(col("src")).distinct()
-          .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
-        val r0 = edges.select(col("src")).distinct()
-          .crossJoin(broadcast(nTab))
-          .select(col("src").as("node"),
-            expr("1000000000000L div n_nodes").as("r"))
-        def step(r: DataFrame): DataFrame =
-          edges
-            .join(broadcast(r.withColumnRenamed("node", "src")), "src")
-            .select(col("dst"), expr("(85L * r) div (100L * deg)").as("w"))
-            .groupBy(col("dst"))
-            .agg(sum(col("w")).as("sw"))
-            .crossJoin(broadcast(nTab))
-            .select(col("dst").as("node"),
-              expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
-        val rFinal = (1 to PrIters).foldLeft(r0)((r, _) => step(r))
-        rFinal
-          .select(expr(nodeLabel).as("node"),
-            (col("r").cast(DoubleType) / lit(1.0e12)).as("pr"))
-          .orderBy(col("pr").desc, col("node"))
-      },
-      Some {
-        val base = s"""WITH pairs AS (
-            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          sym AS (
-            SELECT a AS src, b AS dst FROM pairs
-            UNION ALL
-            SELECT b AS src, a AS dst FROM pairs),
-          deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
-          edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
-          n AS (SELECT count(*) AS n_nodes FROM (SELECT DISTINCT src FROM edges)),
-          r0 AS (
-            SELECT src AS node, 1000000000000 // (SELECT n_nodes FROM n) AS r
-            FROM (SELECT DISTINCT src FROM edges))"""
-        val steps = (1 to PrIters).map { i =>
-          s""",
-          r$i AS (
-            SELECT e.dst AS node,
-              15000000000000 // (100 * (SELECT n_nodes FROM n))
-                + CAST(sum((85 * r.r) // (100 * e.deg)) AS BIGINT) AS r
-            FROM edges e
-            JOIN r${i - 1} r ON e.src = r.node
-            GROUP BY e.dst)"""
-        }.mkString
-        base + steps +
-          s"""
-          SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
-                      ELSE 's' || (node // 2) END AS node,
-            CAST(r AS DOUBLE) / 1000000000000.0 AS pr FROM r$PrIters
-          ORDER BY pr DESC, node"""
-      },
+      (s, dir) => pagerankPlan(s, dir, bcast = true),
+      Some(pagerankSql),
       doc = "PageRank (d=0.85, 3 unrolled iterations) on the symmetric " +
         "customer-supplier transaction graph: edges ⋈ broadcast ranks + " +
         "one groupBy(dst) shuffle per iteration; the edge list is " +
@@ -301,70 +459,8 @@ object RetrievalQueries {
     // TrustRank's semantics, and the row set itself is the frontier).
     QueryDef(
       "graph_trustrank",
-      (s, dir) => {
-        val edges = transactionEdges(s, dir)
-        val seeds = edges.select(col("src")).distinct()
-          .filter(expr("src % 2 = 1 AND (src div 2) % 3 = 0"))
-        val nSeedTab = seeds.agg(count(lit(1)).as("n_seeds")).localCheckpoint()
-        val t0 = seeds.crossJoin(broadcast(nSeedTab))
-          .select(col("src").as("node"),
-            expr("1000000000000L div n_seeds").as("r"))
-        def step(t: DataFrame): DataFrame = {
-          val contrib = edges
-            .join(broadcast(t.withColumnRenamed("node", "src")), "src")
-            .select(col("dst").as("node"),
-              expr("(85L * r) div (100L * deg)").as("w"))
-          val seedBase = seeds.crossJoin(broadcast(nSeedTab))
-            .select(col("src").as("node"),
-              expr("15000000000000L div (100L * n_seeds)").as("w"))
-          contrib.unionByName(seedBase)
-            .groupBy(col("node")).agg(sum(col("w")).as("r"))
-        }
-        val tFinal = (1 to PrIters).foldLeft(t0)((t, _) => step(t))
-        tFinal
-          .select(expr(nodeLabel).as("node"),
-            (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
-            expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
-          .orderBy(col("trust").desc, col("node"))
-      },
-      Some {
-        val base = s"""WITH pairs AS (
-            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          sym AS (
-            SELECT a AS src, b AS dst FROM pairs
-            UNION ALL
-            SELECT b AS src, a AS dst FROM pairs),
-          deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
-          edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
-          seeds AS (
-            SELECT DISTINCT src FROM edges
-            WHERE src % 2 = 1 AND (src // 2) % 3 = 0),
-          ns AS (SELECT count(*) AS n_seeds FROM seeds),
-          t0 AS (
-            SELECT src AS node, 1000000000000 // (SELECT n_seeds FROM ns) AS r
-            FROM seeds)"""
-        val steps = (1 to PrIters).map { i =>
-          s""",
-          t$i AS (
-            SELECT node, CAST(sum(w) AS BIGINT) AS r FROM (
-              SELECT e.dst AS node, (85 * t.r) // (100 * e.deg) AS w
-              FROM edges e JOIN t${i - 1} t ON e.src = t.node
-              UNION ALL
-              SELECT src AS node,
-                15000000000000 // (100 * (SELECT n_seeds FROM ns)) AS w
-              FROM seeds)
-            GROUP BY node)"""
-        }.mkString
-        base + steps +
-          s"""
-          SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
-                      ELSE 's' || (node // 2) END AS node,
-            CAST(r AS DOUBLE) / 1000000000000.0 AS trust,
-            node % 2 = 1 AND (node // 2) % 3 = 0 AS is_seed
-          FROM t$PrIters
-          ORDER BY trust DESC, node"""
-      },
+      (s, dir) => trustrankPlan(s, dir, bcast = true),
+      Some(trustrankSql),
       doc = "TrustRank (Gyöngyi 2004): personalized PageRank with teleport " +
         "restricted to a trusted seed set; same checkpointed edge list and " +
         "integer-picounit iterations as graph_pagerank; unreached nodes " +
@@ -453,39 +549,49 @@ object RetrievalQueries {
     // scaling behavior to graph_pagerank.
     QueryDef(
       "graph_hits",
-      (s, dir) => {
-        val pairs = coOrderPairs(s, dir).localCheckpoint()
-        val nCust = pairs.select(col("a")).distinct()
-          .agg(count(lit(1)).as("n")).localCheckpoint()
-        val h0 = pairs.select(col("a")).distinct()
-          .crossJoin(broadcast(nCust))
-          .select(col("a"), expr("1000000000000L div n").as("v"))
-        // one half-step: propagate scores across `key`→`out`, then
-        // l1-normalize back to 10^12 total (the scores DF's node column
-        // is always already named `key` — each half-step's output column
-        // is the next one's join key)
-        def half(scores: DataFrame, key: String, out: String): DataFrame = {
-          val raw = pairs
-            .join(broadcast(scores), key)
-            .groupBy(col(out)).agg(sum(col("v")).as("raw"))
-          val tot = raw.agg(sum(col("raw")).as("tot"))
-          raw.crossJoin(broadcast(tot))
-            .select(col(out),
-              expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000000 div tot AS BIGINT)")
-                .as("v"))
-        }
-        val a1 = half(h0, "a", "b")
-        val h1 = half(a1, "b", "a")
-        val a2 = half(h1, "a", "b")
-        val h2 = half(a2, "b", "a")
-        val hubs = h2.select(col("a").as("node"), lit("hub").as("kind"), col("v"))
-        val auths = a2.select(col("b").as("node"), lit("auth").as("kind"), col("v"))
-        hubs.unionByName(auths)
-          .select(expr(nodeLabel).as("node"), col("kind"),
-            (col("v").cast(DoubleType) / lit(1.0e12)).as("score"))
-          .orderBy(col("kind"), col("score").desc, col("node"))
-      },
-      Some(s"""WITH pairs AS (
+      (s, dir) => hitsPlan(s, dir, bcast = true),
+      Some(hitsSql),
+      doc = "HITS (Kleinberg 1999) on the directed customer→supplier " +
+        "bipartite graph: checkpointed pair list, one groupBy per " +
+        "half-step, l1 normalization in exact integer picounits " +
+        "(DECIMAL(38,0) widening for the normalize product)."),
+
+    // ── co-partitioned twins: the 100 TB rank-join form ──────────────
+    // Identical semantics and bit-identical BIGINT-picounit results to
+    // the broadcast rows above (shared oracles); the edge list is
+    // hash-partitioned on the iteration join key before its one-time
+    // checkpoint and each iteration shuffle-hash-joins the node-sized
+    // rank table into that fixed layout — the plan that survives a
+    // crawl-scale graph whose node table outgrows the broadcast budget
+    // (the broadcast rows' one scale assumption, VERDICT r10).
+    QueryDef(
+      "graph_pagerank_partitioned",
+      (s, dir) => pagerankPlan(s, dir, bcast = false),
+      Some(pagerankSql),
+      doc = "PageRank, co-partitioned rank join: edges checkpointed " +
+        "hash-partitioned on src, ranks shuffle-hash-joined per " +
+        "iteration — no broadcast of the node table anywhere; " +
+        "bit-identical to graph_pagerank (exact integer picounits)."),
+
+    QueryDef(
+      "graph_trustrank_partitioned",
+      (s, dir) => trustrankPlan(s, dir, bcast = false),
+      Some(trustrankSql),
+      doc = "TrustRank, co-partitioned rank join (see " +
+        "graph_pagerank_partitioned); bit-identical to graph_trustrank."),
+
+    QueryDef(
+      "graph_hits_partitioned",
+      (s, dir) => hitsPlan(s, dir, bcast = false),
+      Some(hitsSql),
+      doc = "HITS, co-partitioned score join: the directed pair list is " +
+        "stored twice (partitioned on a and on b — the src/dst double " +
+        "layout) because half-steps alternate join keys; bit-identical " +
+        "to graph_hits.")
+  )
+
+  private def hitsSql: String =
+    s"""WITH pairs AS (
           SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         nc AS (SELECT count(*) AS n FROM (SELECT DISTINCT a FROM pairs)),
@@ -520,10 +626,76 @@ object RetrievalQueries {
                     ELSE 's' || (node // 2) END AS node,
           kind, CAST(v AS DOUBLE) / 1000000000000.0 AS score
         FROM uni
-        ORDER BY kind, score DESC, node"""),
-      doc = "HITS (Kleinberg 1999) on the directed customer→supplier " +
-        "bipartite graph: checkpointed pair list, one groupBy per " +
-        "half-step, l1 normalization in exact integer picounits " +
-        "(DECIMAL(38,0) widening for the normalize product).")
-  )
+        ORDER BY kind, score DESC, node"""
+
+  private def pagerankSql: String = {
+    val base = s"""WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      sym AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+      n AS (SELECT count(*) AS n_nodes FROM (SELECT DISTINCT src FROM edges)),
+      r0 AS (
+        SELECT src AS node, 1000000000000 // (SELECT n_nodes FROM n) AS r
+        FROM (SELECT DISTINCT src FROM edges))"""
+    val steps = (1 to PrIters).map { i =>
+      s""",
+      r$i AS (
+        SELECT e.dst AS node,
+          15000000000000 // (100 * (SELECT n_nodes FROM n))
+            + CAST(sum((85 * r.r) // (100 * e.deg)) AS BIGINT) AS r
+        FROM edges e
+        JOIN r${i - 1} r ON e.src = r.node
+        GROUP BY e.dst)"""
+    }.mkString
+    base + steps +
+      s"""
+      SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                  ELSE 's' || (node // 2) END AS node,
+        CAST(r AS DOUBLE) / 1000000000000.0 AS pr FROM r$PrIters
+      ORDER BY pr DESC, node"""
+  }
+
+  private def trustrankSql: String = {
+    val base = s"""WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      sym AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+      seeds AS (
+        SELECT DISTINCT src FROM edges
+        WHERE src % 2 = 1 AND (src // 2) % 3 = 0),
+      ns AS (SELECT count(*) AS n_seeds FROM seeds),
+      t0 AS (
+        SELECT src AS node, 1000000000000 // (SELECT n_seeds FROM ns) AS r
+        FROM seeds)"""
+    val steps = (1 to PrIters).map { i =>
+      s""",
+      t$i AS (
+        SELECT node, CAST(sum(w) AS BIGINT) AS r FROM (
+          SELECT e.dst AS node, (85 * t.r) // (100 * e.deg) AS w
+          FROM edges e JOIN t${i - 1} t ON e.src = t.node
+          UNION ALL
+          SELECT src AS node,
+            15000000000000 // (100 * (SELECT n_seeds FROM ns)) AS w
+          FROM seeds)
+        GROUP BY node)"""
+    }.mkString
+    base + steps +
+      s"""
+      SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                  ELSE 's' || (node // 2) END AS node,
+        CAST(r AS DOUBLE) / 1000000000000.0 AS trust,
+        node % 2 = 1 AND (node // 2) % 3 = 0 AS is_seed
+      FROM t$PrIters
+      ORDER BY trust DESC, node"""
+  }
 }

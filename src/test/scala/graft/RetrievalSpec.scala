@@ -126,6 +126,60 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("co-partitioned graph twins are bit-identical to their broadcast forms") {
+    // exact BIGINT picounit arithmetic ⇒ the join strategy cannot change
+    // a single bit; anything else means the twin is a different operator
+    Seq("graph_pagerank", "graph_trustrank", "graph_hits").foreach { name =>
+      val b = run(name).toSeq
+      val p = run(s"${name}_partitioned").toSeq
+      assert(b == p, s"$name partitioned twin diverged from broadcast form")
+    }
+  }
+
+  test("graph_pagerank_partitioned shuffles ranks, broadcasts nothing node-sized") {
+    val df = SparkEntry.queries("graph_pagerank_partitioned")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the rank join must be a shuffled hash join into the edges' layout...
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    // ...and no equi-join may broadcast (the only broadcasts left are the
+    // 1-row scalar crossJoins, which plan as BroadcastNestedLoopJoin)
+    assert(!p.contains("BroadcastHashJoin"),
+      "partitioned twin must not broadcast the rank table:\n" + p.take(3000))
+    // the checkpointed edge build still runs once, never rescanning facts
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    assert(!p.contains("lineitem.parquet"),
+      "iterations must not rescan the fact tables:\n" + p.take(4000))
+  }
+
+  test("pagerankUntil at 3 capped rounds equals the unrolled graph_pagerank") {
+    val (df, iters, deltas) = graft.queries.RetrievalQueries
+      .pagerankUntil(spark, sf(), epsPico = 0L, maxIter = 3)
+    assert(iters == 3 && deltas.length == 3)
+    assert(df.collect().toSeq == run("graph_pagerank").toSeq,
+      "convergence loop at 3 rounds must reproduce the unrolled form")
+  }
+
+  test("pagerankUntil converges with monotone rank deltas and flat loop cost") {
+    // deltas contract by exactly the damping factor per round (measured:
+    // 0.85× each step), so eps = 1e8 picounits = 1e-4 rank — the same
+    // tolerance the mass-conservation pins use — lands around round 42
+    val (df, iters, deltas) = graft.queries.RetrievalQueries
+      .pagerankUntil(spark, sf(), epsPico = 100000000L, maxIter = 60)
+    assert(iters < 60, s"did not converge: deltas=${deltas.mkString(",")}")
+    assert(deltas.last <= 100000000L)
+    // power iteration with damping 0.85: per-round max delta contracts
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => b <= a },
+      s"rank deltas not monotone: ${deltas.mkString(",")}")
+    // the returned plan reads the LAST round's checkpoint only — plan
+    // size (and hence analysis cost) must not grow with iteration count
+    val planLines = df.queryExecution.executedPlan.toString.linesIterator.size
+    assert(planLines < 60,
+      s"final plan grew with iterations ($planLines lines) — lineage not truncated")
+    val mass = df.collect().map(_.getAs[Double]("pr")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"converged rank mass $mass drifted")
+  }
+
   test("graph_pagerank materializes the edge build once (no per-iteration rescan)") {
     val df = SparkEntry.queries("graph_pagerank")(spark, sf())
     df.collect()
