@@ -283,13 +283,14 @@ object CurationQueries {
     // HELD-OUT (even doc_ids = the "curated" half, the CCNet posture:
     // an LM trained on clean text scores the crawl), so odd docs
     // genuinely exercise the backoff branch. Count tables are
-    // vocab-bounded → broadcast (at 100 TB the bigram table shards by
-    // w1 and the join becomes hash-partitioned on the bigram key — the
-    // paper's serving layout); the corpus side is one narrow bigram
-    // explode + one doc rollup. Determinism: the text_perplexity
-    // recipe — round each ln to 9 dp, exact DECIMAL sum, one final
-    // round; 0.4 is written 2/(5·N) in integer terms so no decimal
-    // literal poisons the double arithmetic on either engine.
+    // vocab-bounded → broadcast here; `text_lm_backoff_sharded` below
+    // implements the Brants 2007 w1-sharded serving layout for the
+    // 100 TB case where the bigram table outgrows broadcast. The
+    // corpus side is one narrow bigram explode + one doc rollup.
+    // Determinism: the text_perplexity recipe — round each ln to 9 dp,
+    // exact DECIMAL sum, one final round; 0.4 is written 2/(5·N) in
+    // integer terms so no decimal literal poisons the double
+    // arithmetic on either engine.
     QueryDef(
       "text_lm_backoff",
       (s, dir) => {
@@ -325,40 +326,72 @@ object CurationQueries {
           .withColumn("trained_on", expr("doc_id % 2 = 0"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH tk AS (
-          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= 2),
-        bg AS (
-          SELECT doc_id,
-            unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS w1,
-            unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS w2
-          FROM tk),
-        bigcnt AS (
-          SELECT w1, w2, count(*) AS cb FROM bg WHERE doc_id % 2 = 0
-          GROUP BY w1, w2),
-        uni AS (
-          SELECT tok, count(*) AS cu
-          FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 2 = 0)
-          GROUP BY tok),
-        tot AS (SELECT sum(cu) AS n_train FROM uni),
-        sc AS (
-          SELECT bg.doc_id,
-            CAST(round(ln(
-              CASE WHEN b.cb IS NOT NULL THEN CAST(b.cb AS DOUBLE) / u1.cu
-                   WHEN u2.cu IS NOT NULL THEN CAST(2 AS DOUBLE) * u2.cu / (5 * (SELECT n_train FROM tot))
-                   ELSE CAST(2 AS DOUBLE) / (5 * (SELECT n_train FROM tot)) END),
-              9) AS DECIMAL(28,9)) AS ls
-          FROM bg
-          LEFT JOIN bigcnt b ON bg.w1 = b.w1 AND bg.w2 = b.w2
-          LEFT JOIN uni u1 ON bg.w1 = u1.tok
-          LEFT JOIN uni u2 ON bg.w2 = u2.tok)
-        SELECT doc_id,
-          round(CAST(sum(ls) AS DOUBLE) / count(*), 6) AS avg_logscore,
-          count(*) AS n_bigrams,
-          doc_id % 2 = 0 AS trained_on
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      Some(lmBackoffSql),
       doc = "Held-out bigram LM scoring with Stupid Backoff (Brants 2007): " +
         "count tables broadcast, one corpus bigram pass + one doc rollup; " +
         "odd docs exercise the unseen-bigram backoff branch for real."),
+
+    // ── Brants 2007 w1-sharded serving layout for the bigram LM ──────
+    // The same Stupid-Backoff scores through the paper's distributed
+    // count-table layout (§3 of "Large Language Models in Machine
+    // Translation"): bigrams are SHARDED BY FIRST WORD, so looking up
+    // c(w1,w2) and its context count c(w1) both land on the w1 shard —
+    // here: the corpus bigram stream repartitions ONCE on w1 and both
+    // count-table joins are shuffle-hash equi-joins into that one
+    // layout (the bigram rollup and the unigram c1 table arrive
+    // already w1-partitioned from their own groupBys, so neither
+    // re-exchanges; one exchange of the corpus serves both lookups).
+    // Only the UNIGRAM backoff table c(w2) and the 1-row total stay
+    // broadcast — vocab-bounded by Heaps' law, the piece the paper
+    // replicates to every shard. This is the form that survives a
+    // bigram table too big to broadcast (it shards with the corpus);
+    // identical scores to text_lm_backoff (spec-pinned, shared oracle).
+    QueryDef(
+      "text_lm_backoff_sharded",
+      (s, dir) => {
+        val tk = tokenized(s, dir).filter(size(col("toks")) >= 2)
+        val bg = tk.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .repartition(col("w1"))
+        val train = bg.filter(expr("doc_id % 2 = 0"))
+        // both shard tables inherit HashPartitioning(w1) from their
+        // groupBys (ClusteredDistribution(w1,w2) is satisfied by the
+        // w1 subset), so the joins below add NO exchange beyond bg's one
+        val bigCnt = train.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val uni = tk.filter(expr("doc_id % 2 = 0"))
+          .select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum(col("cu")).as("n_train"))
+        bg
+          .join(bigCnt.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+          .join(uni.select(col("tok").as("w1"), col("cu").as("c1"))
+            .hint("shuffle_hash"), Seq("w1"), "left")
+          .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("c2"))),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("sb", expr(
+            """CASE WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / c1
+                    WHEN c2 IS NOT NULL THEN CAST(2 AS DOUBLE) * c2 / (5 * n_train)
+                    ELSE CAST(2 AS DOUBLE) / (5 * n_train) END"""))
+          .withColumn("ls", round(log(col("sb")), 9).cast(DecimalType(28, 9)))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(sum(col("ls")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_logscore"),
+            count(lit(1)).as("n_bigrams"))
+          .withColumn("trained_on", expr("doc_id % 2 = 0"))
+          .orderBy(col("doc_id"))
+      },
+      Some(lmBackoffSql),
+      doc = "Stupid-Backoff bigram LM through the Brants 2007 w1-sharded " +
+        "serving layout: corpus bigrams repartition once on w1; bigram and " +
+        "context-count lookups are shuffle-hash joins into that layout " +
+        "(no broadcast of the bigram table); only the vocab-bounded " +
+        "unigram backoff table replicates. Scores identical to " +
+        "text_lm_backoff."),
 
     // ── weighted sampling without replacement (Efraimidis-Spirakis) ──
     // A-Res (2006): each item draws u ~ U(0,1] and keeps key u^(1/w);
@@ -707,4 +740,41 @@ object CurationQueries {
         "test (reproducible, RNG-free), rates broadcast, corpus side " +
         "un-shuffled until the count rollup.")
   )
+
+  /** Shared oracle for text_lm_backoff and its w1-sharded twin — the
+    * scores are identical by construction (only the join layout
+    * differs), so both rows replay the same SQL.
+    */
+  private def lmBackoffSql: String =
+    s"""WITH tk AS (
+          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= 2),
+        bg AS (
+          SELECT doc_id,
+            unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS w1,
+            unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS w2
+          FROM tk),
+        bigcnt AS (
+          SELECT w1, w2, count(*) AS cb FROM bg WHERE doc_id % 2 = 0
+          GROUP BY w1, w2),
+        uni AS (
+          SELECT tok, count(*) AS cu
+          FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 2 = 0)
+          GROUP BY tok),
+        tot AS (SELECT sum(cu) AS n_train FROM uni),
+        sc AS (
+          SELECT bg.doc_id,
+            CAST(round(ln(
+              CASE WHEN b.cb IS NOT NULL THEN CAST(b.cb AS DOUBLE) / u1.cu
+                   WHEN u2.cu IS NOT NULL THEN CAST(2 AS DOUBLE) * u2.cu / (5 * (SELECT n_train FROM tot))
+                   ELSE CAST(2 AS DOUBLE) / (5 * (SELECT n_train FROM tot)) END),
+              9) AS DECIMAL(28,9)) AS ls
+          FROM bg
+          LEFT JOIN bigcnt b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+          LEFT JOIN uni u1 ON bg.w1 = u1.tok
+          LEFT JOIN uni u2 ON bg.w2 = u2.tok)
+        SELECT doc_id,
+          round(CAST(sum(ls) AS DOUBLE) / count(*), 6) AS avg_logscore,
+          count(*) AS n_bigrams,
+          doc_id % 2 = 0 AS trained_on
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""
 }

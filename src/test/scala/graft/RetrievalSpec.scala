@@ -180,6 +180,21 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-4, s"converged rank mass $mass drifted")
   }
 
+  test("text_lm_backoff_sharded scores identically through w1-shard shuffle joins") {
+    // the Brants serving-layout twin: same scores, no broadcast of the
+    // bigram table — both count-table lookups are shuffle-hash joins
+    // into the corpus's one w1 repartition
+    val df = SparkEntry.queries("text_lm_backoff_sharded")(spark, sf())
+    val rows = df.collect().toSeq
+    assert(rows == run("text_lm_backoff").toSeq,
+      "sharded layout must replay identical Stupid-Backoff scores")
+    val p = df.queryExecution.executedPlan.toString
+    val shj = "ShuffledHashJoin".r.findAllIn(p).size
+    assert(shj >= 2,
+      s"bigram + context-count joins must shuffle-hash into the w1 shards ($shj found):\n" +
+        p.take(3000))
+  }
+
   test("graph_pagerank materializes the edge build once (no per-iteration rescan)") {
     val df = SparkEntry.queries("graph_pagerank")(spark, sf())
     df.collect()
