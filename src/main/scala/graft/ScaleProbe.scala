@@ -36,10 +36,19 @@ object ScaleProbe {
   private def replicateDocs(spark: SparkSession, src: String, out: String, m: Int): Unit = {
     val docs = Tables.load(spark, src, "documents")
     (0 until m).map { i =>
+      // replicas 1–25: rotated alphabet (vocabulary disjoint from every
+      // other rotation). Replicas ≥26 — where rotations would repeat and
+      // silently create exact dups — suffix every token with a replica
+      // tag instead: still zero shared vocabulary with ANY other replica
+      // (rotations yield pure-letter tokens; suffixed tokens embed
+      // digits), so text probes scale past ×26.
+      val text =
+        if (i == 0) col("text")
+        else if (i < 26) translate(col("text"), alpha, rot(i))
+        else regexp_replace(col("text"), "(\\S+)", s"$$1${i}z")
       docs.select(
         (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-        (if (i == 0) col("text")
-         else translate(col("text"), alpha, rot(i))).as("text"),
+        text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionByName(_))
       .repartition(math.max(4, m))
@@ -198,6 +207,37 @@ object ScaleProbe {
     ()
   }
 
+  /** BM25 query-set scaling (`bm25` mode): time bm25TopK over synthetic
+    * query sets of growing |q| on the ×m corpus, reporting the matched-
+    * postings volume alongside — the claim under test (VERDICT r10 item
+    * 4) is that cost tracks MATCHING POSTINGS, not |q| directly: the
+    * postings shuffle carries only query-matched tokens, and the top-k
+    * window partitions by query_id (parallelism grows WITH |q|).
+    */
+  private def bm25Probe(spark: SparkSession, m: Int, nqs: Seq[Int], runs: Int): Unit = {
+    val dir = s"/tmp/graft_scale_x$m"
+    scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val results = nqs.map { nq =>
+      val q = queries.RetrievalQueries.syntheticBmQueries(spark, dir, nq)
+        .localCheckpoint()
+      // the one shuffle's payload: corpus postings matching a query term
+      val postings = Tables.load(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .join(q.select("tok").distinct(), "tok").count()
+      val timings = (1 to math.max(1, runs)).map { _ =>
+        val t0 = System.nanoTime()
+        val n = queries.RetrievalQueries.bm25TopK(spark, dir, q).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, n)
+      }
+      s""""q$nq":{"sec":${timings.map(_._1).min},"rows":${timings.last._2},"postings":$postings}"""
+    }
+    println(s"""{"metric":"bm25_scaling","multiplier":$m,""" +
+      s""""queries":${results.mkString("{", ",", "}")}}""")
+  }
+
   private def annRecallProbe(spark: SparkSession, m: Int, runs: Int): Unit = {
     val dir = s"/tmp/graft_annrecall_x$m"
     scaleAnnRecall(spark, "/root/testdata/sf0.1", dir, m)
@@ -250,18 +290,30 @@ object ScaleProbe {
       case Some("tpch") => "tpch"
       case Some("suite") => "suite"
       case Some("annrecall") => "annrecall"
+      case Some("bm25") => "bm25"
       case _ => "corpus"
     }
     val rest = if (mode == "corpus") args else args.drop(1)
     val m = rest.headOption.map(_.toInt).getOrElse(10)
-    // the 26-letter rotation is only collision-free for 26 replicas;
-    // past that, replica pairs share a rotation and become exact dups,
-    // which silently turns the probe into a duplicate-explosion workload.
-    // Only DOCUMENT replication (corpus/suite modes) rotates text —
-    // tpch shifts key spaces and annrecall sign-flips vectors (2^-32
-    // pattern-collision odds per replica pair), so both scale past 26.
-    require(mode == "tpch" || mode == "annrecall" || m <= 26,
-      s"multiplier $m > 26: alphabet rotations repeat")
+    // document replication stays collision-free at ANY m: replicas 1–25
+    // rotate the alphabet, replicas ≥26 suffix every token with a
+    // replica tag (see replicateDocs) — no two replicas ever share a
+    // word, so the probe never degenerates into a duplicate explosion.
+    if (mode == "bm25") {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val nqs = if (rest.length > 1) rest.drop(1).toSeq.map(_.toInt)
+        else Seq(5, 50, 1000)
+      bm25Probe(spark, m, nqs, Env.intVar("SPARK_GRAFT_PROBE_RUNS", 1))
+      spark.stop()
+      return
+    }
     if (mode == "annrecall") {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -166,6 +166,82 @@ object RetrievalQueries {
   private val tokenizedDuck =
     "(SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"
 
+  /** BM25 top-k over an ARBITRARY (query_id, tok) query set — the
+    * declared row binds the fixed fixture set; the probe harness binds
+    * synthetic sets up to |q|=1000 (VERDICT r10 item 4). The query set is
+    * eval-set-bounded by definition (it's the retrieval side of a
+    * decontamination / pair-mining pass), so it broadcasts at any
+    * realistic |q|; the one real shuffle carries only query-matched
+    * postings — its payload scales with matches, not with the corpus and
+    * not with |q| directly (probe-pinned).
+    */
+  def bm25TopK(s: SparkSession, dir: String, qterms0: DataFrame): DataFrame = {
+    val qterms = broadcast(qterms0)
+    val docs = tokenized(s, dir)
+    // corpus-wide scalars: doc count and mean doc length, as ONE
+    // double division of exact integer sums (shared both engines)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_toks"))
+      .select(col("n_docs"),
+        (col("n_toks").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val posts = docs
+      .select(col("doc_id"), size(col("toks")).cast(DoubleType).as("dl"),
+        explode(col("toks")).as("tok"))
+      .join(qterms, "tok")
+      .groupBy(col("query_id"), col("tok"), col("doc_id"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), first(col("dl")).as("dl"))
+    // df over the postings (term-bounded), broadcast back
+    val dfTab = broadcast(
+      posts.select(col("tok"), col("doc_id")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df")))
+    val scored = posts
+      .join(dfTab, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        round(
+          expr(s"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+            s" * (tf * ${K1 + 1.0} / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)))"),
+          9).cast(DecimalType(28, 9)))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w")).cast(DoubleType), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val rk = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(rk))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"),
+        col("n_terms"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic synthetic query set for the |q| scaling probe: nq
+    * queries × termsPerQuery terms hash-assigned (replayable, RNG-free)
+    * from the corpus vocabulary — distinct queries SHARE terms, exactly
+    * like a real eval set (common words recur across queries; the
+    * fixture vocabulary is a fixed 31-word pool, ~31·m after ×m rotated
+    * replication). The row_number window is over the VOCAB (Heaps-law
+    * bounded), not the corpus — probe-harness scale, not a corpus pass.
+    * A query can lose a term to an in-query hash collision (deduped) —
+    * harmless: real queries vary in length too.
+    */
+  def syntheticBmQueries(s: SparkSession, dir: String, nq: Int,
+      termsPerQuery: Int = 3): DataFrame = {
+    val w = Window.orderBy(md5(col("tok")), col("tok"))
+    val vocab = tokenized(s, dir)
+      .select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("rn", row_number().over(w) - 1)
+      .localCheckpoint()
+    val v = vocab.count()
+    s.range(nq.toLong * termsPerQuery)
+      .select(expr(s"id div $termsPerQuery").as("query_id"),
+        pmod(hash(col("id")), lit(v)).cast("int").as("rn"))
+      .join(broadcast(vocab), "rn")
+      .select(col("query_id"), col("tok"))
+      .distinct()
+  }
+
   // ── shared graph-iteration builders (broadcast / co-partitioned) ───
 
   /** One PageRank iteration: edges ⋈ ranks (strategy per `bcast`) + ONE
@@ -344,44 +420,7 @@ object RetrievalQueries {
       "text_bm25_topk",
       (s, dir) => {
         import s.implicits._
-        val qterms = broadcast(BmQueries.toDF("query_id", "tok"))
-        val docs = tokenized(s, dir)
-        // corpus-wide scalars: doc count and mean doc length, as ONE
-        // double division of exact integer sums (shared both engines)
-        val stats = docs.agg(
-          count(lit(1)).as("n_docs"),
-          sum(size(col("toks"))).as("n_toks"))
-          .select(col("n_docs"),
-            (col("n_toks").cast(DoubleType) / col("n_docs")).as("avgdl"))
-        val posts = docs
-          .select(col("doc_id"), size(col("toks")).cast(DoubleType).as("dl"),
-            explode(col("toks")).as("tok"))
-          .join(qterms, "tok")
-          .groupBy(col("query_id"), col("tok"), col("doc_id"))
-          .agg(count(lit(1)).cast(DoubleType).as("tf"), first(col("dl")).as("dl"))
-        // df over the postings (term-bounded), broadcast back
-        val dfTab = broadcast(
-          posts.select(col("tok"), col("doc_id")).distinct()
-            .groupBy(col("tok")).agg(count(lit(1)).as("df")))
-        val scored = posts
-          .join(dfTab, "tok")
-          .crossJoin(broadcast(stats))
-          .withColumn("w",
-            round(
-              expr(s"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
-                s" * (tf * ${K1 + 1.0} / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)))"),
-              9).cast(DecimalType(28, 9)))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(round(sum(col("w")).cast(DoubleType), 6).as("score"),
-            count(lit(1)).as("n_terms"))
-        val rk = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id"))
-        scored
-          .withColumn("rnk", row_number().over(rk))
-          .filter(col("rnk") <= TopK)
-          .select(col("query_id"), col("rnk"), col("doc_id"), col("score"),
-            col("n_terms"))
-          .orderBy(col("query_id"), col("rnk"))
+        bm25TopK(s, dir, BmQueries.toDF("query_id", "tok"))
       },
       Some(s"""WITH q(query_id, tok) AS (VALUES $bmQueriesDuck),
         docs AS (SELECT doc_id, toks FROM $tokenizedDuck),

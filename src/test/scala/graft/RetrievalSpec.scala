@@ -180,6 +180,25 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-4, s"converged rank mass $mass drifted")
   }
 
+  test("bm25TopK holds its invariants on a synthetic 10-query set") {
+    // the parameterized query-set path the |q| scaling probe drives:
+    // same dense-rank / top-k / score-monotone contract as the fixed row
+    // (nq=10: the sf0.001 fixture vocabulary is only 31 tokens wide)
+    val q = RetrievalQueries.syntheticBmQueries(spark, sf(), 10)
+    assert(q.select("query_id").distinct().count() == 10,
+      "synthetic set must cover every query id")
+    val rows = RetrievalQueries.bm25TopK(spark, sf(), q).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, hits) =>
+      val ranks = hits.map(_.getAs[Int]("rnk")).toSeq.sorted
+      assert(ranks == (1 to hits.length), s"query $qid ranks not dense")
+      assert(hits.length <= RetrievalQueries.TopK)
+      val scores = hits.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid scores not non-increasing")
+    }
+  }
+
   test("text_lm_backoff_sharded scores identically through w1-shard shuffle joins") {
     // the Brants serving-layout twin: same scores, no broadcast of the
     // bigram table — both count-table lookups are shuffle-hash joins
