@@ -207,6 +207,45 @@ object ScaleProbe {
     ()
   }
 
+  /** Adversarial containment scaling (`containment` mode): the sf0.1
+    * corpus plus n planted boilerplate docs that ALL share one
+    * DupK-token block (df = n ≫ ContainDfCap) plus a unique tail.
+    * Without the df-cap that single shingle would put C(n,2) pairs
+    * through the candidate join (~5·10⁷ at n=10⁴); with it the planted
+    * group contributes ZERO candidates, so wall time must stay flat in
+    * n (the ContainmentAdversarialSpec pins the same structure exactly
+    * at the cap boundary on a planted micro-corpus).
+    */
+  private def containmentProbe(spark: SparkSession, ns: Seq[Int], runs: Int): Unit = {
+    val block = (0 until queries.Round10Queries.DupK).map(i => s"boil$i").mkString(" ")
+    val results = ns.map { n =>
+      val dir = s"/tmp/graft_contain_n$n"
+      val fs = new java.io.File(dir)
+      if (!new java.io.File(fs, "_DONE").exists()) {
+        fs.mkdirs()
+        val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        val txt = concat(lit(block + " zz"), col("id").cast("string"))
+        val planted = spark.range(n)
+          .select((col("id") + 90000000L).as("doc_id"), txt.as("text"),
+            lit("xx").as("lang"), lit("gen").as("source"),
+            length(txt).cast("long").as("n_chars"))
+        base.unionByName(planted).repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        new java.io.File(fs, "_DONE").createNewFile()
+      }
+      val timings = (1 to math.max(1, runs)).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries("dedup_containment")(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, rows)
+      }
+      s""""n$n":{"sec":${timings.map(_._1).min},"rows":${timings.last._2}}"""
+    }
+    println(s"""{"metric":"containment_adversarial",""" +
+      s""""queries":${results.mkString("{", ",", "}")}}""")
+  }
+
   /** BM25 query-set scaling (`bm25` mode): time bm25TopK over synthetic
     * query sets of growing |q| on the ×m corpus, reporting the matched-
     * postings volume alongside — the claim under test (VERDICT r10 item
@@ -291,6 +330,7 @@ object ScaleProbe {
       case Some("suite") => "suite"
       case Some("annrecall") => "annrecall"
       case Some("bm25") => "bm25"
+      case Some("containment") => "containment"
       case _ => "corpus"
     }
     val rest = if (mode == "corpus") args else args.drop(1)
@@ -299,7 +339,7 @@ object ScaleProbe {
     // rotate the alphabet, replicas ≥26 suffix every token with a
     // replica tag (see replicateDocs) — no two replicas ever share a
     // word, so the probe never degenerates into a duplicate explosion.
-    if (mode == "bm25") {
+    if (mode == "bm25" || mode == "containment") {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .config("spark.sql.shuffle.partitions", 32)
@@ -308,9 +348,17 @@ object ScaleProbe {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val nqs = if (rest.length > 1) rest.drop(1).toSeq.map(_.toInt)
-        else Seq(5, 50, 1000)
-      bm25Probe(spark, m, nqs, Env.intVar("SPARK_GRAFT_PROBE_RUNS", 1))
+      val runs = Env.intVar("SPARK_GRAFT_PROBE_RUNS", 1)
+      if (mode == "bm25") {
+        val nqs = if (rest.length > 1) rest.drop(1).toSeq.map(_.toInt)
+          else Seq(5, 50, 1000)
+        bm25Probe(spark, m, nqs, runs)
+      } else {
+        // containment mode: args are the planted-boilerplate doc counts
+        val ns = if (rest.nonEmpty) rest.toSeq.map(_.toInt)
+          else Seq(1000, 10000)
+        containmentProbe(spark, ns, runs)
+      }
       spark.stop()
       return
     }

@@ -217,6 +217,9 @@ object Round10Queries {
         "K-fan-out coverage explode, map-side-partial gram counts."),
 
     // ── containment / subsumption detection (Broder 1997) ────────────
+    // Plan body in `containmentPairs` below (public pre-threshold form so
+    // ContainmentAdversarialSpec can pin the CANDIDATE volume, not just
+    // the post-τ verdicts — the df-cap's linearity claim lives there).
     // "On the resemblance and containment of documents": the ASYMMETRIC
     // measure C(A,B) = |A∩B|/|A| that catches a short document embedded
     // in a long one — a case resemblance/Jaccard (dedup_ngram_jaccard,
@@ -231,31 +234,10 @@ object Round10Queries {
     // linear in real dup pairs, not corpus².
     QueryDef(
       "dedup_containment",
-      (s, dir) => {
-        val sh = tokenized(s, dir)
-          .filter(size(col("toks")) >= DupK)
-          .select(col("doc_id"), explode(array_distinct(expr(
-            s"transform(sequence(0, size(toks) - $DupK), " +
-              s"i -> concat_ws(' ', slice(toks, i + 1, $DupK)))"))).as("g"))
-        val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") <= ContainDfCap).select(col("g"))
-        val pr = sh.join(rare, Seq("g"))
-        val cnt = pr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val pairs = pr.as("x").join(pr.as("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("c_shared"))
-        pairs
-          .join(broadcast(cnt.select(col("doc_id").as("a"), col("n_sh").as("na"))), "a")
-          .join(broadcast(cnt.select(col("doc_id").as("b"), col("n_sh").as("nb"))), "b")
-          .withColumn("cont_a",
-            round(col("c_shared").cast(DoubleType) / col("na"), 6))
-          .withColumn("cont_b",
-            round(col("c_shared").cast(DoubleType) / col("nb"), 6))
-          .filter(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
-          .select(col("a"), col("b"), col("c_shared"), col("cont_a"), col("cont_b"))
-          .orderBy(col("a"), col("b"))
-      },
+      (s, dir) => containmentPairs(s, dir)
+        .filter(greatest(col("cont_a"), col("cont_b")) >= ContainTau)
+        .select(col("a"), col("b"), col("c_shared"), col("cont_a"), col("cont_b"))
+        .orderBy(col("a"), col("b")),
       Some(s"""WITH d AS (
           SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= $DupK),
         sh AS (
@@ -916,5 +898,37 @@ object Round10Queries {
     else
       try out.localCheckpoint(true)
       finally Seq(sym0, s1, s2).foreach(_.unpersist(false))
+  }
+
+  /** Containment candidate pairs BEFORE the τ threshold (Broder 1997):
+    * distinct DupK-token shingles → df-capped inverted index → candidate
+    * self-join → per-pair shared count + both asymmetric containment
+    * ratios. Public so the adversarial spec can pin the df-cap's
+    * structural guarantees directly on the candidate set: a shingle at
+    * df == ContainDfCap contributes exactly C(df,2) candidates, one past
+    * the cap contributes ZERO — the boilerplate prune that keeps the
+    * join linear in true-dup multiplicity instead of df².
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = tokenized(s, dir)
+      .filter(size(col("toks")) >= DupK)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $DupK), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $DupK)))"))).as("g"))
+    val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= ContainDfCap).select(col("g"))
+    val pr = sh.join(rare, Seq("g"))
+    val cnt = pr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = pr.as("x").join(pr.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c_shared"))
+    pairs
+      .join(broadcast(cnt.select(col("doc_id").as("a"), col("n_sh").as("na"))), "a")
+      .join(broadcast(cnt.select(col("doc_id").as("b"), col("n_sh").as("nb"))), "b")
+      .withColumn("cont_a",
+        round(col("c_shared").cast(DoubleType) / col("na"), 6))
+      .withColumn("cont_b",
+        round(col("c_shared").cast(DoubleType) / col("nb"), 6))
   }
 }
