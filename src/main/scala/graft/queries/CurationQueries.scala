@@ -407,17 +407,22 @@ object CurationQueries {
       "pipe_weighted_sample",
       (s, dir) => {
         val k = 100
+        // greatest(n_chars, 1): a zero-length doc must yield a FINITE
+        // key (w=1 ⇒ deeply negative, effectively never sampled), not a
+        // NULL/Inf one — Spark and DuckDB order NULLs oppositely under
+        // DESC, so an empty doc in a regenerated fixture would silently
+        // break oracle parity (ADVICE r10)
         Tables.load(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), col("n_chars"),
             expr(s"round(ln((${h60Spark("cast(doc_id as string)")} + 1) " +
-              "/ 1152921504606846976.0) / n_chars, 12)").as("skey"))
+              "/ 1152921504606846976.0) / greatest(n_chars, 1), 12)").as("skey"))
           .orderBy(col("skey").desc, col("doc_id"))
           .limit(k)
       },
       Some(s"""SELECT doc_id, lang, n_chars,
           round(ln((${h60Duck("CAST(doc_id AS VARCHAR)")} + 1)
-            / 1152921504606846976.0) / n_chars, 12) AS skey
+            / 1152921504606846976.0) / greatest(n_chars, 1), 12) AS skey
         FROM documents
         ORDER BY skey DESC, doc_id
         LIMIT 100"""),

@@ -40,11 +40,21 @@ object EventStreams {
     * files with ONE batch-read schema inference at stream-build time
     * (driver-side, metadata-only), then apply the same ns→µs / NTZ→UTC
     * normalization as the batch loader so every downstream transform
-    * sees one TimestampType regardless of edition.
+    * sees one TimestampType regardless of edition. An EMPTY monitored
+    * directory (a file stream's normal initial state) has nothing to
+    * probe — fall back to the legacy INT64-nanos schema, the one
+    * edition that predates the probe. Single-edition-per-directory is
+    * assumed: a mixed directory would get one merged probe schema
+    * applied to both file kinds.
     */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        // 'Unable to infer schema' / missing path: no files yet
+        case _: org.apache.spark.sql.AnalysisException => LongType
+      }
     val raw = spark.readStream
       .schema(eventsSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

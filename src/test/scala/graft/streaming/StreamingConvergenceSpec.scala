@@ -271,6 +271,19 @@ class StreamingConvergenceSpec extends SparkSpec {
     assertSameRows(got, batchQuery("st_tumbling_window"))
   }
 
+  test("ST1 readEvents on an empty monitored directory falls back to the legacy schema") {
+    // a file stream's normal initial state: nothing to probe yet — the
+    // eager schema probe must not throw, and the stream must run (to
+    // zero rows) with the normalized TimestampType ts (ADVICE r10)
+    val d = tmpDir("events-empty")
+    val df = EventStreams.readEvents(spark, d)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val got = EventStreams.runToMemory(
+      EventStreams.tumbling(df), "conv_empty_dir", "append")
+    assert(got.count() == 0)
+  }
+
   test("ST6 foreachBatch upsert sink lands exactly the deduped key count") {
     graft.sources.InMemorySink.clear("t_stream_sink")
     EventStreams.runToSink(
