@@ -278,11 +278,32 @@ object RetrievalQueries {
     (edges, nTab, r0)
   }
 
-  /** PrIters unrolled PageRank iterations — the declared-row form. */
+  /** PrIters unrolled PageRank iterations — the declared-row form. The
+    * partitioned form checkpoints EVERY round (not just the edge list):
+    * the ×50 probe measured the 3-iteration NESTED plan at 127.7 s vs
+    * ~38 s for the same rounds run checkpoint-at-a-time (the
+    * convergence-loop trace: ~3 s/round flat + edge build) — at scale,
+    * materializing each round and letting the next read executor-local
+    * blocks beats handing the optimizer one deep multi-join plan. The
+    * broadcast form keeps the nested shape (it is the fixture-fast
+    * path and its numbers are the established baseline).
+    */
   def pagerankPlan(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
     val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
     val step = pagerankStep(edges, nTab, bcast) _
-    rankProject((1 to PrIters).foldLeft(r0)((r, _) => step(r)))
+    rankProject((1 to PrIters).foldLeft(r0)((r, _) =>
+      if (bcast) step(r) else step(r).localCheckpoint()))
+  }
+
+  /** One un-checkpointed PageRank iteration — exposed for the plan pin:
+    * the declared rows checkpoint every round, so their FINAL executed
+    * plan is just a projection over the last round's blocks; the join
+    * strategy under test (shuffle-hash vs broadcast) is only visible on
+    * a single step's plan.
+    */
+  def pagerankOneStep(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
+    val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
+    pagerankStep(edges, nTab, bcast)(r0)
   }
 
   /** Convergence-driven PageRank: iterate until the max per-node rank
@@ -304,7 +325,45 @@ object RetrievalQueries {
       onRound: (Int, Long, Double) => Unit = (_, _, _) => ())
       : (DataFrame, Int, Seq[Long]) = {
     val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
-    val step = pagerankStep(edges, nTab, bcast) _
+    iterateUntil(r0, pagerankStep(edges, nTab, bcast),
+      rankProject, epsPico, maxIter, onRound)
+  }
+
+  /** Convergence-driven TrustRank — the same ε loop over the
+    * seed-teleport iteration (see pagerankUntil; shared iterateUntil
+    * recipe). The delta metric treats a node newly entering the trust
+    * frontier as a full-rank change.
+    */
+  def trustrankUntil(s: SparkSession, dir: String, epsPico: Long,
+      maxIter: Int = 50, bcast: Boolean = false,
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ())
+      : (DataFrame, Int, Seq[Long]) = {
+    val edges = transactionEdges(s, dir, partitioned = !bcast)
+    val seeds = edges.select(col("src")).distinct()
+      .filter(expr("src % 2 = 1 AND (src div 2) % 3 = 0"))
+    val nSeedTab = seeds.agg(count(lit(1)).as("n_seeds")).localCheckpoint()
+    val t0 = seeds.crossJoin(broadcast(nSeedTab))
+      .select(col("src").as("node"),
+        expr("1000000000000L div n_seeds").as("r"))
+    val project = (t: DataFrame) =>
+      t.select(expr(nodeLabel).as("node"),
+        (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
+        expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
+        .orderBy(col("trust").desc, col("node"))
+    iterateUntil(t0, trustrankStep(edges, seeds, nSeedTab, bcast),
+      project, epsPico, maxIter, onRound)
+  }
+
+  /** Shared convergence loop (the ConnectedComponents recipe applied to
+    * rank iteration): localCheckpoint per round, superseded blocks
+    * released, one node-sized delta join + scalar collect per round.
+    * `project` maps the final rank table to its display form. Used by
+    * both pagerankUntil and trustrankUntil.
+    */
+  private def iterateUntil(r0: DataFrame, step: DataFrame => DataFrame,
+      project: DataFrame => DataFrame, epsPico: Long, maxIter: Int,
+      onRound: (Int, Long, Double) => Unit)
+      : (DataFrame, Int, Seq[Long]) = {
     var r = r0.localCheckpoint()
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
     var iter = 0
@@ -312,10 +371,13 @@ object RetrievalQueries {
     while (!done && iter < maxIter) {
       val t0 = System.nanoTime()
       val next = step(r).localCheckpoint()
-      // symmetric graph: every node has in-edges, so next covers every
-      // node of r and the inner join is total
-      val d = next.as("n").join(r.as("p"), col("n.node") === col("p.node"))
-        .agg(max(abs(col("n.r") - col("p.r"))).as("d"))
+      // left join from the NEW table: TrustRank's frontier only grows
+      // (seed base rows never leave), so a node absent from the previous
+      // round counts its full new rank as the delta; for PageRank the
+      // symmetric graph makes the join total and coalesce is a no-op
+      val d = next.as("n").join(r.as("p"),
+          col("n.node") === col("p.node"), "left")
+        .agg(max(abs(col("n.r") - coalesce(col("p.r"), lit(0L)))).as("d"))
         .collect().head.getLong(0)
       deltas += d
       r.unpersist()
@@ -327,7 +389,7 @@ object RetrievalQueries {
       // independent of the iteration count
       onRound(iter, d, (System.nanoTime() - t0) / 1e9)
     }
-    (rankProject(r), iter, deltas.toSeq)
+    (project(r), iter, deltas.toSeq)
   }
 
   /** One TrustRank iteration: damped contributions UNION the seed
@@ -354,7 +416,9 @@ object RetrievalQueries {
       .select(col("src").as("node"),
         expr("1000000000000L div n_seeds").as("r"))
     val step = trustrankStep(edges, seeds, nSeedTab, bcast) _
-    (1 to PrIters).foldLeft(t0)((t, _) => step(t))
+    // partitioned form: checkpoint per round (see pagerankPlan scaladoc)
+    (1 to PrIters).foldLeft(t0)((t, _) =>
+        if (bcast) step(t) else step(t).localCheckpoint())
       .select(expr(nodeLabel).as("node"),
         (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
         expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
@@ -389,7 +453,12 @@ object RetrievalQueries {
       val joined =
         if (bcast) pairs.join(broadcast(scores), key)
         else pairs.join(scores.hint("shuffle_hash"), key)
-      val raw = joined.groupBy(col(out)).agg(sum(col("v")).as("raw"))
+      val raw0 = joined.groupBy(col(out)).agg(sum(col("v")).as("raw"))
+      // partitioned form: checkpoint per half-step (see pagerankPlan
+      // scaladoc) — on `raw`, so the normalizer scalar AND the next
+      // half-step both read executor-local blocks instead of
+      // re-evaluating the propagate join
+      val raw = if (bcast) raw0 else raw0.localCheckpoint()
       val tot = raw.agg(sum(col("raw")).as("tot"))
       raw.crossJoin(broadcast(tot))
         .select(col(out),

@@ -137,7 +137,10 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("graph_pagerank_partitioned shuffles ranks, broadcasts nothing node-sized") {
-    val df = SparkEntry.queries("graph_pagerank_partitioned")(spark, sf())
+    // the declared row checkpoints every round (its final plan is a
+    // projection over blocks), so the join strategy is pinned on a
+    // single iteration's plan
+    val df = RetrievalQueries.pagerankOneStep(spark, sf(), bcast = false)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // the rank join must be a shuffled hash join into the edges' layout...
@@ -150,6 +153,11 @@ class RetrievalSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p.take(3000))
     assert(!p.contains("lineitem.parquet"),
       "iterations must not rescan the fact tables:\n" + p.take(4000))
+    // and the declared row's final plan reads blocks, not fact scans
+    val full = SparkEntry.queries("graph_pagerank_partitioned")(spark, sf())
+    full.collect()
+    val fp = full.queryExecution.executedPlan.toString
+    assert(fp.contains("ExistingRDD") && !fp.contains("lineitem.parquet"), fp.take(3000))
   }
 
   test("pagerankUntil at 3 capped rounds equals the unrolled graph_pagerank") {
@@ -197,6 +205,20 @@ class RetrievalSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
         s"query $qid scores not non-increasing")
     }
+  }
+
+  test("trustrankUntil at 3 capped rounds equals the unrolled graph_trustrank") {
+    val (df, iters, deltas) = graft.queries.RetrievalQueries
+      .trustrankUntil(spark, sf(), epsPico = 0L, maxIter = 3)
+    assert(iters == 3 && deltas.length == 3)
+    assert(df.collect().toSeq == run("graph_trustrank").toSeq,
+      "trust convergence loop at 3 rounds must reproduce the unrolled form")
+    // and it converges on the fixture with non-increasing deltas
+    val (_, it2, d2) = graft.queries.RetrievalQueries
+      .trustrankUntil(spark, sf(), epsPico = 100000000L, maxIter = 60)
+    assert(it2 < 60, s"did not converge: ${d2.mkString(",")}")
+    assert(d2.zip(d2.tail).forall { case (a, b) => b <= a },
+      s"trust deltas not monotone: ${d2.mkString(",")}")
   }
 
   test("text_lm_backoff_sharded scores identically through w1-shard shuffle joins") {
