@@ -430,6 +430,47 @@ object CurationQueries {
         "(w = n_chars): seeded md5 uniforms, ln(u)/w keys (pow-free), " +
         "TakeOrdered top-k — one narrow pass, no global sort."),
 
+    // ── stratified weighted sampling (per-language token budgets) ────
+    // A-Res per stratum: the curation pass that fills a PER-LANGUAGE
+    // sample budget (the data-mix counterpart of pipe_weighted_sample's
+    // global budget). Same seeded ln(u)/w keys; the per-group top-k runs
+    // through the bounded-heap typed Aggregator (TopKAgg), NOT a window:
+    // lang is low-cardinality, so a window would range-shuffle every doc
+    // into ≤|langs| partitions — a built-in hot-group skew. The
+    // Aggregator keeps a k-row buffer per group and merges map-side, so
+    // each partition ships at most k rows per language across the one
+    // exchange — the shape that survives a billion-doc language at
+    // 100 TB (q19_topk_agg's recipe applied to curation).
+    QueryDef(
+      "pipe_weighted_sample_stratified",
+      (s, dir) => {
+        val k = 20
+        val topk = udaf(graft.operators.TopKAgg(k))
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"),
+            expr(s"round(ln((${h60Spark("cast(doc_id as string)")} + 1) " +
+              "/ 1152921504606846976.0) / greatest(n_chars, 1), 12)").as("skey"))
+          .groupBy(col("lang"))
+          .agg(topk(col("skey"), col("doc_id")).as("tk"))
+          .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rn"),
+            col("x.tag").as("doc_id"), col("x.value").as("skey"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(s"""SELECT lang, rn, doc_id, skey FROM (
+          SELECT lang, doc_id, skey,
+            row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rn
+          FROM (SELECT doc_id, lang,
+            round(ln((${h60Duck("CAST(doc_id AS VARCHAR)")} + 1)
+              / 1152921504606846976.0) / greatest(n_chars, 1), 12) AS skey
+            FROM documents)) WHERE rn <= 20
+        ORDER BY lang, rn"""),
+      doc = "Per-language A-Res weighted sample (stratified token " +
+        "budgets): seeded ln(u)/w keys, bounded-heap Aggregator top-k " +
+        "per language — k rows per group per partition over the wire, " +
+        "no low-cardinality window shuffle."),
+
     // ── incremental dedup: incoming batch vs corpus history ──────────
     // The streaming-ingest companion to dedup_exact: classify each
     // incoming doc as duplicate-of-history, duplicate-within-batch, or
