@@ -295,6 +295,55 @@ object RetrievalQueries {
       if (bcast) step(r) else step(r).localCheckpoint()))
   }
 
+  /** Degree-skew salt factor for graph_pagerank_salted. */
+  val RankSalt = 4
+
+  /** Degree-skew-guarded PageRank (the third rank-join form): the
+    * co-partitioned layout hashes edges by `src`, so a power-law
+    * "celebrity" node's ENTIRE edge list lands in one partition — and
+    * because the checkpointed edge side is an ExistingRDD, not an
+    * exchange, AQE's skew-join splitter cannot re-split it at runtime.
+    * Salting fixes it structurally: edges carry salt = hash(dst) mod
+    * RankSalt and co-partition on (src, salt) — a hot node's edges
+    * spread across RankSalt partitions — while each iteration REPLICATES
+    * the node-sized rank table ×RankSalt (explode) into the same layout.
+    * Every edge still joins its rank row exactly once, so the exact
+    * BIGINT picounit results are bit-identical to graph_pagerank
+    * (spec-pinned, shared oracle); the groupBy(dst) rollup is unchanged.
+    * This is the fragment-replicate idea of Salting.gridSelfPairs
+    * applied to iterative rank joins — replicate the SMALL side, split
+    * the HOT side.
+    */
+  def pagerankSaltedPlan(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = sym.join(degTab, "src")
+      .withColumn("salt", pmod(hash(col("dst")), lit(RankSalt)))
+      .repartition(col("src"), col("salt"))
+      .localCheckpoint()
+    val nTab = edges.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    val r0 = edges.select(col("src")).distinct()
+      .crossJoin(broadcast(nTab))
+      .select(col("src").as("node"),
+        expr("1000000000000L div n_nodes").as("r"))
+    def step(r: DataFrame): DataFrame =
+      edges
+        .join(r.select(col("node").as("src"), col("r"),
+            explode(expr(s"sequence(0, ${RankSalt - 1})")).as("salt"))
+          .hint("shuffle_hash"), Seq("src", "salt"))
+        .select(col("dst"), expr("(85L * r) div (100L * deg)").as("w"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("sw"))
+        .crossJoin(broadcast(nTab))
+        .select(col("dst").as("node"),
+          expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
+    rankProject((1 to PrIters).foldLeft(r0)((r, _) =>
+      step(r).localCheckpoint()))
+  }
+
   /** One un-checkpointed PageRank iteration — exposed for the plan pin:
     * the declared rows checkpoint every round, so their FINAL executed
     * plan is just a projection over the last round's blocks; the join
@@ -680,6 +729,17 @@ object RetrievalQueries {
         "hash-partitioned on src, ranks shuffle-hash-joined per " +
         "iteration — no broadcast of the node table anywhere; " +
         "bit-identical to graph_pagerank (exact integer picounits)."),
+
+    QueryDef(
+      "graph_pagerank_salted",
+      (s, dir) => pagerankSaltedPlan(s, dir),
+      Some(pagerankSql),
+      doc = "PageRank, degree-skew-salted co-partitioned join: edges " +
+        "carry salt = hash(dst) mod 4 and partition on (src, salt) — a " +
+        "celebrity node's edge list spreads across 4 partitions (which " +
+        "AQE cannot do to a checkpointed edge side) — while each " +
+        "iteration replicates the node-sized rank table x4 into the " +
+        "same layout; bit-identical to graph_pagerank."),
 
     QueryDef(
       "graph_trustrank_partitioned",

@@ -207,6 +207,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank_salted is bit-identical and spreads hot-degree edge groups") {
+    assert(run("graph_pagerank_salted").toSeq == run("graph_pagerank").toSeq,
+      "salted form must replay identical picounit ranks")
+    // the fixture's suppliers are ~100x better connected than customers:
+    // measure the largest per-key edge group with and without the salt —
+    // task input in a shuffled join is proportional to key-group size
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = line.join(orders, line("l_orderkey") === orders("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val maxPlain = sym.groupBy(col("src")).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    val maxSalted = sym
+      .groupBy(col("src"), pmod(hash(col("dst")), lit(RetrievalQueries.RankSalt)))
+      .count().agg(max(col("count"))).collect().head.getLong(0)
+    // a perfectly uniform salt gives maxPlain/RankSalt; allow slack for
+    // hash imbalance but demand a real spread of the hot key
+    assert(maxSalted <= maxPlain / 2,
+      s"salt must spread the hot group: plain=$maxPlain salted=$maxSalted")
+    // and the salted iteration still shuffle-hash-joins (never broadcasts)
+    val df = SparkEntry.queries("graph_pagerank_salted")(spark, sf())
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ExistingRDD") && !fp.contains("lineitem.parquet"),
+      fp.take(3000))
+  }
+
   test("trustrankUntil at 3 capped rounds equals the unrolled graph_trustrank") {
     val (df, iters, deltas) = graft.queries.RetrievalQueries
       .trustrankUntil(spark, sf(), epsPico = 0L, maxIter = 3)
