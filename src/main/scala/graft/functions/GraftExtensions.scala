@@ -33,6 +33,12 @@ object GraftFunctions {
         require(children.length == 2, "vec_dist2(a, b) takes two arguments")
         SquaredDistance(children.head, children(1))
       }),
+    (new FunctionIdentifier("pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "pq_argmin"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_argmin(sub, codebook) takes two arguments")
+        PqArgmin(children.head, children(1))
+      }),
     (new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
       (children: Seq[Expression]) => {

@@ -101,3 +101,97 @@ case class SquaredDistance(left: Expression, right: Expression) extends VectorFo
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Product-quantization encode step: index of the codeword (array of
+  * candidate subvectors, `array<array<double>>`) nearest to `sub` in
+  * squared L2, ties to the LOWEST index (strict `<` keeps the earlier
+  * candidate). The interpreted-HOF route (`aggregate(transform(...))`)
+  * measured ~1.2 ms/vector on the ×10 probe — per-element lambda
+  * dispatch across M·K·subdim terms; this compiled nested loop is the
+  * same O(M·K·subdim) flops without the dispatch. Same sequential-fold
+  * determinism contract as `vec_dist2`: per-candidate distances are
+  * bit-identical to DuckDB's fold, so the argmin (with the same
+  * tiebreak) is replayable by the windowed-oracle formulation.
+  * Caller guarantees dense (non-null-element) vectors — embedding
+  * corpora are; null ARRAYS still null-propagate via BinaryExpression.
+  */
+case class PqArgmin(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val okR = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (okL && okR) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<array<double>>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sub = a.asInstanceOf[ArrayData]
+    val cands = b.asInstanceOf[ArrayData]
+    val dim = sub.numElements()
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    val nc = cands.numElements()
+    while (c < nc) {
+      val cw = cands.getArray(c)
+      val n = math.min(dim, cw.numElements())
+      var d = 0.0
+      var k = 0
+      while (k < n) {
+        val diff = sub.getDouble(k) - cw.getDouble(k)
+        d += diff * diff
+        k += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val nc = ctx.freshName("nc")
+      val c = ctx.freshName("c")
+      val cw = ctx.freshName("cw")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $dim = $a.numElements();
+         |int $nc = $b.numElements();
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $nc; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($c);
+         |  int $n = java.lang.Math.min($dim, $cw.numElements());
+         |  double $d = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    double $diff = $a.getDouble($k) - $cw.getDouble($k);
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

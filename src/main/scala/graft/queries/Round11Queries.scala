@@ -378,19 +378,21 @@ object Round11Queries {
           .select(col("code_id"), col("cv"), explode(sequence(lit(0), lit(PqM - 1))).as("m"))
           .select(col("m"), col("code_id"),
             expr(s"slice(cv, m * $PqSubDim + 1, $PqSubDim)").as("cw"))
-        // 4-row broadcast codebook: per subspace, codewords sorted by id
+        // M-row broadcast codebook: per subspace, codewords sorted by id
+        // (code_id = source vec_id is contiguous 0..K-1, so the sorted
+        // position IS the code and the argmin can return a plain index)
         val cbArr = cb.groupBy(col("m"))
-          .agg(sort_array(collect_list(struct(col("code_id"), col("cw")))).as("cws"))
-        // index build: zero-shuffle narrow encode (in-row argmin fold)
+          .agg(sort_array(collect_list(struct(col("code_id"), col("cw")))).as("cws0"))
+          .select(col("m"), expr("transform(cws0, c -> c.cw)").as("cws"))
+        // index build: zero-shuffle narrow encode; the argmin is the
+        // native codegen'd pq_argmin (the interpreted aggregate/transform
+        // HOF route measured ~1.2 ms/vector at ×10 — per-element lambda
+        // dispatch over M·K·subdim terms; the compiled loop removes it)
         val codes = all
           .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(PqM - 1))).as("m"))
           .join(broadcast(cbArr), Seq("m"))
           .withColumn("sub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
-          .withColumn("code_id", expr(
-            """aggregate(
-                 transform(cws, c -> struct(vec_dist2(sub, c.cw) AS d2, c.code_id AS code_id)),
-                 struct(cast('Infinity' as double) AS d2, -1 AS code_id),
-                 (acc, x) -> CASE WHEN x.d2 < acc.d2 THEN x ELSE acc END).code_id"""))
+          .withColumn("code_id", expr("pq_argmin(sub, cws)"))
           .select(col("vec_id"), col("m"), col("code_id"))
         // query-side lookup table: exact subspace distances to every codeword
         val lut = all.filter(col("vec_id") < PqNQueries)

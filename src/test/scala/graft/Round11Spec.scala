@@ -186,11 +186,34 @@ class Round11Spec extends SparkSpec {
     assert(exchanges <= 2, s"expected only scan-spread + sort exchanges, got $exchanges:\n" + p.take(3000))
   }
 
-  test("sim_pq_topk encode uses native vec_dist2, no sort-merge join anywhere") {
+  test("sim_pq_topk encode uses native argmin + vec_dist2, no sort-merge join") {
     val p = plan("sim_pq_topk")
+    assert(p.contains("pq_argmin"), p.take(2000))
     assert(p.contains("vec_dist2"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "codebook/LUT/shortlist joins must broadcast:\n" + p.take(3000))
+  }
+
+  test("pq_argmin is bit-identical to the declarative aggregate/transform argmin") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("sub", expr("slice(v, 1, 8)"))
+      .crossJoin(
+        Tables.load(spark, sf(), "embeddings")
+          .filter(col("vec_id") < 32)
+          .agg(expr("transform(sort_array(collect_list(struct(vec_id, " +
+            "slice(transform(embedding, x -> cast(x as double)), 9, 8)))), c -> c.col2)")
+            .as("cws")))
+      .select(col("vec_id"),
+        expr("pq_argmin(sub, cws)").as("native"),
+        expr("""aggregate(
+             transform(cws, (c, i) -> struct(vec_dist2(sub, c) AS d2, i AS idx)),
+             struct(cast('Infinity' as double) AS d2, -1 AS idx),
+             (acc, x) -> CASE WHEN x.d2 < acc.d2 THEN x ELSE acc END).idx""").as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.filter(col("native") < 0 || col("native") >= 32).count() == 0)
   }
 
   // ── SCD2 interval algebra ──────────────────────────────────────────
