@@ -1,0 +1,443 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Round-11 batch 2: the classic distributed-ML primitives a
+  * training-data pipeline runs AFTER curation —
+  *
+  *  - Lloyd's k-means over the embedding corpus (MacQueen 1967 /
+  *    Lloyd 1982) — THE canonical iterative distributed algorithm:
+  *    broadcast the K centroids, assign in a zero-shuffle narrow pass
+  *    (the codegen'd `pq_argmin` is exactly the argmin-over-codewords
+  *    loop k-means needs), update with one partial-aggregated groupBy;
+  *  - batch-gradient-descent logistic regression TRAINING
+  *    (`pipe_quality_classifier` is the inference half; this closes the
+  *    loop the way fastText-style quality classifiers are actually
+  *    produced for corpus filtering, cf. the GPT-3/CCNet quality-filter
+  *    recipe) — each iteration is ONE map-side-combined aggregate that
+  *    ships 5 numbers, the textbook "broadcast weights, tree-aggregate
+  *    gradient" shape;
+  *  - Achlioptas/Johnson-Lindenstrauss random projection (Achlioptas
+  *    2003, "Database-friendly random projections") — ±1 sign matrix
+  *    from seeded hashes, projecting 64-dim embeddings to 16 dims in a
+  *    ZERO-SHUFFLE narrow pass; the dimensionality-reduction step that
+  *    fronts clustering/ANN at billion-vector scale.
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no analytics
+  * surface (its compute is type coercion + ETL batching,
+  * src/parquet_demo/io.py:21-66); this file is [EXT] like all of
+  * SURVEY §2.7.
+  *
+  * Determinism: the established recipes. Centroid means and gradient
+  * sums go through round(·,9) → DECIMAL(28,9) exact sums (order-free
+  * across partitions), converted back to DOUBLE by ONE division with
+  * identical expression text in both engines. Distance folds are the
+  * native sequential-fold expressions (`pq_argmin`, `vec_dist2`,
+  * `vec_dot`), bit-identical to DuckDB's `list_reduce` with the same
+  * operand order. Weight updates round to 9 dp each iteration, so an
+  * ulp of libm `exp()` disagreement cannot propagate.
+  */
+object Round11bQueries {
+
+  // ── k-means constants ──────────────────────────────────────────────
+  /** Clusters; init = the first K corpus vectors (deterministic seed,
+    * the sim_ivf_topk "trained on a fixed sample" stance). */
+  val KmK = 8
+  /** Unrolled Lloyd iterations (the convergence-driven loop is
+    * `kmeansUntil` below, same builder). */
+  val KmIters = 3
+  /** Embedding dimensionality (FIXTURES.md). */
+  val Dim = 64
+
+  // ── logistic-regression constants ──────────────────────────────────
+  val LrIters = 3
+  val LrRate = 8.0
+  /** Planted label: y = 1 iff length(text) >= LrThresh — linearly
+    * separable through the x1 length feature, so 3 GD steps provably
+    * reduce loss and the accuracy spec has teeth. ~50/50 split on the
+    * fixture (median doc length ≈ 300 at every SF). */
+  val LrThresh = 300
+  /** Token count at the label boundary (fixture tokens ≈ 0.18·len + 0.4,
+    * so ≈ 50 at len 300). Length-derived features are CENTERED on the
+    * planted boundary — the decision surface passes near the origin, so
+    * 3 batch-GD steps at lr=8 reach ≥0.95 accuracy instead of spending
+    * every step dragging the bias (uncentered measured 0.51 at the same
+    * budget). */
+  val LrCenterTok = 50
+
+  // ── random-projection constants ────────────────────────────────────
+  /** Target dimensionality. 16 = 4² keeps the 1/√R scale EXACT (÷4),
+    * so no irrational constant enters the oracle compare. */
+  val RpDim = 16
+
+  private def h60Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** embeddings → (vec_id, v: array<double>). */
+  private[queries] def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  private[queries] val vectorsDuck =
+    """vecs AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings)"""
+
+  // ════ k-means builder (shared by sim_kmeans and kmeansUntil) ═══════
+
+  /** One row holding the K centroid vectors sorted by cluster id, so
+    * position = cluster label (compacted when a cluster empties — the
+    * oracle re-indexes identically). */
+  private[queries] def centArray(cents: DataFrame): DataFrame =
+    cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs0"))
+      .select(expr("transform(cs0, x -> x.cv)").as("cents"))
+
+  /** Zero-shuffle assignment pass: broadcast the one-row centroid array,
+    * argmin with the codegen'd pq_argmin (strict <, ties to the lowest
+    * cluster id — the oracle's ORDER BY d2, pos tiebreak). */
+  private[queries] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centArray(cents)))
+      .withColumn("cluster", expr("pq_argmin(v, cents)"))
+
+  /** Lloyd update: element-wise mean per cluster. The posexplode fans
+    * each vector to (cluster, idx, val) rows, but the groupBy has only
+    * K·Dim groups, so the map-side partial aggregate collapses every
+    * task to ≤ K·Dim rows before the ONE exchange — the same
+    * ship-partial-sums shape a hand-written treeAggregate would have.
+    * Means are exact: round(val,9) → DECIMAL(28,9) sums (order-free),
+    * ONE double division at the end. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("idx", "val")))
+      .groupBy(col("cluster"), col("idx"))
+      .agg(
+        sum(expr("cast(round(val, 9) as decimal(28,9))")).as("sm"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mn", round(col("sm").cast(DoubleType) / col("cnt"), 9))
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("mn")))).as("ms"))
+      .select(col("cluster").as("cid"), expr("transform(ms, x -> x.mn)").as("cv"))
+
+  /** Final labeled output: (vec_id, cluster, d2). */
+  private def kmeansFinish(vecs: DataFrame, cents: DataFrame): DataFrame =
+    assign(vecs, cents)
+      .withColumn("d2",
+        round(VectorOps.dist2(col("v"), element_at(col("cents"), col("cluster") + 1)), 6))
+      .select(col("vec_id"), col("cluster"), col("d2"))
+      .orderBy(col("vec_id"))
+
+  private[queries] def kmeansInit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val vecs = vectors(s, dir)
+    val c0 = vecs.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    (vecs, c0)
+  }
+
+  /** Fixed-iteration Lloyd loop. The K-row centroid table is
+    * localCheckpoint'ed each round (the graph-twin recipe): the plan
+    * stays flat instead of nesting every prior iteration's aggregation
+    * into the next broadcast subtree. */
+  def kmeans(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val (vecs, cents) = kmeansTrain(s, dir, iters)
+    kmeansFinish(vecs, cents)
+  }
+
+  /** The training half alone: (corpus vectors, trained centroid table) —
+    * reused by the IVF serving index (sim_ivf_kmeans_topk). */
+  private[queries] def kmeansTrain(
+      s: SparkSession, dir: String, iters: Int): (DataFrame, DataFrame) = {
+    val (vecs, c0) = kmeansInit(s, dir)
+    var cents = c0
+    for (_ <- 1 to iters)
+      cents = update(assign(vecs, cents)).localCheckpoint()
+    (vecs, cents)
+  }
+
+  /** Oracle WITH-fragment: vecs + c0..c{iters} (the trained centroid
+    * CTE chain) — shared between the k-means oracle and downstream
+    * consumers of the trained quantizer. */
+  private[queries] def kmDuckPrefix(iters: Int): String =
+    s"""$vectorsDuck,
+        c0 AS (
+          SELECT CAST(vec_id AS INT) AS pos, v AS cv FROM vecs
+          WHERE vec_id < $KmK),
+        ${(1 to iters).map(kmDuckIter).mkString(",\n")}"""
+
+  /** Convergence-driven Lloyd loop (the pagerankUntil posture): stop
+    * when the max centroid movement (squared L2) falls below eps or at
+    * maxIters. The per-round movement check is a 1-row scalar collect —
+    * the ConnectedComponents.scala convergence recipe. Returns the
+    * labeled corpus plus the number of rounds run. */
+  def kmeansUntil(s: SparkSession, dir: String, eps: Double, maxIters: Int): (DataFrame, Int) = {
+    val (vecs, c0) = kmeansInit(s, dir)
+    var cents = c0.localCheckpoint()
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (moved > eps && rounds < maxIters) {
+      val next = update(assign(vecs, cents)).localCheckpoint()
+      // K-row join: movement of every surviving centroid. Position
+      // re-indexing means a dropped cluster shows up as a missing cid;
+      // treat that (never on the fixture) as full movement.
+      val mv = cents.select(col("cid"), col("cv").as("prev"))
+        .join(next, Seq("cid"), "full")
+        .select(max(when(col("cv").isNull || col("prev").isNull, Double.MaxValue)
+          .otherwise(VectorOps.dist2(col("cv"), col("prev")))).as("mv"))
+        .collect()(0)
+      moved = if (mv.isNullAt(0)) 0.0 else mv.getDouble(0)
+      cents = next
+      rounds += 1
+    }
+    (kmeansFinish(vecs, cents), rounds)
+  }
+
+  // ── k-means oracle (unrolled, re-indexed identically) ──────────────
+
+  private[queries] def kmDuckIter(i: Int): String = {
+    val d2 = VectorOps.duckDist2("a.v", "c.cv")
+    s"""a$i AS (
+          SELECT vec_id, v, pos FROM (
+            SELECT a.vec_id, a.v, c.pos,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $d2 ASC, c.pos ASC) AS rn
+            FROM vecs a CROSS JOIN c${i - 1} c) WHERE rn = 1),
+        u$i AS (
+          SELECT pos, u.j AS idx,
+            round(CAST(sum(CAST(round(v[u.j + 1], 9) AS DECIMAL(28,9))) AS DOUBLE)
+                  / count(*), 9) AS mn
+          FROM a$i, unnest(range(0, $Dim)) u(j)
+          GROUP BY pos, u.j),
+        c$i AS (
+          SELECT row_number() OVER (ORDER BY pos) - 1 AS pos, cv FROM (
+            SELECT pos, list(mn ORDER BY idx) AS cv FROM u$i GROUP BY pos))"""
+  }
+
+  private def kmeansOracle: String = {
+    val fin = VectorOps.duckDist2("a.v", "c.cv")
+    s"""WITH ${kmDuckPrefix(KmIters)},
+        fin AS (
+          SELECT vec_id, pos AS cluster, d2 FROM (
+            SELECT a.vec_id, c.pos, $fin AS d2,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $fin ASC, c.pos ASC) AS rn
+            FROM vecs a CROSS JOIN c$KmIters c) WHERE rn = 1)
+        SELECT vec_id, cluster, round(d2, 6) AS d2 FROM fin ORDER BY vec_id"""
+  }
+
+  // ════ logistic-regression builder ══════════════════════════════════
+
+  /** Shared feature extraction (identical expression text in Duck). */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        expr(s"CASE WHEN length(text) >= $LrThresh THEN 1 ELSE 0 END").as("y"),
+        expr(s"round((least(length(text), 2000) - $LrThresh) / 1000.0, 6)").as("x1"),
+        expr("round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS DOUBLE)" +
+          " / greatest(length(text), 1), 6)").as("x2"),
+        expr(s"round((size(split(text, ' ')) - $LrCenterTok) / 100.0, 6)").as("x3"))
+
+  private val lrFeaturesDuck =
+    s"""feats AS (
+         SELECT doc_id,
+           CASE WHEN length(text) >= $LrThresh THEN 1 ELSE 0 END AS y,
+           round((least(length(text), 2000) - $LrThresh) / 1000.0, 6) AS x1,
+           round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS x2,
+           round((len(string_split(text, ' ')) - $LrCenterTok) / 100.0, 6) AS x3
+         FROM documents)"""
+
+  /** round(x, 9) with Spark SQL's exact semantics (BigDecimal HALF_UP)
+    * so driver-side weight updates replay what the engines compute. */
+  private def r9(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Sigmoid under the given weights, rounded to 9 dp (the ulp
+    * firewall: libm exp() may differ in the last bit between engines;
+    * a 9-dp round absorbs it everywhere off a knife edge). */
+  private def pCol(w: Array[Double]): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
+      + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))), 9)
+
+  /** Batch-GD training loop. Each iteration is ONE aggregate over the
+    * feature table: per-row gradient contributions round(·,9) →
+    * DECIMAL(28,9), summed exactly (map-side combine ships 5 numbers
+    * per task), then a 1-row collect updates the 4 driver-side weights
+    * — the ConnectedComponents scalar-convergence posture applied to
+    * treeAggregate-style learning. Returns (weights-after-each-iter). */
+  def lrTrain(feats: DataFrame, iters: Int, rate: Double): Seq[Array[Double]] = {
+    def sumdec(c: Column): Column = sum(c.cast(DecimalType(28, 9)))
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    val hist = Seq.newBuilder[Array[Double]]
+    for (_ <- 1 to iters) {
+      val p = pCol(w)
+      val g = feats.select(
+        sumdec(round(p - col("y"), 9)).as("s0"),
+        sumdec(round((p - col("y")) * col("x1"), 9)).as("s1"),
+        sumdec(round((p - col("y")) * col("x2"), 9)).as("s2"),
+        sumdec(round((p - col("y")) * col("x3"), 9)).as("s3"),
+        count(lit(1)).as("n")).collect()(0)
+      val n = g.getLong(4).toDouble
+      w = Array.tabulate(4)(j =>
+        r9(w(j) - rate * (g.getDecimal(j).doubleValue / n)))
+      hist += w
+    }
+    hist.result()
+  }
+
+  // one gradient+update step of the oracle's unrolled CTE chain: g$i
+  // aggregates the per-row gradient terms under the weights of w${i-1}
+  // (literal zeros for the first step), w$i applies the update — the
+  // 1-row previous-weight CTE is cross-joined back in, mirroring the
+  // driver-side scalar update exactly
+  private def lrDuckStep(i: Int): String = {
+    val z =
+      if (i == 1) "(0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3)"
+      else "(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    val p = s"round(1.0 / (1.0 + exp(-$z)), 9)"
+    val from =
+      if (i == 1) "feats" else s"feats CROSS JOIN w${i - 1} w"
+    val prev = (0 to 3).map(j => if (i == 1) "0.0" else s"w.w$j")
+    val wFrom = if (i == 1) s"g$i g" else s"g$i g CROSS JOIN w${i - 1} w"
+    s"""g$i AS (
+          SELECT
+            sum(CAST(round(p - y, 9) AS DECIMAL(28,9))) AS s0,
+            sum(CAST(round((p - y) * x1, 9) AS DECIMAL(28,9))) AS s1,
+            sum(CAST(round((p - y) * x2, 9) AS DECIMAL(28,9))) AS s2,
+            sum(CAST(round((p - y) * x3, 9) AS DECIMAL(28,9))) AS s3,
+            count(*) AS n
+          FROM (SELECT y, x1, x2, x3, $p AS p FROM $from) q),
+        w$i AS (
+          SELECT
+            round(${prev(0)} - $LrRate * (CAST(g.s0 AS DOUBLE) / g.n), 9) AS w0,
+            round(${prev(1)} - $LrRate * (CAST(g.s1 AS DOUBLE) / g.n), 9) AS w1,
+            round(${prev(2)} - $LrRate * (CAST(g.s2 AS DOUBLE) / g.n), 9) AS w2,
+            round(${prev(3)} - $LrRate * (CAST(g.s3 AS DOUBLE) / g.n), 9) AS w3
+          FROM $wFrom)"""
+  }
+
+  private def lrOracle: String = {
+    def p(cte: String) =
+      s"round(1.0 / (1.0 + exp(-($cte.w0 + $cte.w1 * x1 + $cte.w2 * x2 + $cte.w3 * x3))), 9)"
+    s"""WITH $lrFeaturesDuck,
+        ${(1 to LrIters).map(lrDuckStep).mkString(",\n")}
+        SELECT f.doc_id, f.y,
+          round(${p("a")}, 6) AS p1,
+          round(${p("b")}, 6) AS p2,
+          round(${p("c")}, 6) AS p3,
+          ${p("c")} >= 0.5 AS pred,
+          (${p("c")} >= 0.5) = (f.y = 1) AS correct
+        FROM feats f
+        CROSS JOIN w1 a CROSS JOIN w2 b CROSS JOIN w3 c
+        ORDER BY f.doc_id"""
+  }
+
+  // ════ the declared queries ═════════════════════════════════════════
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Lloyd's k-means over the embedding corpus ────────────────────
+    // Init = first K vectors, 3 Lloyd rounds, then the labeled corpus.
+    // Per round: ONE zero-shuffle assignment scan (broadcast K-row
+    // centroid array; argmin = codegen'd pq_argmin) + ONE groupBy whose
+    // K·Dim-group partial aggregate ships ≤512 rows per task — the
+    // treeAggregate shape, derived by Catalyst from a declarative plan.
+    // Cluster labels are positions in the cid-sorted centroid array;
+    // a cluster that loses all members compacts out (standard Lloyd
+    // degeneracy; the oracle re-indexes with the same rule, and the
+    // spec pins all 8 alive on the fixture). At 100 TB: the corpus scan
+    // dominates, centroids stay K·Dim doubles regardless of n — the
+    // broadcast never grows with the data.
+    QueryDef(
+      "sim_kmeans",
+      (s, dir) => kmeans(s, dir, KmIters),
+      Some(kmeansOracle),
+      doc = "Lloyd k-means (K=8, 3 rounds, first-K init): zero-shuffle " +
+        "broadcast-centroid assignment via codegen'd pq_argmin, exact " +
+        "DECIMAL centroid means, one partial-agg exchange per round; " +
+        "kmeansUntil(eps) is the convergence-driven twin."),
+
+    // ── batch-GD logistic-regression training ────────────────────────
+    // The training half of the corpus quality-classifier loop
+    // (pipe_quality_classifier is inference). Label is planted
+    // separable (y = len >= 300) so the optimization demonstrably
+    // works: log-loss strictly decreases and accuracy lands >= 0.9 by
+    // iteration 3 (spec-pinned). Each GD step aggregates per-row
+    // gradient terms into 5 numbers — at 100 TB each iteration is one
+    // corpus scan with map-side combine, weights stay 4 doubles on the
+    // driver, nothing else moves.
+    QueryDef(
+      "pipe_lr_train",
+      (s, dir) => {
+        val feats = lrFeatures(s, dir).persist()
+        try {
+          val hist = lrTrain(feats, LrIters, LrRate)
+          val Seq(w1, w2, w3) = hist
+          val p3 = pCol(w3)
+          feats.select(
+            col("doc_id"), col("y"),
+            round(pCol(w1), 6).as("p1"),
+            round(pCol(w2), 6).as("p2"),
+            round(p3, 6).as("p3"),
+            (p3 >= 0.5).as("pred"),
+            ((p3 >= 0.5) === (col("y") === 1)).as("correct"))
+            .orderBy(col("doc_id"))
+        } finally feats.unpersist()
+      },
+      Some(lrOracle),
+      doc = "Batch-GD logistic regression training (3 iters, lr=8) on " +
+        "planted-separable doc-length labels: per-iteration gradient is " +
+        "one exact-DECIMAL aggregate (5 numbers per task), weights live " +
+        "on the driver, per-doc probability trajectory p1..p3 returned."),
+
+    // ── Achlioptas ±1 random projection (Johnson-Lindenstrauss) ──────
+    // Sign matrix s(k,j) ∈ {±1} from md5 parity of "rp:k:j" — seeded,
+    // engine-independent, and generated INSIDE the plan as one
+    // broadcast row (16×64 doubles), so there is no driver-side model
+    // state at all. Projection = native vec_dot(v, sgn[k]) / 4
+    // (1/√16 exact), a ZERO-SHUFFLE narrow pass over the corpus —
+    // the only exchange in the plan is the output ORDER BY. The
+    // sequential-fold dot is bit-identical to the oracle's
+    // list_reduce, no decimal scaffolding needed.
+    QueryDef(
+      "sim_rp_project",
+      (s, dir) => {
+        val sgnExpr =
+          s"""transform(sequence(0, ${RpDim - 1}), kk ->
+                transform(sequence(0, ${Dim - 1}), j ->
+                  CASE WHEN ${h60Spark("concat('rp:', cast(kk as string), ':', cast(j as string))")} % 2 = 0
+                       THEN cast(1.0 as double) ELSE cast(-1.0 as double) END))"""
+        val sgn = vectors(s, dir).sparkSession.range(1)
+          .select(expr(sgnExpr).as("sgn"))
+        vectors(s, dir)
+          .crossJoin(broadcast(sgn))
+          .select(col("vec_id"), col("v"), col("sgn"),
+            explode(sequence(lit(0), lit(RpDim - 1))).as("k"))
+          .select(col("vec_id"), col("k"),
+            round(VectorOps.dot(col("v"), element_at(col("sgn"), col("k") + 1)) / 4, 6)
+              .as("proj"))
+          .orderBy(col("vec_id"), col("k"))
+      },
+      Some(s"""WITH $vectorsDuck,
+          sgn AS (
+            SELECT list_transform(range(0, $RpDim), kk ->
+              list_transform(range(0, $Dim), j ->
+                CASE WHEN ${h60Duck("'rp:' || CAST(kk AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 2 = 0
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) AS sgn)
+          SELECT vec_id, u.kk AS k,
+            round(${VectorOps.duckDot("v", "sgn[u.kk + 1]")} / 4, 6) AS proj
+          FROM vecs, sgn, unnest(range(0, $RpDim)) u(kk)
+          ORDER BY vec_id, k"""),
+      doc = "Achlioptas ±1 JL projection 64→16 dims: hash-seeded sign " +
+        "matrix built in-plan as one broadcast row, native vec_dot fold, " +
+        "exact ÷4 scale, zero-shuffle narrow corpus pass.")
+  )
+}

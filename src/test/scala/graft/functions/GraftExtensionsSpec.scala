@@ -33,7 +33,7 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extension class exposes the same function list") {
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
       Seq("bloom_filter_agg", "jaccard_sim", "might_contain", "minhash_sig",
-        "vec_dist2", "vec_dot"))
+        "pq_argmin", "vec_dist2", "vec_dot"))
     // constructing the extensions class must not throw
     new GraftExtensions
   }
