@@ -424,6 +424,17 @@ object ScaleProbe {
       // (eps = 1e8 picounits = 1e-4 rank). Emits a per-round JSON trace —
       // round seconds must stay FLAT as rounds accumulate (checkpoint
       // lineage truncation) and deltas contract at the damping factor.
+      // Forced-compute twins for the ZERO-SHUFFLE narrow passes: the
+      // probe's .count() lets Catalyst prune the projected columns (a
+      // count over scan→explode→project never evaluates the math), so
+      // the plain names under-measure. These wrap the query in a sum
+      // over its computed column — same scan, math forced.
+      case "sim_rp_project_sum" =>
+        SparkEntry.queries("sim_rp_project")(spark, dir)
+          .agg(sum(abs(col("proj"))))
+      case "pipe_decontaminate_semantic_sum" =>
+        SparkEntry.queries("pipe_decontaminate_semantic")(spark, dir)
+          .agg(sum(col("max_cosine")))
       case "graph_pagerank_eps" =>
         val rounds = scala.collection.mutable.ArrayBuffer.empty[String]
         val (df, iters, _) = queries.RetrievalQueries.pagerankUntil(
