@@ -20,7 +20,11 @@ object Plans {
     "pipe_segment_dedup", "pipe_semdedup_scaled", "pipe_quality_classifier",
     // round 10b: BM25's pruned-postings broadcast shape and the
     // checkpointed-edge-list graph iterations
-    "text_bm25_topk", "graph_pagerank", "graph_trustrank", "graph_hits")
+    "text_bm25_topk", "graph_pagerank", "graph_trustrank", "graph_hits",
+    // round 11b/c: the zero-shuffle broadcast-centroid assignment and
+    // the trained-quantizer IVF serving path (equi-join candidate
+    // restriction + single top-k rollup)
+    "sim_kmeans", "sim_ivf_kmeans_topk")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
