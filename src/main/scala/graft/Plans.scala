@@ -24,7 +24,11 @@ object Plans {
     // round 11b/c: the zero-shuffle broadcast-centroid assignment and
     // the trained-quantizer IVF serving path (equi-join candidate
     // restriction + single top-k rollup)
-    "sim_kmeans", "sim_ivf_kmeans_topk")
+    "sim_kmeans", "sim_ivf_kmeans_topk",
+    // round 12: the fragment-replicate salted rank join, the PQ/ADC
+    // shortlist + exact re-rank serving path, and the context-sharded
+    // trigram-LM layout (VERDICT r11 item 8)
+    "graph_pagerank_salted", "sim_pq_topk", "text_lm_trigram_backoff_sharded")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -380,7 +380,9 @@ object Round11bQueries {
         val feats = lrFeatures(s, dir).persist()
         try {
           val hist = lrTrain(feats, LrIters, LrRate)
-          val Seq(w1, w2, w3) = hist
+          require(hist.length == 3,
+            s"pipe_lr_train output schema p1..p3 is hardwired to LrIters=3; got ${hist.length} iterations")
+          val (w1, w2, w3) = (hist(0), hist(1), hist(2))
           val p3 = pCol(w3)
           feats.select(
             col("doc_id"), col("y"),

@@ -114,7 +114,13 @@ object Round11dQueries {
           .withColumn("excess", col("avg_surprisal") - col("mn"))
           .withColumn("w0", round(lit(1.0) / col("nd"), 6))
           .drop("mn", "nd")
-        (1 to EgSteps).foldLeft(base) { (df, i) =>
+        // materialize the ~20-row domain table before the tilt chain:
+        // each egStep cross-joins its input with an aggregate of the
+        // SAME lineage, so without this the corpus-scan subtree is
+        // referenced up to 2^EgSteps times if exchange reuse misses
+        // (the kmeansTrain per-round recipe applied here)
+        val baseCk = base.localCheckpoint()
+        (1 to EgSteps).foldLeft(baseCk) { (df, i) =>
           egStep(df, s"w${i - 1}", s"w$i")
         }
           .select(col("source"), col("n_docs"), col("avg_surprisal"),
@@ -183,8 +189,10 @@ object Round11dQueries {
             n_docs + round(-(1.0 / $DpEpsilon) * sign($u) * ln(1.0 - 2.0 * abs($u)), 6) AS noisy_count
           FROM h ORDER BY lang, source"""
       },
-      doc = "ε=1 DP histogram release (Laplace mechanism, Δf=1): " +
-        "per-(lang,source) counts + seeded inverse-CDF Laplace noise; " +
-        "one rollup shuffle, noise is narrow per-group math.")
+      doc = "ε=1 Laplace-mechanism histogram (Δf=1): per-(lang,source) " +
+        "counts + inverse-CDF noise; one rollup shuffle, noise is narrow " +
+        "per-group math. Noise is SEEDED/deterministic from the cell key " +
+        "— an oracle-replayable demo of the mechanism, NOT a privacy " +
+        "guarantee (a real ε-DP release draws u from a CSPRNG).")
   )
 }

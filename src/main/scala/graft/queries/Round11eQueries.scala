@@ -62,6 +62,45 @@ object Round11eQueries {
             WHEN cb23 IS NOT NULL THEN $SbAlpha * CAST(cb23 AS DOUBLE) / c1w2
             ELSE $SbAlpha2 * CAST(COALESCE(c1w3, 0) + 1 AS DOUBLE) / (nn + vv) END"""
 
+  /** Shared oracle for both trigram-LM layouts (broadcast + sharded):
+    * identical scores by construction, so one SQL serves both. */
+  private val trigramOracleSql =
+    s"""WITH tk AS (
+          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= 3),
+        tg AS (
+          SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2,
+            toks[u.i + 3] AS w3
+          FROM tk, unnest(range(0, len(toks) - 2)) u(i)),
+        tri AS (
+          SELECT w1, w2, w3, count(*) AS ct FROM tg
+          WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+        tk2 AS (
+          SELECT doc_id, toks FROM $tokenizedDuck
+          WHERE len(toks) >= 2 AND doc_id % 2 = 0),
+        bg AS (
+          SELECT toks[u.i + 1] AS wa, toks[u.i + 2] AS wb
+          FROM tk2, unnest(range(0, len(toks) - 1)) u(i)),
+        big AS (SELECT wa, wb, count(*) AS cb FROM bg GROUP BY wa, wb),
+        uni AS (
+          SELECT u.w AS w, count(*) AS c1
+          FROM tk2, unnest(toks) u(w) GROUP BY u.w),
+        scal AS (SELECT sum(c1) AS nn, count(*) AS vv FROM uni),
+        sc AS (
+          SELECT g.doc_id,
+            CAST(round(ln($sbProbExpr), 9) AS DECIMAL(28,9)) AS lp
+          FROM tg g
+          LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN (SELECT wa AS w1, wb AS w2, cb AS cb12 FROM big) b12 USING (w1, w2)
+          LEFT JOIN (SELECT wa AS w2, wb AS w3, cb AS cb23 FROM big) b23 USING (w2, w3)
+          LEFT JOIN (SELECT w AS w2, c1 AS c1w2 FROM uni) u2 USING (w2)
+          LEFT JOIN (SELECT w AS w3, c1 AS c1w3 FROM uni) u3 USING (w3)
+          CROSS JOIN scal)
+        SELECT doc_id,
+          round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob,
+          count(*) AS n_trigrams,
+          doc_id % 2 = 0 AS trained_on
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── trigram Stupid-Backoff LM (Brants 2007, full recursion) ──────
@@ -114,55 +153,90 @@ object Round11eQueries {
           .withColumn("trained_on", expr("doc_id % 2 = 0"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH tk AS (
-          SELECT doc_id, toks FROM $tokenizedDuck WHERE len(toks) >= 3),
-        tg AS (
-          SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2,
-            toks[u.i + 3] AS w3
-          FROM tk, unnest(range(0, len(toks) - 2)) u(i)),
-        tri AS (
-          SELECT w1, w2, w3, count(*) AS ct FROM tg
-          WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
-        tk2 AS (
-          SELECT doc_id, toks FROM $tokenizedDuck
-          WHERE len(toks) >= 2 AND doc_id % 2 = 0),
-        bg AS (
-          SELECT toks[u.i + 1] AS wa, toks[u.i + 2] AS wb
-          FROM tk2, unnest(range(0, len(toks) - 1)) u(i)),
-        big AS (SELECT wa, wb, count(*) AS cb FROM bg GROUP BY wa, wb),
-        uni AS (
-          SELECT u.w AS w, count(*) AS c1
-          FROM tk2, unnest(toks) u(w) GROUP BY u.w),
-        scal AS (SELECT sum(c1) AS nn, count(*) AS vv FROM uni),
-        sc AS (
-          SELECT g.doc_id,
-            CAST(round(ln($sbProbExpr), 9) AS DECIMAL(28,9)) AS lp
-          FROM tg g
-          LEFT JOIN tri USING (w1, w2, w3)
-          LEFT JOIN (SELECT wa AS w1, wb AS w2, cb AS cb12 FROM big) b12 USING (w1, w2)
-          LEFT JOIN (SELECT wa AS w2, wb AS w3, cb AS cb23 FROM big) b23 USING (w2, w3)
-          LEFT JOIN (SELECT w AS w2, c1 AS c1w2 FROM uni) u2 USING (w2)
-          LEFT JOIN (SELECT w AS w3, c1 AS c1w3 FROM uni) u3 USING (w3)
-          CROSS JOIN scal)
-        SELECT doc_id,
-          round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob,
-          count(*) AS n_trigrams,
-          doc_id % 2 = 0 AS trained_on
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      Some(trigramOracleSql),
       doc = "Held-out trigram Stupid-Backoff (Brants 2007, α=0.4 full " +
         "recursion, add-one unigram floor): n-gram tables broadcast, one " +
-        "corpus trigram explode + one doc rollup; the w1-sharded serving " +
-        "layout applies verbatim at 100 TB."),
+        "corpus trigram explode + one doc rollup; " +
+        "text_lm_trigram_backoff_sharded is the 100 TB serving layout."),
+
+    // ── Brants 2007 context-sharded serving layout, trigram form ─────
+    // Trigram-TYPE counts grow far faster than bigram types (Heaps'
+    // law compounds per order), so the trigram table is the first to
+    // outgrow broadcast. The paper's layout shards n-grams by their
+    // CONTEXT PREFIX: looking up c(w1,w2,w3) and its context count
+    // c(w1,w2) both land on the (w1,w2) shard. Here the corpus trigram
+    // stream repartitions ONCE on (w1,w2); the trigram rollup and the
+    // context bigram table arrive already (w1,w2)-partitioned from
+    // their own groupBys (ClusteredDistribution on the (w1,w2) subset)
+    // and shuffle-hash-join into that one layout — no re-exchange, no
+    // broadcast of the trigram table. Only the bigram-BACKOFF table
+    // c(w2,w3) (keyed off-prefix, bigram-type-bounded), the unigram
+    // tables, and the 1-row total replicate — exactly the paper's
+    // shard-replicated piece. Scores bit-identical to the broadcast
+    // form (every probability the same CASE of the same exact integer
+    // counts): shared oracle, Round11eSpec pins the equality and the
+    // shuffle-hash plan.
+    QueryDef(
+      "text_lm_trigram_backoff_sharded",
+      (s, dir) => {
+        val tk3 = tokenized(s, dir).filter(size(col("toks")) >= 3)
+        val tg = tk3.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))")).as("t"))
+          .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+            col("t.w3").as("w3"))
+          .repartition(col("w1"), col("w2"))
+        val train3 = tg.filter(expr("doc_id % 2 = 0"))
+        val triCnt = train3.groupBy(col("w1"), col("w2"), col("w3"))
+          .agg(count(lit(1)).as("ct"))
+        val tk2 = tokenized(s, dir)
+          .filter(expr("doc_id % 2 = 0") && size(col("toks")) >= 2)
+        val bg = tk2.select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> struct(toks[i] AS wa, toks[i+1] AS wb))")).as("b"))
+          .select(col("b.wa").as("wa"), col("b.wb").as("wb"))
+        val bigCnt = bg.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cb"))
+        val uni = tk2.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val scal = uni.agg(sum(col("c1")).as("nn"), count(lit(1)).as("vv"))
+        tg
+          .join(triCnt.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
+          .join(bigCnt.toDF("w1", "w2", "cb12").hint("shuffle_hash"),
+            Seq("w1", "w2"), "left")
+          .join(broadcast(bigCnt.toDF("w2", "w3", "cb23")), Seq("w2", "w3"), "left")
+          .join(broadcast(uni.toDF("w2", "c1w2")), Seq("w2"), "left")
+          .join(broadcast(uni.toDF("w3", "c1w3")), Seq("w3"), "left")
+          .crossJoin(broadcast(scal))
+          .withColumn("lp", round(log(expr(sbProbExpr)), 9).cast(DecimalType(28, 9)))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_logprob"),
+            count(lit(1)).as("n_trigrams"))
+          .withColumn("trained_on", expr("doc_id % 2 = 0"))
+          .orderBy(col("doc_id"))
+      },
+      Some(trigramOracleSql),
+      doc = "Trigram Stupid-Backoff through the Brants 2007 context-" +
+        "sharded serving layout: corpus trigrams repartition once on the " +
+        "(w1,w2) prefix; trigram and context-count lookups are shuffle-" +
+        "hash joins into that layout (no broadcast of the trigram table); " +
+        "only the off-prefix backoff/unigram tables replicate. Scores " +
+        "identical to text_lm_trigram_backoff."),
 
     // ── SoftDeDup: duplicate down-weighting ──────────────────────────
     // The soft alternative to dropping near-duplicates: every document
     // in an LSH/CC duplicate cluster gets sampling weight 1/|cluster|,
     // so the cluster contributes exactly one document's probability
     // mass; singletons keep weight 1. Reuses the pair graph + min-label
-    // propagation the hard path already builds (DedupQueries.clusterCc)
-    // — the cluster table is TRUE-DUP-sized (tiny next to the corpus)
-    // and broadcasts onto one corpus pass. eff_chars = n_chars·weight
-    // is the per-doc contribution to the effective dataset size.
+    // propagation the hard path already builds (DedupQueries.clusterCc).
+    // The cluster table is true-dup-sized on a dup-light corpus, but a
+    // boilerplate-heavy crawl makes it CORPUS-scale — so no hard
+    // broadcast() hint here: AQE broadcasts when the table is small and
+    // degrades to a plain keyed shuffle join when it is not, instead of
+    // an OOM (SoftDedupAdversarialSpec plants exactly that corpus-scale
+    // cluster table). eff_chars = n_chars·weight is the per-doc
+    // contribution to the effective dataset size.
     QueryDef(
       "pipe_soft_dedup",
       (s, dir) => {
@@ -170,7 +244,7 @@ object Round11eQueries {
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"))
-          .join(broadcast(cc), Seq("doc_id"), "left")
+          .join(cc, Seq("doc_id"), "left")
           .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
           .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
           .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
@@ -201,7 +275,7 @@ object Round11eQueries {
         ORDER BY d.doc_id"""),
       doc = "SoftDeDup: 1/|cluster| sampling weights over the LSH+CC " +
         "duplicate clusters (reused from the hard path), singletons keep " +
-        "weight 1; true-dup-sized cluster table broadcasts onto one " +
-        "corpus pass.")
+        "weight 1; the cluster table joins one corpus pass with AQE free " +
+        "to broadcast when dup-sized and shuffle when corpus-scale.")
   )
 }

@@ -15,6 +15,16 @@ case class DupMatch(docId: Long, dupOf: Long, nMatch: Long)
 /** Internal row shape entering the stateful operator. */
 case class BandRow(bandKey: String, docId: Long, sig: String)
 
+/** One emitted per-band soft-dedup assignment: at `docId`'s arrival its
+  * bucket-local duplicate cluster (rooted at the FIRST-arrived member
+  * `root`) had `k` members including this one, so the doc's RUNNING
+  * sampling weight is 1/k — the online counterpart of batch
+  * `pipe_soft_dedup`'s 1/|cluster| (the final arrival's weight equals
+  * the batch weight; earlier members' weights are the running values
+  * 1, 1/2, … an online index can actually know at ingest time).
+  */
+case class SoftAssign(docId: Long, root: Long, k: Long, weight: Double)
+
 /** ST15 — streaming incremental near-dup dedup: the dedup INDEX as a
   * stateful stream. Batch dedup (dedup_minhash_lsh) answers "which pairs
   * in this corpus are near-dups"; an ingest pipeline needs the online
@@ -133,6 +143,84 @@ object DocumentStreams {
       }
       out.iterator
     }
+  }
+
+  /** Soft-dedup twin of [[IncrementalMinhashProcessor]]: alongside each
+    * resident's signature the bucket stores its resolved cluster ROOT
+    * (the first-arrived member), so an arriving doc inherits its best
+    * match's root in O(1) and the bucket can count the root's current
+    * membership — emitting the running 1/k weight at ingest time. Root
+    * resolution is bucket-local (an arriving doc adopts the root its
+    * match resolved when IT arrived), which equals the global transitive
+    * cluster exactly when cluster members co-reside in their buckets —
+    * the LSH design point (near-dups share bands by construction; exact
+    * dups share ALL bands); the downstream per-doc verdict is the
+    * min-root band with its max k. StreamingSoftDedupConvergenceSpec
+    * pins stream ≡ running-rank semantics ≡ batch pipe_soft_dedup's
+    * final weights on a planted cluster corpus, and multi-batch replay
+    * ≡ single-batch (state-only visibility of earlier docs).
+    */
+  class IncrementalSoftDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandRow, SoftAssign] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var residents: MapState[Long, String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      residents = getHandle.getMapState[Long, String]("bucket_soft",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+    private def matches(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var n = 0L
+      while (i < a.length && i < b.length) { if (a(i) == b(i)) n += 1; i += 1 }
+      n
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[SoftAssign] = {
+      val out = scala.collection.mutable.ArrayBuffer[SoftAssign]()
+      rows.toSeq.sortBy(_.docId).foreach { r =>
+        val mySig = r.sig.split(',').map(_.toLong)
+        var best = -1L
+        var bestRoot = -1L
+        val rootOf = scala.collection.mutable.HashMap[Long, Long]()
+        residents.iterator().foreach { case (docA, stored) =>
+          val sep = stored.indexOf('|')
+          val rootA = stored.substring(0, sep).toLong
+          rootOf(docA) = rootA
+          if (docA < r.docId &&
+              matches(mySig, stored.substring(sep + 1).split(',').map(_.toLong)) >= SigMatchMin &&
+              (best < 0 || docA < best)) {
+            best = docA; bestRoot = rootA
+          }
+        }
+        val root = if (best >= 0) bestRoot else r.docId
+        val k = 1L + rootOf.valuesIterator.count(_ == root)
+        out += SoftAssign(r.docId, root, k, 1.0 / k)
+        residents.updateValue(r.docId, s"$root|${r.sig}")
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming SoftDeDup: banded signatures → per-bucket stateful
+    * root-inherit-and-count. Emits per-band running assignments; the
+    * per-doc verdict is the min-root band with its max k (weight 1/k).
+    */
+  def incrementalSoftDedup(docs: DataFrame): Dataset[SoftAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    bandedSigs(docs)
+      .select(
+        concat(col("band_idx").cast("string"), lit("|"), col("band_sig")).as("bandKey"),
+        col("doc_id").as("docId"),
+        array_join(expr("transform(sig, v -> cast(v as string))"), ",").as("sig"))
+      .as[BandRow]
+      .groupByKey(_.bandKey)
+      .transformWithState(new IncrementalSoftDedupProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** The streaming pipeline: banded signatures → per-bucket stateful

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{QueryDef, Round12Queries}
+
+/** Round-12 operator invariants:
+  *
+  *  - pipe_decontaminate_bloom: bit-identical to pipe_decontaminate
+  *    (the zero-false-negative guarantee made operational), the bloom
+  *    survivor set CONTAINS every exact-hit shingle, and the prefilter
+  *    genuinely prunes (survivors ≪ corpus shingles);
+  *  - pipe_ccnet_buckets_cutoff: per-language score ordering head ≤
+  *    middle ≤ tail, every bucket populated, threshold semantics
+  *    (score ≤ c1 ⇒ head);
+  *  - pipe_epoch_schedule: on a planted skewed corpus the cap
+  *    genuinely fires (epochs == MaxEpochs for the starved sources),
+  *    the budget is conserved through redistribution, and no source
+  *    exceeds the cap;
+  *  - text_length_outliers: a planted extreme doc is flagged, the
+  *    bulk is not, and the modified-z law holds row by row;
+  *  - st_soft_dedup_running: ranks are exactly 1..|cluster| per
+  *    cluster and the LAST arrival's weight equals pipe_soft_dedup's
+  *    batch 1/|cluster|.
+  */
+class Round12Spec extends SparkSpec {
+
+  private def q(name: String) =
+    QueryDef.toQueriesMap(Round12Queries.defs)(name)
+
+  private def writeDocs(prefix: String, rows: Seq[(Long, String, String, String, Long)]): String = {
+    val d = tmpDir(prefix)
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("bloom decontamination is bit-identical to the exact form and actually prunes") {
+    val exact = SparkEntry.queries("pipe_decontaminate")(spark, sf()).collect().toSeq
+    val bloom = q("pipe_decontaminate_bloom")(spark, sf()).collect().toSeq
+    assert(bloom == exact, "bloom prefilter must not change the answer")
+
+    // zero false negatives: every exact-hit (doc, shingle) pair passes
+    // the bitmap test; and the prefilter prunes the corpus shingle space
+    val (survivors, evalSet) = Round12Queries.bloomParts(spark, sf())
+    val survivorCount = survivors.count()
+    val exactHits = survivors.join(broadcast(evalSet), "shingle").count()
+    assert(exactHits > 0, "fixture must contain genuine eval overlap")
+    val corpusShingles = Tables.load(spark, sf(), "documents")
+      .select(split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(explode(expr(
+        "array_distinct(transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))")).as("s"))
+      .count()
+    assert(survivorCount < corpusShingles / 2,
+      s"bloom should prune most of the $corpusShingles corpus shingles, " +
+        s"kept $survivorCount")
+  }
+
+  test("ccnet cutoff buckets: per-language ordering and threshold law") {
+    val rows = q("pipe_ccnet_buckets_cutoff")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val by = docs.groupBy(_.getString(3)).view
+        .mapValues(_.map(_.getDouble(2))).toMap
+      assert(by.keySet == Set("head", "middle", "tail"),
+        s"$lang missing buckets: ${by.keySet}")
+      assert(by("head").max <= by("middle").min,
+        s"$lang: head/middle overlap")
+      assert(by("middle").max <= by("tail").min,
+        s"$lang: middle/tail overlap")
+      // roughly equal-count (exact percentile ⇒ each tercile within
+      // the tie slack on a 6-dp-rounded score distribution)
+      val n = docs.length
+      by.values.foreach(b => assert(b.size >= n / 6,
+        s"$lang bucket sizes ${by.view.mapValues(_.size).toMap} too skewed for n=$n"))
+    }
+  }
+
+  test("epoch schedule: planted starvation trips the cap and conserves budget") {
+    // one data-rich source + three starved ones: temperature-α=0.5
+    // shares give each starved source far more than 4 epochs of its
+    // tiny corpus, so the cap MUST fire and redistribute to 'big'
+    val rows =
+      (0 until 100).map(i => (i.toLong, s"big doc $i", "xx", "big", 10000L)) ++
+        Seq("s1", "s2", "s3").zipWithIndex.flatMap { case (src, j) =>
+          (0 until 2).map(i => (1000L + j * 10 + i, s"$src $i", "xx", src, 50L))
+        }
+    val dir = writeDocs("epoch-adv", rows)
+    val out = q("pipe_epoch_schedule")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("big", "s1", "s2", "s3"))
+    Seq("s1", "s2", "s3").foreach { s =>
+      assert(out(s).getBoolean(4), s"$s must be capped")
+      assert(out(s).getDouble(6) == Round12Queries.MaxEpochs.toDouble,
+        s"$s epochs ${out(s).getDouble(6)} != cap")
+    }
+    assert(!out("big").getBoolean(4), "big must absorb the surplus uncapped")
+    assert(out("big").getDouble(6) < Round12Queries.MaxEpochs,
+      "redistribution must not push big over the cap (one round exact)")
+    val budget = out.values.map(_.getLong(1)).sum
+    val finalSum = out.values.map(_.getDouble(5)).sum
+    assert(math.abs(finalSum - budget) < 1.0,
+      s"budget $budget not conserved: Σ final_toks = $finalSum")
+  }
+
+  test("MAD outliers: planted extreme doc flagged, bulk clean, z law exact") {
+    val rows = (0 until 60).map(i =>
+        (i.toLong, "bulk", "aa", "gen", 95L + (i % 11))) :+
+      (999L, "whale", "aa", "gen", 100000L)
+    val dir = writeDocs("mad-adv", rows)
+    val out = q("text_length_outliers")(spark, dir).collect()
+    val flagged = out.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    assert(flagged == Set(999L), s"flagged $flagged, expected only the whale")
+    out.foreach { r =>
+      val (n, med, mad, z) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val expect = BigDecimal(0.6745 * (n - med) / math.max(mad, 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(z - expect) < 1e-9, s"doc ${r.getLong(0)}: $z vs $expect")
+      assert(r.getBoolean(6) == (math.abs(z) > Round12Queries.MadZ))
+    }
+  }
+
+  test("running soft-dedup ranks are 1..|cluster| and converge to the batch weight") {
+    val running = q("st_soft_dedup_running")(spark, sf()).collect()
+    val batch = SparkEntry.queries("pipe_soft_dedup")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(running.length == batch.size)
+    running.groupBy(_.getLong(1)).foreach { case (root, members) =>
+      val ks = members.map(_.getLong(2)).sorted
+      assert(ks.toSeq == (1L to members.length.toLong),
+        s"cluster $root ranks $ks not 1..${members.length}")
+      assert(members.map(_.getLong(0)).min == root,
+        s"root $root is not the first arrival")
+      val last = members.maxBy(_.getLong(0))
+      assert(last.getDouble(3) == batch(last.getLong(0))._3,
+        s"cluster $root: final running weight != batch 1/|cluster|")
+    }
+    assert(running.exists(_.getLong(2) > 1L), "fixture needs real clusters")
+  }
+}
