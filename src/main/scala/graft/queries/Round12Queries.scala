@@ -423,6 +423,186 @@ object Round12Queries {
         "incrementalSoftDedup): weight 1/k at arrival rank k within the " +
         "CC cluster, arrival order = doc_id order; last arrival equals " +
         "pipe_soft_dedup's 1/|cluster|; rank window on the " +
-        "high-cardinality cluster key.")
+        "high-cardinality cluster key."),
+
+    // ── reciprocal-rank fusion of two ANN indexes ────────────────────
+    // RRF (Cormack, Clarke & Buettcher SIGIR 2009): score(d) =
+    // Σ_systems 1/(60 + rank_s(d)) — the rank-only ensembling rule that
+    // needs no score calibration between systems. Here it fuses the two
+    // data-independent-vs-clustered ANN serving paths (sign-LSH
+    // multi-probe and IVF centroid-probe) over their shared query set:
+    // the standard cheap recall lift when two indexes miss DIFFERENT
+    // neighbors. Both inputs arrive query-bounded (top-k per query), so
+    // the fusion join + re-rank window touch k·|q| rows — negligible
+    // next to the index scans at any corpus size.
+    QueryDef(
+      "sim_rrf_fusion",
+      (s, dir) => {
+        val byName = SimilarityQueries.defs.map(d => d.name -> d).toMap
+        val l = byName("sim_lsh_topk").fn(s, dir)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("lr"))
+        val i = byName("sim_ivf_topk").fn(s, dir)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("ir"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("neighbor_id").asc)
+        l.join(i, Seq("query_id", "neighbor_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("ir")), lit(0.0)), 9))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= SimilarityQueries.IvfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val byName = SimilarityQueries.defs.map(d => d.name -> d).toMap
+        s"""WITH lsh AS (${byName("sim_lsh_topk").oracle.get}),
+          ivf AS (${byName("sim_ivf_topk").oracle.get}),
+          uni AS (
+            SELECT coalesce(l.query_id, i.query_id) AS query_id,
+              coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+              l.rank AS lr, i.rank AS ir
+            FROM lsh l FULL OUTER JOIN ivf i
+              ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id),
+          sc AS (
+            SELECT query_id, neighbor_id,
+              round(coalesce(1.0 / (60 + lr), 0.0)
+                + coalesce(1.0 / (60 + ir), 0.0), 9) AS rrf
+            FROM uni),
+          rk AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC) AS rank
+            FROM sc)
+        SELECT query_id, rank, neighbor_id, rrf FROM rk
+        WHERE rank <= ${SimilarityQueries.IvfTopK}
+        ORDER BY query_id, rank"""
+      },
+      doc = "Reciprocal-rank fusion (k=60) of the sign-LSH and IVF ANN " +
+        "rankings over the shared query set: rank-only ensembling, no " +
+        "score calibration; fusion runs on k·|q| rows regardless of " +
+        "corpus size."),
+
+    // ── corpus drift: KL / JS divergence between snapshot halves ─────
+    // The distribution-shift monitor a refreshed-crawl pipeline runs
+    // before retraining: per-language unigram distributions of two
+    // snapshots (deterministically: even vs odd doc_ids) compared by
+    // KL(A‖B), KL(B‖A) and the bounded symmetric Jensen-Shannon
+    // divergence, with add-one smoothing over the union vocabulary so
+    // every log is finite. ONE (lang, tok) corpus rollup carrying both
+    // sides as conditional counts (map-side combinable), a lang-bounded
+    // stats broadcast, then vocab-bounded narrow math; per-term
+    // contributions round(·,9)→DECIMAL so double aggregation order
+    // cannot leak into the sums.
+    QueryDef(
+      "pipe_corpus_drift",
+      (s, dir) => {
+        val tk = Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        val cnt = tk.groupBy(col("lang"), col("tok")).agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        val stats = cnt.groupBy(col("lang")).agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          count(lit(1)).as("vv"))
+        cnt.join(broadcast(stats), Seq("lang"))
+          .withColumn("p", (col("ca") + 1).cast(DoubleType) / (col("na") + col("vv")))
+          .withColumn("q", (col("cb") + 1).cast(DoubleType) / (col("nb") + col("vv")))
+          .withColumn("m", (col("p") + col("q")) / 2)
+          .withColumn("kab", round(col("p") * log(col("p") / col("q")), 9)
+            .cast(DecimalType(28, 9)))
+          .withColumn("kba", round(col("q") * log(col("q") / col("p")), 9)
+            .cast(DecimalType(28, 9)))
+          .withColumn("jst", round(
+            col("p") * log(col("p") / col("m")) / 2 +
+              col("q") * log(col("q") / col("m")) / 2, 9)
+            .cast(DecimalType(28, 9)))
+          .groupBy(col("lang"))
+          .agg(
+            max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+            max(col("vv")).as("vocab"),
+            round(sum(col("kab")).cast(DoubleType), 6).as("kl_ab"),
+            round(sum(col("kba")).cast(DoubleType), 6).as("kl_ba"),
+            round(sum(col("jst")).cast(DoubleType), 6).as("js"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT lang, doc_id % 2 = 0 AS is_a,
+            unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT lang, tok,
+            sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+            sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+          FROM tk GROUP BY lang, tok),
+        stats AS (
+          SELECT lang, CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb, count(*) AS vv
+          FROM cnt GROUP BY lang),
+        terms AS (
+          SELECT c.lang, s.na, s.nb, s.vv,
+            CAST(c.ca + 1 AS DOUBLE) / (s.na + s.vv) AS p,
+            CAST(c.cb + 1 AS DOUBLE) / (s.nb + s.vv) AS q
+          FROM cnt c JOIN stats s ON c.lang = s.lang),
+        contrib AS (
+          SELECT lang, na, nb, vv,
+            CAST(round(p * ln(p / q), 9) AS DECIMAL(28,9)) AS kab,
+            CAST(round(q * ln(q / p), 9) AS DECIMAL(28,9)) AS kba,
+            CAST(round(p * ln(p / ((p + q) / 2)) / 2
+              + q * ln(q / ((p + q) / 2)) / 2, 9) AS DECIMAL(28,9)) AS jst
+          FROM terms)
+        SELECT lang, max(na) AS n_a, max(nb) AS n_b, max(vv) AS vocab,
+          round(CAST(sum(kab) AS DOUBLE), 6) AS kl_ab,
+          round(CAST(sum(kba) AS DOUBLE), 6) AS kl_ba,
+          round(CAST(sum(jst) AS DOUBLE), 6) AS js
+        FROM contrib GROUP BY lang ORDER BY lang"""),
+      doc = "Per-language corpus drift between snapshot halves: KL both " +
+        "directions + bounded Jensen-Shannon over add-one-smoothed " +
+        "unigram distributions; one (lang,tok) rollup, lang-bounded " +
+        "stats broadcast, vocab-bounded exact-DECIMAL math."),
+
+    // ── duplication profile: cluster-size histogram ──────────────────
+    // The dedup REPORT a curation run ships: how many duplicate
+    // clusters of each size, how many docs they hold, and how many
+    // docs hard dedup would remove (excess = docs − clusters). One
+    // rollup over the cluster table (already true-dup-bounded plus one
+    // row per singleton); composes the same CC clusters every other
+    // dedup consumer uses.
+    QueryDef(
+      "dedup_cluster_stats",
+      (s, dir) => {
+        clusteredDocs(s, dir)
+          .groupBy(col("cluster_size"))
+          .agg(
+            count_distinct(col("cluster_id")).as("n_clusters"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("excess_docs", col("n_docs") - col("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""${DedupQueries.minhashPairsDuckCteRecursive},
+          und AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          full_lbl AS (
+            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lbl l USING (doc_id)),
+          sized AS (
+            SELECT doc_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM full_lbl)
+        SELECT cluster_size,
+          count(DISTINCT cluster_id) AS n_clusters,
+          count(*) AS n_docs,
+          count(*) - count(DISTINCT cluster_id) AS excess_docs
+        FROM sized GROUP BY cluster_size ORDER BY cluster_size"""),
+      doc = "Duplication profile: cluster-size histogram over the shared " +
+        "CC clusters (n_clusters, n_docs, hard-dedup excess per size); " +
+        "one rollup on the dup-bounded cluster table.")
   )
 }

@@ -124,6 +124,75 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("RRF fusion: agreement law, score bounds, ranking contiguity") {
+    val fused = q("sim_rrf_fusion")(spark, sf()).collect()
+    assert(fused.nonEmpty)
+    val lsh = SparkEntry.queries("sim_lsh_topk")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val ivf = SparkEntry.queries("sim_ivf_topk")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    fused.foreach { r =>
+      val s = r.getDouble(3)
+      assert(s > 0.0 && s <= 2.0 / 61 + 1e-12, s"rrf $s out of (0, 2/61]")
+    }
+    // a neighbor ranked 1 by BOTH systems must be ranked 1 fused
+    // (2/61 is the unique maximum of the score function)
+    fused.map(_.getLong(0)).distinct.foreach { qid =>
+      val both1 = lsh.collectFirst {
+        case ((q2, n), 1) if q2 == qid && ivf.get((q2, n)).contains(1) => n
+      }
+      both1.foreach { n =>
+        val top = fused.filter(r => r.getLong(0) == qid).minBy(_.getInt(1))
+        assert(top.getLong(2) == n && top.getInt(1) == 1,
+          s"query $qid: consensus top-1 $n not fused rank 1")
+      }
+    }
+    // per-query ranks are contiguous 1..k
+    fused.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"query $qid ranks not contiguous")
+    }
+  }
+
+  test("corpus drift: KL/JS laws on the fixture, zero law on identical halves") {
+    val rows = q("pipe_corpus_drift")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kab, kba, js) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(kab >= 0 && kba >= 0, s"${r.getString(0)}: negative KL")
+      assert(js >= 0 && js <= math.log(2) + 1e-9,
+        s"${r.getString(0)}: JS $js outside [0, ln 2]")
+    }
+    // identical snapshot halves (every text at ids 2k and 2k+1) ⇒ the
+    // two distributions are EQUAL ⇒ every divergence is exactly 0
+    val twin = (0 until 40).flatMap { k =>
+      val t = (0 until 10).map(j => s"tw${k % 7}w$j").mkString(" ")
+      Seq((2L * k, t, "aa", "gen", t.length.toLong),
+        (2L * k + 1, t, "aa", "gen", t.length.toLong))
+    }
+    val dir = writeDocs("drift-twin", twin)
+    q("pipe_corpus_drift")(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0,
+        s"identical halves must diverge by exactly 0: $r")
+    }
+  }
+
+  test("cluster stats: doc conservation and the singleton identity") {
+    val rows = q("dedup_cluster_stats")(spark, sf()).collect()
+    val nDocs = Tables.load(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "Σ n_docs != corpus size")
+    rows.foreach { r =>
+      val (size, nc, nd, excess) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd == nc * size, s"size $size: $nd docs != $nc clusters × $size")
+      assert(excess == nd - nc)
+    }
+    val singles = rows.find(_.getLong(0) == 1L)
+    assert(singles.exists(r => r.getLong(3) == 0L),
+      "singleton row must have zero hard-dedup excess")
+    assert(rows.exists(_.getLong(0) > 1L), "fixture needs real clusters")
+  }
+
   test("running soft-dedup ranks are 1..|cluster| and converge to the batch weight") {
     val running = q("st_soft_dedup_running")(spark, sf()).collect()
     val batch = SparkEntry.queries("pipe_soft_dedup")(spark, sf()).collect()
