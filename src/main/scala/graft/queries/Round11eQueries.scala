@@ -185,10 +185,32 @@ object Round11eQueries {
               "i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))")).as("t"))
           .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
             col("t.w3").as("w3"))
-          .repartition(col("w1"), col("w2"))
+          // Pinned partition count: a bare repartition(cols) is
+          // AQE-optimizable (coalesced reads lose co-partition
+          // compatibility and the stream re-exchanges per join —
+          // observed on the fixture); REPARTITION_BY_NUM is left
+          // alone. With both shard joins keyed on exactly (w1,w2)
+          // (see trig3 below) this one exchange fully satisfies both
+          // joins' distributions — no EnsureRequirements re-exchange.
+          .repartition(s.sparkContext.defaultParallelism,
+            col("w1"), col("w2"))
         val train3 = tg.filter(expr("doc_id % 2 = 0"))
-        val triCnt = train3.groupBy(col("w1"), col("w2"), col("w3"))
+        // The shard ROW is the paper's actual store layout: one row per
+        // (w1,w2) CONTEXT carrying its continuation distribution as a
+        // w3 → count map (collect_list order washes out in the map).
+        // Keying the shard table by the context prefix — not the full
+        // trigram — makes BOTH shard joins exact-(w1,w2) equi-joins, so
+        // with every input already (w1,w2)-partitioned (the cached
+        // stream by its pinned repartition; both rollups by subset
+        // satisfaction over it / their own groupBy) EnsureRequirements
+        // inserts NO further exchange: Spark's conservative
+        // requireAllClusterKeysForCoPartition=true default would have
+        // re-exchanged the stream for a 3-key trigram join.
+        val trig3 = train3.groupBy(col("w1"), col("w2"), col("w3"))
           .agg(count(lit(1)).as("ct"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(map_from_entries(collect_list(struct(col("w3"), col("ct"))))
+            .as("w3map"))
         val tk2 = tokenized(s, dir)
           .filter(expr("doc_id % 2 = 0") && size(col("toks")) >= 2)
         val bg = tk2.select(explode(expr(
@@ -200,9 +222,10 @@ object Round11eQueries {
           .groupBy(col("w")).agg(count(lit(1)).as("c1"))
         val scal = uni.agg(sum(col("c1")).as("nn"), count(lit(1)).as("vv"))
         tg
-          .join(triCnt.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
+          .join(trig3.hint("shuffle_hash"), Seq("w1", "w2"), "left")
           .join(bigCnt.toDF("w1", "w2", "cb12").hint("shuffle_hash"),
             Seq("w1", "w2"), "left")
+          .withColumn("ct", element_at(col("w3map"), col("w3")))
           .join(broadcast(bigCnt.toDF("w2", "w3", "cb23")), Seq("w2", "w3"), "left")
           .join(broadcast(uni.toDF("w2", "c1w2")), Seq("w2"), "left")
           .join(broadcast(uni.toDF("w3", "c1w3")), Seq("w3"), "left")
