@@ -19,11 +19,12 @@ import org.apache.spark.storage.StorageLevel
   * (pairs/triples — diameter ≤ 3), so min-propagation converges in a
   * handful of rounds over edge sets billions of rows wide; every round is
   * an embarrassingly-parallel shuffle with map-side combine. For
-  * adversarial graphs with long chains, swap the propagation step for the
+  * adversarial graphs with long chains, [[runStar]] implements the
   * alternating large-star/small-star rounds of Kiveris et al.,
   * "Connected Components in MapReduce and Beyond" (SoCC'14) — O(log² n)
-  * rounds — behind the same interface. The per-round driver sync is a
-  * single changed-row count (the same pattern GraphX/GraphFrames use).
+  * rounds at any diameter, identical labels, same checkpoint contract.
+  * The per-round driver sync is a single scalar aggregate (the same
+  * pattern GraphX/GraphFrames use).
   *
   * Reference scope note: alxmancilla/parquet-demo has no graph or dedup
   * logic at all (its only transforms are the type conversions in
@@ -145,6 +146,122 @@ object ConnectedComponents {
           "returned labels may split clusters. Raise maxIter.")
     adj.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC'14) — the adversarial-graph twin of
+    * [[run]] this file's scaladoc has always named. Min-label
+    * propagation moves a label ONE hop per round, so a path-shaped
+    * component of diameter d needs d rounds; the star operations
+    * instead rewire the graph itself toward a depth-1 star rooted at
+    * each component's minimum, converging in O(log² n) rounds
+    * (O(log n) observed) regardless of diameter:
+    *
+    *  - large-star(u): with m = min(Γ(u) ∪ {u}), emit (v, m) for every
+    *    STRICTLY LARGER neighbour v > u — large neighbours re-attach to
+    *    u's best-known minimum, preserving connectivity;
+    *  - small-star(u): orient every edge toward its larger endpoint;
+    *    with m = min of u's (all-smaller) neighbours, emit (v, m) for
+    *    the center and each non-min neighbour — small stars collapse
+    *    onto the local minimum.
+    *
+    * Each operation is one groupBy(u) min + one co-partitioned join
+    * back + a distinct — shuffles keyed the same way, map-side
+    * combinable; every round localCheckpoints (or reliably checkpoints,
+    * same contract as [[run]]) to keep plan size flat. Fixed point when
+    * the small-star edge multiset stops changing, detected by the
+    * (count, Σu, Σv) triple — each round can only shrink parents, so
+    * the triple is monotone and its stability is the paper's "no
+    * change" test in three scalars instead of a set-equality join.
+    *
+    * Returns ((node, cluster_id), rounds). Output is IDENTICAL to
+    * [[run]] (cluster_id = min reachable node — both algorithms
+    * converge to the same canonical labelling, so the two share one
+    * oracle; CcStarSpec pins bit-equality and the round-count
+    * separation on a planted 64-chain).
+    */
+  def runStar(edges: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    val e0 = edges.toDF("u", "v")
+    val nodes = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    var cur = e0.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
+    var prevDf: DataFrame = null
+    var converged = false
+    var iter = 0
+    var prevCkptFile: Option[String] = None
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    while (!converged && iter < maxIter) {
+      // ── large-star ─────────────────────────────────────────────────
+      val sym = cur.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val lmin = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // ── small-star ─────────────────────────────────────────────────
+      val ori = large.select(
+          greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
+        .distinct()
+      val smin = ori.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = ori.join(smin, "a")
+        .select(explode(array(
+            struct(col("a").as("u"), col("m").as("v")),
+            struct(col("b").as("u"), col("m").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next = ckpt(small)
+      val stat = next.agg(
+          count(lit(1)),
+          sum(col("u").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect().head
+      val trip = (stat.getLong(0), stat.getDecimal(1), stat.getDecimal(2))
+      // triple stability is the cheap screen; a stable triple is then
+      // CONFIRMED by an exact multiset equality (equal counts + empty
+      // one-sided difference ⇒ equal sets), so a scalar collision can
+      // never declare a false fixed point and split clusters — the
+      // confirm join runs only on candidate-convergence rounds, both
+      // sides bare checkpointed scans
+      converged = prev != null && trip == prev &&
+        next.exceptAll(prevDf).isEmpty
+      prev = trip
+      prevDf = next
+      cur = next
+      iter += 1
+      if (checkpointDir.isDefined) {
+        prevCkptFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        }
+        prevCkptFile = checkpointFileOf(cur)
+      }
+    }
+    if (!converged && iter >= maxIter)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"runStar did not converge in $maxIter rounds; labels may split clusters.")
+    // At the fixed point every component is a star (child, root) with the
+    // root absent from the child side; isolated-in-the-filtered-graph
+    // nodes (self-loop-only inputs) label themselves.
+    val labels = nodes
+      .join(cur.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("cluster_id"))
+    nodes.unpersist()
+    (labels, iter)
   }
 
   /** Reliable-checkpoint file tree backing a just-checkpointed Dataset:

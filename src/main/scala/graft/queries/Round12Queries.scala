@@ -603,6 +603,102 @@ object Round12Queries {
         FROM sized GROUP BY cluster_size ORDER BY cluster_size"""),
       doc = "Duplication profile: cluster-size histogram over the shared " +
         "CC clusters (n_clusters, n_docs, hard-dedup excess per size); " +
-        "one rollup on the dup-bounded cluster table.")
+        "one rollup on the dup-bounded cluster table."),
+
+    // ── duplicate clusters via alternating star rounds ───────────────
+    // The adversarial-graph twin of dedup_cluster_cc: min-label
+    // propagation moves a label one hop per round (rounds = component
+    // diameter — fine for real near-dup clusters, pathological for
+    // chain-shaped ones, e.g. sliding boilerplate where doc i matches
+    // only doc i±1); the Kiveris SoCC'14 large-star/small-star rounds
+    // rewire the graph toward depth-1 stars and converge in O(log² n)
+    // rounds at ANY diameter. Identical output by construction (both
+    // canonicalize to the min reachable id) ⇒ the two queries share one
+    // oracle; CcStarSpec pins bit-equality here and the round-count
+    // separation on a planted 64-chain (star ≤ 8 rounds where min-label
+    // needs the full 64).
+    QueryDef(
+      "dedup_cluster_cc_star",
+      (s, dir) => {
+        val edges = DedupQueries.minhashPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        val (labels, _) = graft.operators.ConnectedComponents.runStar(edges)
+        val w = Window.partitionBy(col("cluster_id"))
+        labels
+          .select(col("cluster_id"), col("node").as("doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy(col("cluster_id"), col("doc_id"))
+      },
+      DedupQueries.defs.find(_.name == "dedup_cluster_cc").flatMap(_.oracle),
+      doc = "Duplicate clusters via alternating large-star/small-star " +
+        "rounds (Kiveris 2014): O(log^2 n) rounds at any diameter vs " +
+        "min-label's diameter-bound; identical labels, shared oracle."),
+
+    // ── event-RATE anomaly vs a trailing baseline ────────────────────
+    // The ops-monitoring shape next to ev_anomaly (which z-scores a
+    // VALUE within its user's full history): is THIS hour's event count
+    // anomalous against the trailing 6 observed hours of its type? One
+    // map-side-combinable (type, hour) rollup collapses the corpus;
+    // the trailing mean/variance window then runs on the AGGREGATED
+    // series — |types|·|hours| rows, corpus-size-independent, so the
+    // low-cardinality partition key is harmless here. Variance from
+    // exact-integer trailing sums (s2 − s1²/n)/(n−1); a bucket needs
+    // ≥ 3 trailing observations for a verdict (else z is NULL and the
+    // flag false). Gap semantics: hours with zero events are absent
+    // rows, so the baseline is over OBSERVED buckets — stated, not
+    // hidden.
+    QueryDef(
+      "ev_rate_anomaly",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+          .rowsBetween(-6, -1)
+        counts
+          .withColumn("tn", count(col("n")).over(w))
+          .withColumn("s1", sum(col("n")).over(w))
+          .withColumn("s2", sum(col("n") * col("n")).over(w))
+          .withColumn("mu", col("s1").cast(DoubleType) / col("tn"))
+          .withColumn("va", expr(
+            "CASE WHEN tn > 1 THEN (s2 - CAST(s1 AS DOUBLE) * s1 / tn) / (tn - 1) ELSE 0.0 END"))
+          .withColumn("z", expr(
+            "CASE WHEN tn >= 3 AND va > 0 THEN round((n - mu) / sqrt(va), 6) END"))
+          .withColumn("is_anomaly",
+            coalesce(abs(col("z")) > 3.0, lit(false)))
+          .select(col("ws"), col("event_type"), col("n"),
+            round(col("mu"), 6).as("trail_mu"), col("z"), col("is_anomaly"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""WITH counts AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+            count(*) AS n
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT ws, event_type, n,
+            count(n) OVER w AS tn,
+            sum(n) OVER w AS s1,
+            sum(n * n) OVER w AS s2
+          FROM counts
+          WINDOW w AS (PARTITION BY event_type ORDER BY ws
+            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        z AS (
+          SELECT ws, event_type, n,
+            CAST(s1 AS DOUBLE) / tn AS mu,
+            CASE WHEN tn > 1 THEN (s2 - CAST(s1 AS DOUBLE) * s1 / tn) / (tn - 1)
+                 ELSE 0.0 END AS va,
+            tn
+          FROM st)
+        SELECT ws, event_type, n,
+          round(mu, 6) AS trail_mu,
+          CASE WHEN tn >= 3 AND va > 0 THEN round((n - mu) / sqrt(va), 6) END AS z,
+          COALESCE(CASE WHEN tn >= 3 AND va > 0
+            THEN abs(round((n - mu) / sqrt(va), 6)) > 3.0 END, FALSE) AS is_anomaly
+        FROM z ORDER BY ws, event_type"""),
+      doc = "Hourly event-rate anomaly vs the trailing-6-hour baseline " +
+        "per type: one (type, hour) rollup collapses the corpus, the " +
+        "trailing mean/variance window runs on the aggregated series " +
+        "(corpus-size-independent); z needs >= 3 trailing observations.")
   )
 }
