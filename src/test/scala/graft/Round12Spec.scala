@@ -193,6 +193,37 @@ class Round12Spec extends SparkSpec {
     assert(rows.exists(_.getLong(0) > 1L), "fixture needs real clusters")
   }
 
+  test("plan pins: cutoff form is window-free, outlier/rate windows run post-rollup") {
+    // pipe_ccnet_buckets_cutoff exists to REMOVE the per-language rank
+    // window — its plan must contain no Window operator at all
+    val cutoff = q("pipe_ccnet_buckets_cutoff")(spark, sf())
+    cutoff.collect()
+    val cp = cutoff.queryExecution.executedPlan.toString
+    assert(!cp.contains("Window"),
+      "broadcast-cutoff CCNet must not contain a rank window:\n" + cp.take(2000))
+
+    // text_length_outliers: med/mad arrive via broadcast joins; the only
+    // sort is the output ORDER BY
+    val out = q("text_length_outliers")(spark, sf())
+    out.collect()
+    val op = out.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(op).size >= 2,
+      "median + MAD tables must broadcast:\n" + op.take(2000))
+    assert(!op.contains("Window"), op.take(2000))
+
+    // ev_rate_anomaly: the trailing window must run AFTER the (type,
+    // hour) rollup — i.e. a HashAggregate somewhere BELOW the Window in
+    // the plan tree (the corpus never reaches the window)
+    val rate = q("ev_rate_anomaly")(spark, sf())
+    rate.collect()
+    val rp = rate.queryExecution.executedPlan.toString
+    val wIdx = rp.indexOf("Window")
+    val aggBelow = rp.indexOf("HashAggregate", wIdx)
+    assert(wIdx >= 0 && aggBelow > wIdx,
+      "trailing window must consume the aggregated series, not the corpus:\n" +
+        rp.take(3000))
+  }
+
   test("running soft-dedup ranks are 1..|cluster| and converge to the batch weight") {
     val running = q("st_soft_dedup_running")(spark, sf()).collect()
     val batch = SparkEntry.queries("pipe_soft_dedup")(spark, sf()).collect()
