@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+
+/** Round-12 batch 2: inner-product retrieval + a token-entropy quality
+  * signal —
+  *
+  *  - MIPS (maximum inner-product search) top-k: recommendation /
+  *    unnormalized-embedding retrieval ranks by RAW dot product, which
+  *    cosine ANN cannot serve directly (a long vector can beat a
+  *    well-aligned short one). Brute form is the exact baseline; the
+  *    scale path is simple-LSH norm augmentation (Neyshabur & Srebro
+  *    2015, "On Symmetric and Asymmetric LSHs for Inner Product
+  *    Search"; the transform family of Bachrach et al. RecSys 2014):
+  *    x' = [x/M ; √(1−‖x/M‖²)] is unit-norm and cos(q', x') ∝
+  *    dot(q, x) per query, so sign-LSH bucketing on x' serves MIPS;
+  *  - per-document TOKEN ENTROPY: the Shannon entropy of a doc's own
+  *    unigram distribution — the repetitiveness/diversity signal next
+  *    to text_repetition's duplicate-gram fractions (a spam page of
+  *    one token has entropy 0; rich text approaches ln of its type
+  *    count).
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no analytics
+  * surface (src/parquet_demo/io.py:21-66 is type coercion + ETL
+  * batching); this file is [EXT] like all of SURVEY §2.7.
+  */
+object Round12bQueries {
+
+  import SimilarityQueries.{IvfTopK, NQueries, NBits, Dim}
+
+  /** 65-dim hyperplanes for the AUGMENTED space (64 vector dims + the
+    * norm-completion dim), same engine-independent arithmetic sequence
+    * as SimilarityQueries.hyperplaneSet, table offset 7 so the planes
+    * are independent of every existing LSH table.
+    */
+  val MipsHyperplanes: Seq[Seq[Double]] =
+    (0 until NBits).map { b =>
+      (0 to Dim).map { d =>
+        ((2654435761L * ((7 * NBits + b) * (Dim + 1) + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
+      }
+    }
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  private val vectorsDuck =
+    """vecs AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings)"""
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── brute-force MIPS top-k (exact baseline) ──────────────────────
+    // Query side broadcast, ONE corpus scan, per-query top-k through
+    // the WindowGroupLimit-pruned rank window — the sim_brute_topk plan
+    // with the score swapped from cosine to the raw inner product.
+    QueryDef(
+      "sim_mips_topk",
+      (s, dir) => {
+        val all = vectors(s, dir)
+        val q = all.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("ip").desc, col("neighbor_id").asc)
+        all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.dot(col("v"), col("qv")), 6).as("ip"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= IvfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $vectorsDuck,
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+                WHERE vec_id < $NQueries),
+          ips AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "q.qv")}, 6) AS ip
+            FROM vecs a JOIN q ON a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, ip,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ip DESC, neighbor_id ASC) AS rank
+            FROM ips)
+        SELECT query_id, rank, neighbor_id, ip FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""),
+      doc = "Exact MIPS top-k: raw inner product (not cosine — length " +
+        "matters), query side broadcast, one corpus scan, " +
+        "WindowGroupLimit-pruned per-query top-k."),
+
+    // ── simple-LSH bucketed MIPS (the scale path) ────────────────────
+    // Norm augmentation reduces MIPS to cosine: with M = max ‖x‖ over
+    // the corpus (a 1-row broadcast scalar), x' = [x/M ; √(1−‖x/M‖²)]
+    // has unit norm and cos(q', x') ∝ dot(q, x) for the query's
+    // q' = [q ; 0]. Sign-LSH buckets on x' (65-dim hyperplane literals
+    // identical in both engines) with Hamming-1 multi-probe; survivors
+    // score by the EXACT raw dot, so the bucketing only affects recall
+    // never correctness of returned scores. The corpus pays one narrow
+    // bucket pass + the probe equi-join — the sim_lsh_topk shape with
+    // the augmentation folded into the bucket expression.
+    QueryDef(
+      "sim_mips_lsh_topk",
+      (s, dir) => {
+        val all = vectors(s, dir)
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val mx = all.agg(max(col("nrm")).as("mm"))
+        // corpus bucket: sign bits of dot([v/M; ext], h) =
+        // dot(v, h[0..63])/M + ext·h[64] — the division by M folds out
+        // of the comparison only for the first 64 terms, so keep it.
+        val bucketCol = (0 until NBits).map { b =>
+          val h = MipsHyperplanes(b)
+          val head = VectorOps.dot(col("v"), typedLit(h.take(Dim))) / col("mm")
+          val ext = sqrt(greatest(
+            lit(1.0) - (col("nrm") / col("mm")) * (col("nrm") / col("mm")), lit(0.0)))
+          when(head + ext * lit(h(Dim)) >= 0.0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val bucketed = all.crossJoin(broadcast(mx))
+          .withColumn("bucket", bucketCol)
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
+        // query bucket: q' = [q; 0] ⇒ sign(dot(q, h[0..63])) — M > 0
+        // scales, never flips
+        val qBucketCol = (0 until NBits).map { b =>
+          when(VectorOps.dot(col("v"),
+              typedLit(MipsHyperplanes(b).take(Dim))) >= 0.0,
+            lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val probeCol = array(
+          (col("qb") +: (0 until NBits).map(b =>
+            col("qb").bitwiseXOR(lit(1 << b)))): _*)
+        val q = vectors(s, dir).filter(col("vec_id") < NQueries)
+          .withColumn("qb", qBucketCol)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            explode(probeCol).as("bucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("ip").desc, col("neighbor_id").asc)
+        bucketed.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.dot(col("v"), col("qv")), 6).as("ip"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= IvfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        def headSql(b: Int) =
+          VectorOps.duckDot("v", MipsHyperplanes(b).take(Dim).mkString("[", ", ", "]"))
+        val bucketSql = (0 until NBits).map { b =>
+          s"""(CASE WHEN ${headSql(b)} / mm
+                + sqrt(greatest(1.0 - (nrm / mm) * (nrm / mm), 0.0))
+                  * (${MipsHyperplanes(b)(Dim)}) >= 0.0
+              THEN ${1 << b} ELSE 0 END)"""
+        }.mkString(" + ")
+        val qBucketSql = (0 until NBits).map { b =>
+          s"(CASE WHEN ${headSql(b)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $vectorsDuck,
+          nv AS (SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
+          mx AS (SELECT max(nrm) AS mm FROM nv),
+          bucketed AS (
+            SELECT vec_id, v, $bucketSql AS bucket FROM nv CROSS JOIN mx),
+          q AS (
+            SELECT vec_id AS query_id, v AS qv,
+              unnest(${(0 to NBits).map {
+                case 0 => "qb"
+                case b => s"xor(qb, ${1 << (b - 1)})"
+              }.mkString("[", ", ", "]")}) AS bucket
+            FROM (SELECT vec_id, v, $qBucketSql AS qb FROM vecs
+                  WHERE vec_id < $NQueries)),
+          ips AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "q.qv")}, 6) AS ip
+            FROM bucketed a JOIN q ON a.bucket = q.bucket
+              AND a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, ip,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ip DESC, neighbor_id ASC) AS rank
+            FROM ips)
+        SELECT query_id, rank, neighbor_id, ip FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+      },
+      doc = "Simple-LSH MIPS (Neyshabur & Srebro 2015): norm-augmented " +
+        "x' = [x/M; sqrt(1-|x/M|^2)] reduces inner product to cosine; " +
+        "sign-LSH buckets on the 65-dim space, Hamming-1 multi-probe, " +
+        "exact raw-dot scoring on survivors."),
+
+    // ── per-document token entropy ───────────────────────────────────
+    // H(doc) = −Σ_t (c_t/n)·ln(c_t/n) over the doc's own unigram
+    // distribution. One (doc, tok) rollup with map-side combine; the
+    // doc total arrives via a window on the HIGH-cardinality doc_id
+    // (no hot group, WindowGroupLimit-free but partition-local); the
+    // per-type terms round(·,9)→DECIMAL so the sum is
+    // aggregation-order-free. norm_entropy = H/ln(n_types) ∈ [0,1]
+    // (1 = perfectly diverse, 0 = one token repeated; singleton-type
+    // docs define 0/0 as 0).
+    QueryDef(
+      "text_token_entropy",
+      (s, dir) => {
+        val cnt = tokenized(s, dir)
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("doc_id"))
+        cnt
+          .withColumn("n", sum(col("c")).over(w))
+          .withColumn("term", round(
+            (col("c").cast(DoubleType) / col("n")) *
+              log(col("c").cast(DoubleType) / col("n")), 9)
+            .cast(DecimalType(28, 9)))
+          .groupBy(col("doc_id"))
+          .agg(
+            max(col("n")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            round(-sum(col("term")).cast(DoubleType), 6).as("entropy"))
+          .withColumn("norm_entropy", expr(
+            "CASE WHEN n_types > 1 THEN round(entropy / ln(n_types), 6) ELSE 0.0 END"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+        st AS (
+          SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+          FROM cnt),
+        terms AS (
+          SELECT doc_id, n,
+            CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+              AS DECIMAL(28,9)) AS term
+          FROM st)
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+          round(-CAST(sum(term) AS DOUBLE), 6) AS entropy,
+          CASE WHEN count(*) > 1
+            THEN round(round(-CAST(sum(term) AS DOUBLE), 6) / ln(count(*)), 6)
+            ELSE 0.0 END AS norm_entropy
+        FROM terms GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Per-doc Shannon token entropy + ln(n_types)-normalized " +
+        "diversity in [0,1]: one (doc,tok) rollup, doc totals via a " +
+        "high-cardinality window, order-free DECIMAL term sums.")
+  )
+}

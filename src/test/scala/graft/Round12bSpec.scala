@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{QueryDef, Round12bQueries}
+
+/** Round-12b operator invariants:
+  *
+  *  - sim_mips_topk really ranks by INNER PRODUCT, not cosine: on a
+  *    planted corpus a long, slightly-misaligned vector beats a short,
+  *    perfectly-aligned one — the case cosine retrieval gets backwards;
+  *  - sim_mips_lsh_topk: every returned score is EXACTLY the brute
+  *    form's raw dot for that pair (bucketing affects recall, never
+  *    scores), ranks are contiguous, and recall@5 vs brute clears the
+  *    measured floor on the near-random fixture;
+  *  - text_token_entropy: a perfectly uniform doc scores exactly
+  *    ln(n_types) (norm_entropy 1), a one-token doc scores exactly 0,
+  *    and Σ over the fixture stays within [0, ln n_types] row by row.
+  */
+class Round12bSpec extends SparkSpec {
+
+  private def q(name: String) =
+    QueryDef.toQueriesMap(Round12bQueries.defs)(name)
+
+  test("MIPS ranks by inner product: planted long vector beats aligned short one") {
+    val dim = 64
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // query 0 = e0; neighbor 10 = 0.9·e0 (cosine 1.0, ip 0.9);
+    // neighbor 11 = 5·e0 + 2·e1 (cosine ≈ 0.93, ip 5.0)
+    val d = tmpDir("mips-plant")
+    Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (10L, vec(0 -> 0.9f), 0),
+      (11L, vec(0 -> 5.0f, 1 -> 2.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as float)) AS embedding",
+        "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = q("sim_mips_topk")(spark, d).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(rows.head.getLong(2) == 11L && rows.head.getDouble(3) == 5.0,
+      s"ip must rank the long vector first: ${rows.toSeq}")
+    assert(rows(1).getLong(2) == 10L && rows(1).getDouble(3) == 0.9)
+  }
+
+  test("bucketed MIPS: exact scores on returned pairs, measured recall floor") {
+    val brute = q("sim_mips_topk")(spark, sf()).collect()
+    val lsh = q("sim_mips_lsh_topk")(spark, sf()).collect()
+    assert(lsh.nonEmpty)
+    // the raw dot for any (query, neighbor) pair is a pure function of
+    // the two vectors — recompute brute WITHOUT the top-k cut to check
+    // every returned bucketed score bit-for-bit
+    val ips = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val pairs = ips.selectExpr("vec_id AS query_id", "v AS qv")
+      .filter(col("query_id") < queries.SimilarityQueries.NQueries)
+      .crossJoin(ips.selectExpr("vec_id AS neighbor_id", "v AS nv"))
+      .selectExpr("query_id", "neighbor_id",
+        "round(aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x), 6) AS ip")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(r.getDouble(3) == pairs(key),
+        s"bucketed score for $key must equal the exact dot")
+    }
+    lsh.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"query $qid ranks not contiguous")
+    }
+    // measured 0.32 on the near-random fixture (8-bit single table,
+    // Hamming-1 probe); floor at 0.2 to absorb fixture regeneration
+    val bSet = brute.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val lSet = lsh.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = bSet.map { case (qid, s) =>
+      (lSet.getOrElse(qid, Set.empty) & s).size
+    }.sum.toDouble / bSet.values.map(_.size).sum
+    assert(recall >= 0.2, s"MIPS-LSH recall@5 $recall below floor")
+  }
+
+  test("token entropy: uniform and degenerate docs score exactly") {
+    import spark.implicits._
+    val d = tmpDir("entropy-plant")
+    Seq(
+      (1L, "a b c d"),        // uniform over 4 types: H = ln 4
+      (2L, "x x x x x"),      // one type: H = 0, norm 0
+      (3L, "a a b b")         // uniform over 2: H = ln 2, norm 1
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "'gen' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = q("text_token_entropy")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows(1L) == ((4L, 4L, r6(math.log(4)), 1.0)))
+    assert(rows(2L) == ((5L, 1L, 0.0, 0.0)))
+    assert(rows(3L) == ((4L, 2L, r6(math.log(2)), 1.0)))
+
+    val fixture = q("text_token_entropy")(spark, sf()).collect()
+    fixture.foreach { r =>
+      val (types, h, nh) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(h >= 0 && h <= math.log(types.toDouble) + 1e-6,
+        s"doc ${r.getLong(0)}: H $h outside [0, ln $types]")
+      assert(nh >= 0 && nh <= 1.0 + 1e-9)
+    }
+  }
+}
