@@ -250,6 +250,164 @@ object Round12bQueries {
         FROM terms GROUP BY doc_id ORDER BY doc_id"""),
       doc = "Per-doc Shannon token entropy + ln(n_types)-normalized " +
         "diversity in [0,1]: one (doc,tok) rollup, doc totals via a " +
-        "high-cardinality window, order-free DECIMAL term sums.")
+        "high-cardinality window, order-free DECIMAL term sums."),
+
+    // ── per-language tokenizer fertility ─────────────────────────────
+    // Fertility = subword tokens per word, the standard per-language
+    // tokenizer-quality metric (a tokenizer trained on English-heavy
+    // data fragments other languages into more pieces — the
+    // XLM-R/BLOOM tokenizer analyses). Closes the P11→P13 loop one
+    // step further: train merges (vocab-table chain) → apply to the
+    // DISTINCT-word vocab → ONE corpus join + a LANG rollup. The merge
+    // chain and vocab rewrite are word-type-bounded; the corpus pays
+    // one exploded join exactly like pipe_bpe_tokenize.
+    QueryDef(
+      "text_tokenizer_fertility",
+      (s, dir) => {
+        val merges = Round10Queries.bpeMerges(s, dir, materialize = true)
+        def pairOf(k: Int): DataFrame =
+          merges.filter(col("merge_rank") === k).select(col("pair").as(s"p$k"))
+        def rep(c: String, p: String): String =
+          s"trim(replace(concat(' ', $c, ' '), concat(' ', $p, ' '), " +
+            s"concat(' ', replace($p, ' ', ''), ' ')))"
+        val words = tokenized(s, dir).select(col("tok").as("w"))
+        val vocab = words.distinct()
+          .withColumn("ws0",
+            concat(regexp_replace(col("w"), "(.)", "$1 "), lit("</w>")))
+          .crossJoin(broadcast(pairOf(1)))
+          .crossJoin(broadcast(pairOf(2)))
+          .crossJoin(broadcast(pairOf(3)))
+          .withColumn("ws1", expr(rep("ws0", "p1")))
+          .withColumn("ws2", expr(rep("ws1", "p2")))
+          .withColumn("ws3", expr(rep("ws2", "p3")))
+          .select(col("w"), size(split(col("ws3"), " ")).cast("long").as("n_post"))
+        Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+          .join(vocab, Seq("w"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(col("n_post")).as("n_tokens"),
+            sum(length(col("w"))).as("n_chars"))
+          .withColumn("fertility",
+            round(col("n_tokens").cast(DoubleType) / col("n_words"), 6))
+          .withColumn("chars_per_token",
+            round(col("n_chars").cast(DoubleType) / col("n_tokens"), 6))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val tokenizedDuck =
+          "(SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)"
+        def stage(prev: String, k: Int): String =
+          s"""p$k AS (
+               SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+                 SELECT f, unnest(list_transform(range(len(string_split(ws, ' ')) - 1),
+                   i -> string_split(ws, ' ')[i + 1] || ' ' || string_split(ws, ' ')[i + 2])) AS pair
+                 FROM $prev) GROUP BY pair),
+             t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+             s$k AS (
+               SELECT trim(replace(' ' || ws || ' ', ' ' || t$k.pair || ' ',
+                 ' ' || replace(t$k.pair, ' ', '') || ' ')) AS ws, f
+               FROM ${if (k == 1) "s0" else s"s${k - 1}"} CROSS JOIN t$k)"""
+        def app(prev: String, k: Int): String =
+          s"""a$k AS (
+               SELECT w, trim(replace(' ' || ws || ' ', ' ' || t$k.pair || ' ',
+                 ' ' || replace(t$k.pair, ' ', '') || ' ')) AS ws
+               FROM $prev CROSS JOIN t$k)"""
+        s"""WITH words AS (
+            SELECT w, count(*) AS f FROM (
+              SELECT unnest(toks) AS w FROM $tokenizedDuck) GROUP BY w),
+          s0 AS (
+            SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS ws, f
+            FROM words),
+          ${stage("s0", 1)},
+          ${stage("s1", 2)},
+          ${stage("s2", 3)},
+          a0 AS (
+            SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS ws
+            FROM (SELECT DISTINCT w FROM (SELECT unnest(toks) AS w FROM $tokenizedDuck))),
+          ${app("a0", 1)},
+          ${app("a1", 2)},
+          ${app("a2", 3)},
+          vocab AS (SELECT w, CAST(len(string_split(ws, ' ')) AS BIGINT) AS n_post FROM a3),
+          tok AS (SELECT lang, unnest(toks) AS w FROM $tokenizedDuck)
+          SELECT lang, count(*) AS n_words,
+            CAST(sum(n_post) AS BIGINT) AS n_tokens,
+            CAST(sum(length(w)) AS BIGINT) AS n_chars,
+            round(CAST(sum(n_post) AS DOUBLE) / count(*), 6) AS fertility,
+            round(CAST(sum(length(w)) AS DOUBLE) / sum(n_post), 6) AS chars_per_token
+          FROM tok JOIN vocab USING (w)
+          GROUP BY lang ORDER BY lang"""
+      },
+      doc = "Per-language BPE fertility (subword tokens per word) + " +
+        "chars per token, off the learned P11 merges: merge chain and " +
+        "rewrite on the word-type-bounded vocab, one corpus join, one " +
+        "lang rollup."),
+
+    // ── dataset card (datasheet rollup) ──────────────────────────────
+    // The one-artifact summary a dataset release ships (Gebru et al.
+    // 2021, "Datasheets for Datasets"): corpus size, language/source
+    // breadth, token volume, vocabulary, exact-duplicate excess, and
+    // mean document length — every number an exact-integer aggregate or
+    // ONE rounded division, so the card is engine-reproducible
+    // bit-for-bit. Three small rollups over one corpus scan shape
+    // (docs-level agg + a distinct-token count + a distinct-hash
+    // count), unioned into the long (metric, value) table.
+    QueryDef(
+      "pipe_dataset_card",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(split(lower(col("text")), " "))).cast("long").as("total_tokens"),
+          count_distinct(md5(col("text"))).as("n_unique_texts"))
+        val voc = tokenized(s, dir)
+          .agg(count_distinct(col("tok")).as("vocab_size"))
+        base.crossJoin(broadcast(voc)).select(explode(map_from_arrays(
+            array(lit("n_docs"), lit("n_langs"), lit("n_sources"),
+              lit("total_chars"), lit("total_tokens"), lit("vocab_size"),
+              lit("exact_dup_excess"), lit("mean_doc_tokens")),
+            array(
+              col("n_docs").cast(DoubleType),
+              col("n_langs").cast(DoubleType),
+              col("n_sources").cast(DoubleType),
+              col("total_chars").cast(DoubleType),
+              col("total_tokens").cast(DoubleType),
+              col("vocab_size").cast(DoubleType),
+              (col("n_docs") - col("n_unique_texts")).cast(DoubleType),
+              round(col("total_tokens").cast(DoubleType) / col("n_docs"), 6))))
+          .as(Seq("metric", "value")))
+          .orderBy(col("metric"))
+      },
+      Some("""WITH base AS (
+          SELECT count(*) AS n_docs,
+            count(DISTINCT lang) AS n_langs,
+            count(DISTINCT source) AS n_sources,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+            count(DISTINCT md5(text)) AS n_unique_texts
+          FROM documents),
+        voc AS (
+          SELECT count(DISTINCT tok) AS vocab_size FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+        long AS (
+          SELECT unnest(['n_docs', 'n_langs', 'n_sources', 'total_chars',
+              'total_tokens', 'vocab_size', 'exact_dup_excess',
+              'mean_doc_tokens']) AS metric,
+            unnest([CAST(n_docs AS DOUBLE), CAST(n_langs AS DOUBLE),
+              CAST(n_sources AS DOUBLE), CAST(total_chars AS DOUBLE),
+              CAST(total_tokens AS DOUBLE), CAST(vocab_size AS DOUBLE),
+              CAST(n_docs - n_unique_texts AS DOUBLE),
+              round(CAST(total_tokens AS DOUBLE) / n_docs, 6)]) AS value
+          FROM base CROSS JOIN voc)
+        SELECT metric, value FROM long ORDER BY metric"""),
+      doc = "Dataset card (Gebru 2021 datasheet rollup): corpus/lang/" +
+        "source counts, token volume, vocabulary size, exact-dup excess, " +
+        "mean doc tokens — exact-integer aggregates, engine-reproducible " +
+        "bit-for-bit.")
   )
 }

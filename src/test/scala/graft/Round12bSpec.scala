@@ -84,6 +84,38 @@ class Round12bSpec extends SparkSpec {
     assert(recall >= 0.2, s"MIPS-LSH recall@5 $recall below floor")
   }
 
+  test("fertility laws: >= 1 token per word, chars/token consistent, all langs") {
+    val rows = q("text_tokenizer_fertility")(spark, sf()).collect()
+    val langs = Tables.load(spark, sf(), "documents")
+      .select(col("lang")).distinct().count()
+    assert(rows.length == langs, "every language gets a fertility row")
+    rows.foreach { r =>
+      val (w, t, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (fert, cpt) = (r.getDouble(4), r.getDouble(5))
+      assert(t >= w, s"${r.getString(0)}: a word is at least one token")
+      assert(fert >= 1.0 && fert == {
+        java.math.BigDecimal.valueOf(t.toDouble / w)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      })
+      assert(cpt > 0 && c > 0)
+    }
+  }
+
+  test("dataset card: metrics match independently recomputed facts") {
+    val card = q("pipe_dataset_card")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card.keySet == Set("n_docs", "n_langs", "n_sources", "total_chars",
+      "total_tokens", "vocab_size", "exact_dup_excess", "mean_doc_tokens"))
+    val docs = Tables.load(spark, sf(), "documents")
+    assert(card("n_docs") == docs.count().toDouble)
+    assert(card("n_langs") == docs.select(col("lang")).distinct().count().toDouble)
+    assert(card("total_chars") ==
+      docs.agg(sum(col("n_chars"))).collect()(0).getLong(0).toDouble)
+    assert(card("exact_dup_excess") >= 0)
+    assert(card("mean_doc_tokens") > 0 &&
+      math.abs(card("mean_doc_tokens") - card("total_tokens") / card("n_docs")) < 1e-4)
+  }
+
   test("token entropy: uniform and degenerate docs score exactly") {
     import spark.implicits._
     val d = tmpDir("entropy-plant")
