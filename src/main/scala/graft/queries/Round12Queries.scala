@@ -122,7 +122,7 @@ object Round12Queries {
   /** Shared CC cluster table (doc_id, cluster_id, cluster_size) with
     * singleton fill — the same left-join + coalesce as pipe_soft_dedup.
     */
-  private def clusteredDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def clusteredDocs(s: SparkSession, dir: String): DataFrame = {
     val cc = DedupQueries.clusterCc(s, dir)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     Tables.load(s, dir, "documents")

@@ -408,6 +408,86 @@ object Round12bQueries {
       doc = "Dataset card (Gebru 2021 datasheet rollup): corpus/lang/" +
         "source counts, token volume, vocabulary size, exact-dup excess, " +
         "mean doc tokens — exact-integer aggregates, engine-reproducible " +
-        "bit-for-bit.")
+        "bit-for-bit."),
+
+    // ── survivorship: keep the LONGEST member of each dup cluster ────
+    // dedup_cluster_cc canonicalizes on min doc_id — fine for identity,
+    // wrong for VALUE: crawl dedup keeps the longest/most complete
+    // variant of a near-dup cluster (truncated pages, stripped
+    // boilerplate copies lose). This is the MDM "survivorship rule"
+    // applied to corpus curation: canonical = argmax(n_chars), doc_id
+    // as the deterministic tiebreak. Rank window partitions on the
+    // high-cardinality cluster key; singletons are their own canonical.
+    QueryDef(
+      "pipe_dedup_survivorship",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        Round12Queries.clusteredDocs(s, dir)
+          .join(docs, Seq("doc_id"))
+          .withColumn("is_canonical", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("n_chars"), col("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${DedupQueries.minhashPairsDuckCteRecursive},
+          und AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          lbl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          full_lbl AS (
+            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+              d.n_chars
+            FROM documents d LEFT JOIN lbl l USING (doc_id))
+        SELECT doc_id, cluster_id,
+          count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          n_chars,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_canonical
+        FROM full_lbl ORDER BY doc_id"""),
+      doc = "Survivorship dedup: canonical = the LONGEST member of each " +
+        "CC cluster (argmax n_chars, doc_id tiebreak) — the keep-most-" +
+        "complete rule crawl dedup actually wants; rank window on the " +
+        "high-cardinality cluster key, singletons self-canonical."),
+
+    // ── language-label audit: declared vs predicted confusion ────────
+    // The label-quality audit a multilingual corpus release runs: cross
+    // the DECLARED lang column with the T3 stopword-hit-rate language
+    // classifier and report the confusion matrix plus each declared
+    // language's agreement rate. Reuses the declared text_langid query
+    // verbatim (and nests its full oracle), so classifier and audit can
+    // never drift; the rollup output is |langs|²-bounded.
+    QueryDef(
+      "text_lang_confusion",
+      (s, dir) => {
+        val langid = TextQueries.defs.find(_.name == "text_langid").get
+        val w = Window.partitionBy(col("labeled_lang"))
+        langid.fn(s, dir)
+          .groupBy(col("labeled_lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("pct_of_labeled", round(
+            col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w), 6))
+          .orderBy(col("labeled_lang"), col("predicted_lang"))
+      },
+      Some {
+        val langidOracle =
+          TextQueries.defs.find(_.name == "text_langid").get.oracle.get
+        s"""WITH langid AS ($langidOracle)
+          SELECT labeled_lang, predicted_lang, count(*) AS n_docs,
+            round(CAST(count(*) AS DOUBLE) /
+              sum(count(*)) OVER (PARTITION BY labeled_lang), 6) AS pct_of_labeled
+          FROM langid
+          GROUP BY labeled_lang, predicted_lang
+          ORDER BY labeled_lang, predicted_lang"""
+      },
+      doc = "Language-label audit: declared × predicted confusion matrix " +
+        "with per-declared-language agreement rates; nests the declared " +
+        "text_langid query and oracle verbatim, |langs|^2-bounded output.")
   )
 }

