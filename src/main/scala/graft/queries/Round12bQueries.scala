@@ -60,6 +60,55 @@ object Round12bQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
 
+  /** Standalone so pipe_quality_ensemble can reference it without a
+    * self-referential `defs` initialization (the ensemble's oracle is
+    * built eagerly while `defs` is still being constructed). */
+  private val entropyDef: QueryDef =
+    QueryDef(
+        "text_token_entropy",
+        (s, dir) => {
+          val cnt = tokenized(s, dir)
+            .groupBy(col("doc_id"), col("tok"))
+            .agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy(col("doc_id"))
+          cnt
+            .withColumn("n", sum(col("c")).over(w))
+            .withColumn("term", round(
+              (col("c").cast(DoubleType) / col("n")) *
+                log(col("c").cast(DoubleType) / col("n")), 9)
+              .cast(DecimalType(28, 9)))
+            .groupBy(col("doc_id"))
+            .agg(
+              max(col("n")).as("n_tokens"),
+              count(lit(1)).as("n_types"),
+              round(-sum(col("term")).cast(DoubleType), 6).as("entropy"))
+            .withColumn("norm_entropy", expr(
+              "CASE WHEN n_types > 1 THEN round(entropy / ln(n_types), 6) ELSE 0.0 END"))
+            .orderBy(col("doc_id"))
+        },
+        Some("""WITH tk AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents),
+          cnt AS (
+            SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+          st AS (
+            SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+            FROM cnt),
+          terms AS (
+            SELECT doc_id, n,
+              CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+                AS DECIMAL(28,9)) AS term
+            FROM st)
+          SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+            round(-CAST(sum(term) AS DOUBLE), 6) AS entropy,
+            CASE WHEN count(*) > 1
+              THEN round(round(-CAST(sum(term) AS DOUBLE), 6) / ln(count(*)), 6)
+              ELSE 0.0 END AS norm_entropy
+          FROM terms GROUP BY doc_id ORDER BY doc_id"""),
+        doc = "Per-doc Shannon token entropy + ln(n_types)-normalized " +
+          "diversity in [0,1]: one (doc,tok) rollup, doc totals via a " +
+          "high-cardinality window, order-free DECIMAL term sums.")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── brute-force MIPS top-k (exact baseline) ──────────────────────
@@ -207,50 +256,7 @@ object Round12bQueries {
     // aggregation-order-free. norm_entropy = H/ln(n_types) ∈ [0,1]
     // (1 = perfectly diverse, 0 = one token repeated; singleton-type
     // docs define 0/0 as 0).
-    QueryDef(
-      "text_token_entropy",
-      (s, dir) => {
-        val cnt = tokenized(s, dir)
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("doc_id"))
-        cnt
-          .withColumn("n", sum(col("c")).over(w))
-          .withColumn("term", round(
-            (col("c").cast(DoubleType) / col("n")) *
-              log(col("c").cast(DoubleType) / col("n")), 9)
-            .cast(DecimalType(28, 9)))
-          .groupBy(col("doc_id"))
-          .agg(
-            max(col("n")).as("n_tokens"),
-            count(lit(1)).as("n_types"),
-            round(-sum(col("term")).cast(DoubleType), 6).as("entropy"))
-          .withColumn("norm_entropy", expr(
-            "CASE WHEN n_types > 1 THEN round(entropy / ln(n_types), 6) ELSE 0.0 END"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH tk AS (
-          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-          FROM documents),
-        cnt AS (
-          SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
-        st AS (
-          SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
-          FROM cnt),
-        terms AS (
-          SELECT doc_id, n,
-            CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
-              AS DECIMAL(28,9)) AS term
-          FROM st)
-        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
-          round(-CAST(sum(term) AS DOUBLE), 6) AS entropy,
-          CASE WHEN count(*) > 1
-            THEN round(round(-CAST(sum(term) AS DOUBLE), 6) / ln(count(*)), 6)
-            ELSE 0.0 END AS norm_entropy
-        FROM terms GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "Per-doc Shannon token entropy + ln(n_types)-normalized " +
-        "diversity in [0,1]: one (doc,tok) rollup, doc totals via a " +
-        "high-cardinality window, order-free DECIMAL term sums."),
+    entropyDef,
 
     // ── per-language tokenizer fertility ─────────────────────────────
     // Fertility = subword tokens per word, the standard per-language
@@ -489,5 +495,127 @@ object Round12bQueries {
       doc = "Language-label audit: declared × predicted confusion matrix " +
         "with per-declared-language agreement rates; nests the declared " +
         "text_langid query and oracle verbatim, |langs|^2-bounded output.")
+      ,
+
+    // ── n-gram novelty: the df==1 share of a doc's shingles ──────────
+    // The inverse of text_dup_spans' duplication coverage: what
+    // fraction of a doc's distinct 8-token shingles appear NOWHERE else
+    // in the corpus — the novelty / memorization-risk proxy of Lee
+    // et al. 2022's dedup analyses (a doc of df==1 shingles contributes
+    // genuinely new text; a doc of high-df shingles re-states the
+    // corpus). One (doc, shingle) explode → one shingle-df rollup →
+    // co-partitioned join back → one doc rollup, all map-side
+    // combinable; the df table shuffles WITH the corpus (never
+    // broadcast — it is corpus-scale by construction).
+    QueryDef(
+      "text_ngram_novelty",
+      (s, dir) => {
+        val k = 8
+        val sh = Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= k)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            s"transform(sequence(0, size(toks) - $k), " +
+              s"i -> concat_ws(' ', slice(toks, i + 1, $k)))"))).as("g"))
+        val df = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+        sh.join(df, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast(DoubleType) / col("n_shingles"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(range(len(toks) - 7),
+              i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents)
+          WHERE len(toks) >= 8),
+        df AS (SELECT g, count(*) AS dfc FROM sh GROUP BY g)
+        SELECT doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          round(CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS novelty
+        FROM sh JOIN df USING (g)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Per-doc n-gram novelty: share of a doc's distinct 8-token " +
+        "shingles with corpus df == 1 (the inverse of duplication " +
+        "coverage); shingle-df rollup + co-partitioned join, df table " +
+        "shuffles with the corpus, never broadcast."),
+
+    // ── quality ensemble: one gate from three declared signals ───────
+    // The composite keep decision a curation pipeline actually applies:
+    // a FIXED linear policy over the Gopher rule gate, token-entropy
+    // diversity, and the Gopher repetition fraction — stated plainly as
+    // hand-set policy weights (a production gate tunes them on held-out
+    // labels; the composition, not the weights, is the operator). All
+    // three inputs are the DECLARED queries reused verbatim (and their
+    // oracles nested verbatim), so the ensemble can never drift from
+    // its components; the joins are doc-keyed co-partitioned rollup
+    // outputs. Docs too short for 2-grams contribute repetition 0.
+    QueryDef(
+      "pipe_quality_ensemble",
+      (s, dir) => {
+        def byName(defs: Seq[QueryDef], n: String) = defs.find(_.name == n).get
+        val g = byName(CurationQueries.defs, "text_gopher_quality").fn(s, dir)
+          .select(col("doc_id"), col("keep").as("gopher_keep"))
+        val r = byName(CurationQueries.defs, "text_repetition").fn(s, dir)
+          .select(col("doc_id"), col("dup_2gram_char_frac"))
+        val e = entropyDef.fn(s, dir)
+          .select(col("doc_id"), col("norm_entropy"))
+        g.join(e, Seq("doc_id"))
+          .join(r, Seq("doc_id"), "left")
+          .withColumn("dup_frac", coalesce(col("dup_2gram_char_frac"), lit(0.0)))
+          // integer-weighted EXACT DECIMAL sum on a 0-10 scale: the
+          // float form round(0.4g + 0.3e + ..., 6) lands on .xxxxxx5
+          // rounding boundaries systematically (0.3 x a 6-dp input),
+          // where Spark's decimal-string HALF_UP and DuckDB's binary
+          // rounding disagree by 1e-6 — caught by the oracle gate. The
+          // 6-dp inputs cast losslessly to DECIMAL(18,6); x4/x3 and the
+          // sum are exact; the final decimal->double cast is correctly
+          // rounded in both engines.
+          .withColumn("score",
+            (when(col("gopher_keep"), lit(1)).otherwise(lit(0))
+                .cast(DecimalType(18, 6)) * 4 +
+              col("norm_entropy").cast(DecimalType(18, 6)) * 3 +
+              (lit(1).cast(DecimalType(18, 6)) -
+                col("dup_frac").cast(DecimalType(18, 6))) * 3)
+              .cast(DoubleType))
+          .withColumn("keep", col("score") >= 6.0)
+          .select(col("doc_id"), col("gopher_keep"), col("norm_entropy"),
+            col("dup_frac"), col("score"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def oracleOf(defs: Seq[QueryDef], n: String) =
+          defs.find(_.name == n).get.oracle.get
+        s"""WITH g AS (${oracleOf(CurationQueries.defs, "text_gopher_quality")}),
+          r AS (${oracleOf(CurationQueries.defs, "text_repetition")}),
+          e AS (${entropyDef.oracle.get})
+        SELECT g.doc_id, g.keep AS gopher_keep, e.norm_entropy,
+          coalesce(r.dup_2gram_char_frac, 0.0) AS dup_frac,
+          CAST(CAST(CASE WHEN g.keep THEN 1 ELSE 0 END AS DECIMAL(18,6)) * 4
+            + CAST(e.norm_entropy AS DECIMAL(18,6)) * 3
+            + (CAST(1 AS DECIMAL(18,6))
+               - CAST(coalesce(r.dup_2gram_char_frac, 0.0) AS DECIMAL(18,6))) * 3
+            AS DOUBLE) AS score,
+          CAST(CAST(CASE WHEN g.keep THEN 1 ELSE 0 END AS DECIMAL(18,6)) * 4
+            + CAST(e.norm_entropy AS DECIMAL(18,6)) * 3
+            + (CAST(1 AS DECIMAL(18,6))
+               - CAST(coalesce(r.dup_2gram_char_frac, 0.0) AS DECIMAL(18,6))) * 3
+            AS DOUBLE) >= 6.0 AS keep
+        FROM g JOIN e ON g.doc_id = e.doc_id
+        LEFT JOIN r ON g.doc_id = r.doc_id
+        ORDER BY g.doc_id"""
+      },
+      doc = "Composite quality gate: fixed linear policy (4x gopher + 3x " +
+        "diversity + 3x non-repetition on a 0-10 scale, keep at >= 6; " +
+        "integer-weighted exact-DECIMAL sum, no float rounding) over three " +
+        "DECLARED signal queries reused verbatim with their oracles " +
+        "nested — the ensemble cannot drift from its components.")
   )
 }

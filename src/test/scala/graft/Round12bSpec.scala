@@ -146,6 +146,47 @@ class Round12bSpec extends SparkSpec {
     }
   }
 
+  test("ngram novelty: unique docs score 1, clones score 0") {
+    import spark.implicits._
+    val d = tmpDir("novelty-plant")
+    val unique = (0 until 12).map(i => s"solo$i").mkString(" ")
+    val clone = (0 until 12).map(i => s"twin$i").mkString(" ")
+    Seq((1L, unique), (2L, clone), (3L, clone))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "'gen' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = q("text_ngram_novelty")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
+
+    q("text_ngram_novelty")(spark, sf()).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("quality ensemble: score decomposes exactly from its three components") {
+    val rows = q("pipe_quality_ensemble")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = if (r.getBoolean(1)) 1.0 else 0.0
+      val (e, dup, score, keep) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      // exact-decimal arithmetic: reconstruct via BigDecimal at scale 6
+      val expect = (BigDecimal(g).setScale(6) * 4 +
+        BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 3 +
+        (BigDecimal(1).setScale(6) -
+          BigDecimal(dup).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * 3)
+        .toDouble
+      assert(score == expect, s"doc ${r.getLong(0)}: $score != $expect")
+      assert(keep == (score >= 6.0))
+      assert(score >= 0 && score <= 10.0 + 1e-9)
+    }
+    // both verdicts occur on the fixture
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
   test("token entropy: uniform and degenerate docs score exactly") {
     import spark.implicits._
     val d = tmpDir("entropy-plant")
