@@ -518,12 +518,19 @@ object Round12bQueries {
           .select(col("doc_id"), explode(array_distinct(expr(
             s"transform(sequence(0, size(toks) - $k), " +
               s"i -> concat_ws(' ', slice(toks, i + 1, $k)))"))).as("g"))
-        val df = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
-        sh.join(df, Seq("g"))
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("n_shingles"),
-            sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
+        // join-free: a df==1 shingle belongs to exactly ONE doc, so the
+        // shingle rollup can carry min(doc_id) and the novel counts fall
+        // out of a second rollup — no corpus-scale stream-vs-df join
+        // (the joined form measured 5.8 s at x10 where the sibling
+        // text_dup_spans ran 0.36 s; this form is the sibling's shape)
+        val perDoc = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val novel = sh.groupBy(col("g"))
+          .agg(count(lit(1)).as("dfc"), min(col("doc_id")).as("doc_id"))
+          .filter(col("dfc") === 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
           .withColumn("novelty",
             round(col("n_novel").cast(DoubleType) / col("n_shingles"), 6))
           .orderBy(col("doc_id"))
@@ -535,13 +542,18 @@ object Round12bQueries {
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
                 FROM documents)
           WHERE len(toks) >= 8),
-        df AS (SELECT g, count(*) AS dfc FROM sh GROUP BY g)
-        SELECT doc_id, count(*) AS n_shingles,
-          CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-          round(CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-            / count(*), 6) AS novelty
-        FROM sh JOIN df USING (g)
-        GROUP BY doc_id ORDER BY doc_id"""),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        novel AS (
+          SELECT doc_id, count(*) AS n_novel FROM (
+            SELECT g, count(*) AS dfc, min(doc_id) AS doc_id
+            FROM sh GROUP BY g)
+          WHERE dfc = 1 GROUP BY doc_id)
+        SELECT p.doc_id, p.n_shingles,
+          coalesce(n.n_novel, 0) AS n_novel,
+          round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_shingles, 6) AS novelty
+        FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id
+        ORDER BY p.doc_id"""),
       doc = "Per-doc n-gram novelty: share of a doc's distinct 8-token " +
         "shingles with corpus df == 1 (the inverse of duplication " +
         "coverage); shingle-df rollup + co-partitioned join, df table " +
