@@ -8,23 +8,22 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Tables
 
 
-/** Round-12 batch 2: inner-product retrieval + a token-entropy quality
-  * signal —
+/** Round-12 batch 2: inner-product retrieval, tokenizer/corpus audits,
+  * and composed quality gates —
   *
-  *  - MIPS (maximum inner-product search) top-k: recommendation /
-  *    unnormalized-embedding retrieval ranks by RAW dot product, which
-  *    cosine ANN cannot serve directly (a long vector can beat a
-  *    well-aligned short one). Brute form is the exact baseline; the
-  *    scale path is simple-LSH norm augmentation (Neyshabur & Srebro
-  *    2015, "On Symmetric and Asymmetric LSHs for Inner Product
-  *    Search"; the transform family of Bachrach et al. RecSys 2014):
-  *    x' = [x/M ; √(1−‖x/M‖²)] is unit-norm and cos(q', x') ∝
-  *    dot(q, x) per query, so sign-LSH bucketing on x' serves MIPS;
-  *  - per-document TOKEN ENTROPY: the Shannon entropy of a doc's own
-  *    unigram distribution — the repetitiveness/diversity signal next
-  *    to text_repetition's duplicate-gram fractions (a spam page of
-  *    one token has entropy 0; rich text approaches ln of its type
-  *    count).
+  *  - MIPS (maximum inner-product search) top-k, exact and simple-LSH
+  *    norm-augmented (Neyshabur & Srebro 2015; Bachrach RecSys 2014):
+  *    raw-dot ranking cosine ANN cannot serve — x' = [x/M ; √(1−‖x/M‖²)]
+  *    reduces it to cosine for sign-LSH bucketing;
+  *  - per-document TOKEN ENTROPY (Shannon unigram diversity, the
+  *    repetitiveness signal next to text_repetition);
+  *  - per-language TOKENIZER FERTILITY off the learned P11 BPE merges;
+  *  - the DATASET CARD datasheet rollup (Gebru et al. 2021);
+  *  - SURVIVORSHIP dedup (keep the longest cluster member);
+  *  - the LANGUAGE-LABEL confusion audit over text_langid;
+  *  - per-doc N-GRAM NOVELTY (the df==1 memorization-risk share);
+  *  - the composite QUALITY-GATE ENSEMBLE nesting three declared
+  *    signal queries with exact-DECIMAL policy scoring.
   *
   * Reference scope note: alxmancilla/parquet-demo has no analytics
   * surface (src/parquet_demo/io.py:21-66 is type coercion + ETL
@@ -628,6 +627,92 @@ object Round12bQueries {
         "diversity + 3x non-repetition on a 0-10 scale, keep at >= 6; " +
         "integer-weighted exact-DECIMAL sum, no float rounding) over three " +
         "DECLARED signal queries reused verbatim with their oracles " +
-        "nested — the ensemble cannot drift from its components.")
+        "nested — the ensemble cannot drift from its components."),
+
+    // ── k-anonymity audit over the release quasi-identifiers ─────────
+    // Sweeney 2002: a released row set is k-anonymous over its
+    // quasi-identifier columns iff every QI cell holds >= k records.
+    // Here QI = (lang, source) — the release-hygiene check that pairs
+    // with pipe_dp_stats (suppress-the-small-cells is the classic
+    // pre-DP mitigation). ONE map-side-combinable rollup; cells below
+    // k are flagged for suppression. Output is |langs|x|sources|-
+    // bounded regardless of corpus size.
+    QueryDef(
+      "pipe_k_anonymity",
+      (s, dir) => {
+        val k = 5
+        Tables.load(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("k_anonymous", col("n_docs") >= k)
+          .withColumn("suppress", !col("k_anonymous"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+          count(*) >= 5 AS k_anonymous,
+          NOT (count(*) >= 5) AS suppress
+        FROM documents GROUP BY lang, source
+        ORDER BY lang, source"""),
+      doc = "k-anonymity audit (Sweeney 2002, k=5) over the (lang, " +
+        "source) quasi-identifiers: one rollup, cells below k flagged " +
+        "for suppression; the pre-DP release-hygiene check next to " +
+        "pipe_dp_stats."),
+
+    // ── PII incidence report per source ──────────────────────────────
+    // The release-audit companion of text_pii_redact: COUNT the
+    // email/IPv4/phone matches per source instead of redacting them —
+    // what a datasheet's privacy section reports. Same deterministic
+    // synthesized contact line and the SAME three patterns as the
+    // redact query (the manufactured-but-really-exercised move; the
+    // redact query already pins cross-engine pattern agreement), so
+    // every doc genuinely contains each PII class. Non-overlapping
+    // leftmost match counts in both engines; narrow per-row regexp
+    // pass + one source rollup.
+    QueryDef(
+      "pipe_pii_stats",
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+        val phone = "\\+?\\d[\\d\\s-]{7,}\\d"
+        Tables.load(s, dir, "documents")
+          .withColumn("raw", concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+            col("doc_id"), lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7 ok")))
+          .withColumn("ne", regexp_count(col("raw"), lit(email)))
+          .withColumn("ni", regexp_count(col("raw"), lit(ip)))
+          .withColumn("np", regexp_count(col("raw"), lit(phone)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("ni")).as("n_ips"),
+            sum(col("np")).as("n_phones"),
+            sum(when(col("ne") + col("ni") + col("np") > 0, 1L)
+              .otherwise(0L)).as("docs_with_pii"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id, source,
+            substring(text, 1, 40) || ' contact user' || doc_id ||
+            '@example.com or +1-555-01' || doc_id || ' at 10.0.' ||
+            (doc_id % 256) || '.7 ok' AS raw
+          FROM documents),
+        cnt AS (
+          SELECT source,
+            len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS ne,
+            len(regexp_extract_all(raw, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS ni,
+            len(regexp_extract_all(raw, '\+?\d[\d\s-]{7,}\d')) AS np
+          FROM raw)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(ne) AS BIGINT) AS n_emails,
+          CAST(sum(ni) AS BIGINT) AS n_ips,
+          CAST(sum(np) AS BIGINT) AS n_phones,
+          CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+        FROM cnt GROUP BY source ORDER BY source"""),
+      doc = "PII incidence report per source (datasheet privacy " +
+        "section): non-overlapping match counts of the text_pii_redact " +
+        "patterns over the same synthesized contact lines; narrow " +
+        "regexp pass + one source rollup.")
   )
 }

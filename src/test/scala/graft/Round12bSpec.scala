@@ -187,6 +187,30 @@ class Round12bSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("k-anonymity: cell law and doc conservation") {
+    val rows = q("pipe_k_anonymity")(spark, sf()).collect()
+    val nDocs = Tables.load(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) >= 5))
+      assert(r.getBoolean(4) == !r.getBoolean(3))
+    }
+  }
+
+  test("PII stats: every synthesized doc carries all three PII classes") {
+    val rows = q("pipe_pii_stats")(spark, sf()).collect()
+    val nDocs = Tables.load(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val (n, ne, ni, np, withPii) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ne >= n && ni >= n && np >= n,
+        s"${r.getString(0)}: synthesized contact line guarantees >= 1 " +
+          s"match per class per doc ($ne/$ni/$np over $n docs)")
+      assert(withPii == n, "every doc must be flagged")
+    }
+  }
+
   test("token entropy: uniform and degenerate docs score exactly") {
     import spark.implicits._
     val d = tmpDir("entropy-plant")
