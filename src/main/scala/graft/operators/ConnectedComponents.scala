@@ -256,9 +256,15 @@ object ConnectedComponents {
         s"runStar did not converge in $maxIter rounds; labels may split clusters.")
     // At the fixed point every component is a star (child, root) with the
     // root absent from the child side; isolated-in-the-filtered-graph
-    // nodes (self-loop-only inputs) label themselves.
+    // nodes (self-loop-only inputs) label themselves. min(label) per
+    // child keeps the one-row-per-node output contract even when maxIter
+    // exhausted before the star fixed point (a child may then still
+    // carry edges to several candidate roots); at the fixed point the
+    // aggregate is a no-op, and its hash partitioning on `node` is
+    // reused by the join.
+    val lbl = cur.groupBy(col("u").as("node")).agg(min(col("v")).as("label"))
     val labels = nodes
-      .join(cur.select(col("u").as("node"), col("v").as("label")), Seq("node"), "left")
+      .join(lbl, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("cluster_id"))
     nodes.unpersist()
     (labels, iter)

@@ -97,7 +97,11 @@ object Round12Queries {
     * inlined into all three (the minhashPairs recipe). Survivors
     * exposed for Round12Spec's pruning/false-negative assertions.
     */
-  private[graft] def bloomParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Also returns the persisted shingle stage so callers can release it
+    * (the query below unpersists in `finally`; Round12Spec does too).
+    */
+  private[graft] def bloomParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh = shingles5(s, dir).persist()
     val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
       .select(col("shingle")).distinct()
@@ -116,7 +120,7 @@ object Round12Queries {
         s"""forall(${bloomBitsExpr("shingle")},
               b -> (bf[cast(b / 64 as int)] & shiftleft(1L, cast(b % 64 as int))) <> 0)"""))
       .select(col("doc_id"), col("shingle"))
-    (survivors, evalSet)
+    (survivors, evalSet, sh)
   }
 
   /** Shared CC cluster table (doc_id, cluster_id, cluster_size) with
@@ -149,12 +153,17 @@ object Round12Queries {
     QueryDef(
       "pipe_decontaminate_bloom",
       (s, dir) => {
-        val (survivors, evalSet) = bloomParts(s, dir)
-        survivors
+        val (survivors, evalSet, sh) = bloomParts(s, dir)
+        val res = survivors
           .join(broadcast(evalSet), "shingle")
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("shingle")).as("n_eval_hits"))
           .orderBy(col("doc_id"))
+        // materialize the (tiny) per-doc rollup, then release the
+        // corpus-sized shingle cache — the selfContained persist-scoping
+        // discipline (DedupQueries.scala)
+        try res.localCheckpoint(true)
+        finally sh.unpersist(false)
       },
       Some(s"""WITH sh AS (
           SELECT doc_id,
@@ -252,7 +261,11 @@ object Round12Queries {
     // redistributed pro-rata across the uncapped sources in one
     // water-filling round (stated plainly: full water-filling iterates
     // until no new caps; one round is exact when the redistribution
-    // caps nothing new, which the spec checks on the fixture). Every
+    // caps nothing new, which the spec checks on the fixture — and the
+    // redistributed value is CLAMPED at avail·MaxEpochs, so on skewed
+    // data where the single round would over-fill a source the ≤4-epoch
+    // ceiling still holds; the clamped surplus is then simply unspent
+    // budget, the conservative failure mode). Every
     // sum over the source table is round(·,6)→DECIMAL so double
     // aggregation order can't leak in; the whole schedule is
     // |sources|-row math after ONE map-side-combinable corpus rollup.
@@ -282,10 +295,11 @@ object Round12Queries {
         alloc.crossJoin(broadcast(redis))
           .withColumn("final_toks", when(col("capped"),
               (col("avail") * lit(MaxEpochs)).cast(DoubleType))
-            .otherwise(round(
-              col("alloc0").cast(DoubleType) *
+            .otherwise(least(
+              round(col("alloc0").cast(DoubleType) *
                 (lit(1.0) + col("surplus").cast(DoubleType) /
-                  col("open").cast(DoubleType)), 2)))
+                  col("open").cast(DoubleType)), 2),
+              (col("avail") * lit(MaxEpochs)).cast(DoubleType))))
           .withColumn("epochs", round(col("final_toks") / col("avail"), 4))
           .select(col("source"), col("avail"),
             col("share"), col("alloc0").cast(DoubleType).as("alloc0"),
@@ -318,12 +332,14 @@ object Round12Queries {
         SELECT source, avail, share,
           CAST(alloc0 AS DOUBLE) AS alloc0, capped,
           CASE WHEN capped THEN CAST(avail * $MaxEpochs AS DOUBLE)
-               ELSE round(CAST(alloc0 AS DOUBLE) *
-                 (1.0 + CAST(surplus AS DOUBLE) / CAST(open AS DOUBLE)), 2)
+               ELSE least(round(CAST(alloc0 AS DOUBLE) *
+                 (1.0 + CAST(surplus AS DOUBLE) / CAST(open AS DOUBLE)), 2),
+                 CAST(avail * $MaxEpochs AS DOUBLE))
           END AS final_toks,
           round(CASE WHEN capped THEN CAST(avail * $MaxEpochs AS DOUBLE)
-               ELSE round(CAST(alloc0 AS DOUBLE) *
-                 (1.0 + CAST(surplus AS DOUBLE) / CAST(open AS DOUBLE)), 2)
+               ELSE least(round(CAST(alloc0 AS DOUBLE) *
+                 (1.0 + CAST(surplus AS DOUBLE) / CAST(open AS DOUBLE)), 2),
+                 CAST(avail * $MaxEpochs AS DOUBLE))
           END / avail, 4) AS epochs
         FROM alloc2 CROSS JOIN redis
         ORDER BY source"""),

@@ -196,7 +196,13 @@ object DocumentStreams {
           }
         }
         val root = if (best >= 0) bestRoot else r.docId
-        val k = 1L + rootOf.valuesIterator.count(_ == root)
+        // same docA < docId guard as the best-match scan: a resident
+        // with a LARGER doc_id (out-of-order arrival across
+        // micro-batches) counts toward neither the match nor the
+        // membership k, so weights are doc_id-rank semantics regardless
+        // of arrival order
+        val k = 1L + rootOf.iterator.count { case (docA, rt) =>
+          docA < r.docId && rt == root }
         out += SoftAssign(r.docId, root, k, 1.0 / k)
         residents.updateValue(r.docId, s"$root|${r.sig}")
       }

@@ -61,7 +61,8 @@ object RateAnomalyStream {
     }
   }
 
-  class RateAnomalyProcessor
+  class RateAnomalyProcessor(
+      droppedLate: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, EvRow, RateVerdict] {
     import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -87,8 +88,10 @@ object RateAnomalyStream {
           case Some((h, c)) if h == hour => open.update((h, c + 1))
           case Some((h, _)) if hour < h =>
             // a late event for an already-closed bucket: dropped, the
-            // same verdict a watermarked windowed agg would reach
-            ()
+            // same verdict a watermarked windowed agg would reach — but
+            // COUNTED, so divergence from the batch twin is observable
+            // (the accumulator surfaces in the Spark UI / REST metrics)
+            droppedLate.foreach(_.add(1L))
           case Some((h, c)) =>
             // hour > h: close, score, ring-append
             val ring = trail.get().toSeq
@@ -104,18 +107,29 @@ object RateAnomalyStream {
   }
 
   /** events stream (ts: TimestampType) → per-type closed-bucket
-    * verdicts.
+    * verdicts. Registers a named `LongAccumulator`
+    * ("graft.rate_anomaly.dropped_late") that counts late events for
+    * already-closed buckets — the one silent divergence path vs the
+    * batch twin; returned alongside the stream for callers/tests that
+    * want to assert on it.
     */
-  def rateAnomaly(events: DataFrame): Dataset[RateVerdict] = {
+  def rateAnomaly(events: DataFrame): Dataset[RateVerdict] =
+    rateAnomalyWithMetrics(events)._1
+
+  def rateAnomalyWithMetrics(events: DataFrame)
+      : (Dataset[RateVerdict], org.apache.spark.util.LongAccumulator) = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    events
+    val dropped = spark.sparkContext.longAccumulator(
+      "graft.rate_anomaly.dropped_late")
+    val ds = events
       .select(col("event_type").as("eventType"),
         unix_micros(col("ts")).as("tsMicros"))
       .as[EvRow]
       .groupByKey(_.eventType)
-      .transformWithState(new RateAnomalyProcessor, TimeMode.None(),
-        OutputMode.Append())
+      .transformWithState(new RateAnomalyProcessor(Some(dropped)),
+        TimeMode.None(), OutputMode.Append())
+    (ds, dropped)
   }
 }

@@ -44,9 +44,11 @@ class Round12Spec extends SparkSpec {
 
     // zero false negatives: every exact-hit (doc, shingle) pair passes
     // the bitmap test; and the prefilter prunes the corpus shingle space
-    val (survivors, evalSet) = Round12Queries.bloomParts(spark, sf())
+    val (survivors, evalSet, sh) = Round12Queries.bloomParts(spark, sf())
     val survivorCount = survivors.count()
-    val exactHits = survivors.join(broadcast(evalSet), "shingle").count()
+    val exactHits =
+      try survivors.join(broadcast(evalSet), "shingle").count()
+      finally sh.unpersist(false)
     assert(exactHits > 0, "fixture must contain genuine eval overlap")
     val corpusShingles = Tables.load(spark, sf(), "documents")
       .select(split(lower(col("text")), " ").as("toks"))
