@@ -131,7 +131,7 @@ object RetrievalQueries {
     *   `HashPartitioning(src)` satisfies each iteration's join
     *   distribution, so the edge side never re-exchanges).
     */
-  private def transactionEdges(s: SparkSession, dir: String,
+  private[queries] def transactionEdges(s: SparkSession, dir: String,
       partitioned: Boolean = false): DataFrame = {
     val pairs = coOrderPairs(s, dir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
