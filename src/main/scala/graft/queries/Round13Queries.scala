@@ -69,6 +69,15 @@ object Round13Queries {
   val OddsMinCount = 10
   val OddsTopK = 25
 
+  /** Cosine threshold for semantic-cluster edges (2σ of the fixture's
+    * near-random cosine distribution — the pipe_decontaminate_semantic
+    * calibration).
+    */
+  val SemClusterTau = 0.25
+
+  /** Heaps-law prefix snapshot count. */
+  val HeapsCuts = 10
+
   private val nodeStr =
     "IF(node % 2 = 0, concat('c', node div 2), concat('s', node div 2))"
   private val lblStr =
@@ -136,6 +145,145 @@ object Round13Queries {
       .withColumn("is_alarm", col("cusum") > CusumH)
   }
 
+  /** Final LPA label table (node, lbl) after LpaIters synchronous
+    * rounds — shared by graph_label_prop and graph_modularity.
+    */
+  private def lpaFinal(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val edges = RetrievalQueries.transactionEdges(s, dir)
+    val l0 = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val wArg = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    val fin = (1 to LpaIters).foldLeft(l0) { (l, _) =>
+      edges
+        .join(broadcast(l.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    (edges, fin)
+  }
+
+  /** The LPA rounds + edge CTEs shared by both graph oracles. */
+  private def lpaDuckCtes: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""l$i AS (
+         SELECT node, lbl FROM (
+           SELECT e.dst AS node, l.lbl, count(*) AS c,
+             row_number() OVER (PARTITION BY e.dst
+               ORDER BY count(*) DESC, l.lbl ASC) AS rn
+           FROM edges e JOIN l${i - 1} l ON e.src = l.node
+           GROUP BY e.dst, l.lbl) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      l0 AS (
+        SELECT node, node AS lbl
+        FROM (SELECT DISTINCT src AS node FROM edges)),
+      $rounds"""
+  }
+
+  /** The two-table multiprobe kNN graph (vec_id, rank, neighbor_id,
+    * cosine) — shared by sim_knn_graph and sim_semantic_clusters.
+    * Materialized (localCheckpoint) so the corpus-bucket cache releases
+    * before the caller composes further stages.
+    */
+  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    def bucketCol(t: Int) = (0 until NBits).map { b =>
+      when(VectorOps.dot(col("v"), typedLit(KnnTables(t)(b))) >= 0.0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val all = vectors(s, dir)
+      .withColumn("b0", bucketCol(0)).withColumn("b1", bucketCol(1))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    // per table: own bucket + the NBits Hamming-1 flips; the table
+    // index is folded into the join key so tables never cross-match
+    def probeCol(bc: String, t: Int) = array(
+      ((col(bc) + lit(t * 256)) +: (0 until NBits).map(b =>
+        col(bc).bitwiseXOR(lit(1 << b)) + lit(t * 256))): _*)
+    val cand = Seq(("b0", 0), ("b1", 1)).map { case (bc, t) =>
+      val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
+        (col(bc) + lit(t * 256)).as("bucket"))
+      val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(probeCol(bc, t)).as("bucket"))
+      corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("v"), col("qv"), col("nrm"), col("qn"))
+    }.reduce(_ unionByName _)
+      // a pair surviving in both tables (or several probes) must
+      // score once: exact-verify AFTER the pair-level distinct
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("v")).as("v"), first(col("qv")).as("qv"),
+        first(col("nrm")).as("nrm"), first(col("qn")).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val res = cand
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id").as("vec_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+    try res.localCheckpoint(true)
+    finally all.unpersist(false)
+  }
+
+  /** The kNN-graph oracle CTE chain, ending in `ranked` (query_id,
+    * neighbor_id, cosine, rank) — shared by both consumers.
+    */
+  private def knnDuckCtes: String = {
+    def bucketSql(t: Int) = (0 until NBits).map { b =>
+      val lits = KnnTables(t)(b).mkString("[", ", ", "]")
+      s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    def probes(t: Int) = (0 to NBits).map {
+      case 0 => s"b$t + ${t * 256}"
+      case b => s"xor(b$t, ${1 << (b - 1)}) + ${t * 256}"
+    }.mkString("[", ", ", "]")
+    s"""$vectorsDuck,
+      bucketed AS (
+        SELECT vec_id, v, nrm, ${bucketSql(0)} AS b0, ${bucketSql(1)} AS b1
+        FROM nvecs),
+      corpus AS (
+        SELECT vec_id, v, nrm, b0 AS bucket FROM bucketed
+        UNION ALL
+        SELECT vec_id, v, nrm, b1 + 256 AS bucket FROM bucketed),
+      q AS (
+        SELECT vec_id AS query_id, unnest(${probes(0)}) AS bucket
+        FROM bucketed
+        UNION ALL
+        SELECT vec_id AS query_id, unnest(${probes(1)}) AS bucket
+        FROM bucketed),
+      cand AS (
+        SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        FROM corpus a JOIN q ON a.bucket = q.bucket
+          AND a.vec_id <> q.query_id),
+      sims AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+        FROM cand c
+        JOIN nvecs b ON b.vec_id = c.query_id
+        JOIN nvecs a ON a.vec_id = c.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── label-propagation communities (Raghavan et al. 2007) ─────────
@@ -151,21 +299,7 @@ object Round13Queries {
     QueryDef(
       "graph_label_prop",
       (s, dir) => {
-        val edges = RetrievalQueries.transactionEdges(s, dir)
-        val l0 = edges.select(col("src").as("node")).distinct()
-          .withColumn("lbl", col("node"))
-        val wArg = Window.partitionBy(col("node"))
-          .orderBy(col("c").desc, col("lbl").asc)
-        val fin = (1 to LpaIters).foldLeft(l0) { (l, _) =>
-          edges
-            .join(broadcast(l.withColumnRenamed("node", "src")), "src")
-            .select(col("dst").as("node"), col("lbl"))
-            .groupBy(col("node"), col("lbl"))
-            .agg(count(lit(1)).as("c"))
-            .withColumn("rn", row_number().over(wArg))
-            .filter(col("rn") === 1)
-            .select(col("node"), col("lbl"))
-        }
+        val (_, fin) = lpaFinal(s, dir)
         val wc = Window.partitionBy(col("lbl"))
         fin
           .withColumn("community_size", count(lit(1)).over(wc))
@@ -173,27 +307,7 @@ object Round13Queries {
             col("community_size"))
           .orderBy(col("node"))
       },
-      Some {
-        val rounds = (1 to LpaIters).map { i =>
-          s"""l$i AS (
-             SELECT node, lbl FROM (
-               SELECT e.dst AS node, l.lbl, count(*) AS c,
-                 row_number() OVER (PARTITION BY e.dst
-                   ORDER BY count(*) DESC, l.lbl ASC) AS rn
-               FROM edges e JOIN l${i - 1} l ON e.src = l.node
-               GROUP BY e.dst, l.lbl) WHERE rn = 1)"""
-        }.mkString(",\n")
-        s"""WITH pairs AS (
-            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (
-            SELECT a AS src, b AS dst FROM pairs
-            UNION ALL
-            SELECT b AS src, a AS dst FROM pairs),
-          l0 AS (
-            SELECT node, node AS lbl
-            FROM (SELECT DISTINCT src AS node FROM edges)),
-          $rounds
+      Some(s"""WITH $lpaDuckCtes
           SELECT
             CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
                  ELSE 's' || (node // 2) END AS node,
@@ -201,8 +315,7 @@ object Round13Queries {
                  ELSE 's' || (lbl // 2) END AS community,
             count(*) OVER (PARTITION BY lbl) AS community_size
           FROM l$LpaIters
-          ORDER BY node"""
-      },
+          ORDER BY node"""),
       doc = s"Label propagation ($LpaIters synchronous rounds, " +
         "most-frequent-neighbor label, min-label ties): per round one " +
         "edges x broadcast-labels join + one (node, lbl) count shuffle " +
@@ -546,95 +659,204 @@ object Round13Queries {
     // deduped BEFORE the one exact verify.
     QueryDef(
       "sim_knn_graph",
-      (s, dir) => {
-        def bucketCol(t: Int) = (0 until NBits).map { b =>
-          when(VectorOps.dot(col("v"), typedLit(KnnTables(t)(b))) >= 0.0,
-            lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
-        val all = vectors(s, dir)
-          .withColumn("b0", bucketCol(0)).withColumn("b1", bucketCol(1))
-          .repartition(s.sparkContext.defaultParallelism)
-          .persist()
-        // per table: own bucket + the NBits Hamming-1 flips; the table
-        // index is folded into the join key so tables never cross-match
-        def probeCol(bc: String, t: Int) = array(
-          ((col(bc) + lit(t * 256)) +: (0 until NBits).map(b =>
-            col(bc).bitwiseXOR(lit(1 << b)) + lit(t * 256))): _*)
-        val cand = Seq(("b0", 0), ("b1", 1)).map { case (bc, t) =>
-          val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
-            (col(bc) + lit(t * 256)).as("bucket"))
-          val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"), explode(probeCol(bc, t)).as("bucket"))
-          corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
-            .filter(col("vec_id") =!= col("query_id"))
-            .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              col("v"), col("qv"), col("nrm"), col("qn"))
-        }.reduce(_ unionByName _)
-          // a pair surviving in both tables (or several probes) must
-          // score once: exact-verify AFTER the pair-level distinct
-          .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(first(col("v")).as("v"), first(col("qv")).as("qv"),
-            first(col("nrm")).as("nrm"), first(col("qn")).as("qn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)
-        val res = cand
-          .select(
-            col("query_id"), col("neighbor_id"),
-            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= KnnK)
-          .select(col("query_id").as("vec_id"), col("rank"),
-            col("neighbor_id"), col("cosine"))
-          .orderBy(col("vec_id"), col("rank"))
-        try res.localCheckpoint(true)
-        finally all.unpersist(false)
-      },
-      Some {
-        def bucketSql(t: Int) = (0 until NBits).map { b =>
-          val lits = KnnTables(t)(b).mkString("[", ", ", "]")
-          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-        def probes(t: Int) = (0 to NBits).map {
-          case 0 => s"b$t + ${t * 256}"
-          case b => s"xor(b$t, ${1 << (b - 1)}) + ${t * 256}"
-        }.mkString("[", ", ", "]")
-        s"""WITH $vectorsDuck,
-          bucketed AS (
-            SELECT vec_id, v, nrm, ${bucketSql(0)} AS b0, ${bucketSql(1)} AS b1
-            FROM nvecs),
-          corpus AS (
-            SELECT vec_id, v, nrm, b0 AS bucket FROM bucketed
-            UNION ALL
-            SELECT vec_id, v, nrm, b1 + 256 AS bucket FROM bucketed),
-          q AS (
-            SELECT vec_id AS query_id, unnest(${probes(0)}) AS bucket
-            FROM bucketed
-            UNION ALL
-            SELECT vec_id AS query_id, unnest(${probes(1)}) AS bucket
-            FROM bucketed),
-          cand AS (
-            SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
-            FROM corpus a JOIN q ON a.bucket = q.bucket
-              AND a.vec_id <> q.query_id),
-          sims AS (
-            SELECT c.query_id, c.neighbor_id,
-              round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
-            FROM cand c
-            JOIN nvecs b ON b.vec_id = c.query_id
-            JOIN nvecs a ON a.vec_id = c.neighbor_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM sims)
+      (s, dir) => knnGraph(s, dir),
+      Some(s"""WITH $knnDuckCtes
         SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $KnnK ORDER BY vec_id, rank"""
-      },
+        WHERE rank <= $KnnK ORDER BY vec_id, rank"""),
       doc = s"Sign-LSH kNN graph (k=$KnnK): every vector's top-k cosine " +
         "neighbors among multiprobe bucket-mates across TWO independent " +
         "hash tables (pair-level distinct, exact verify once); candidate " +
         "volume is sum of bucket-load^2 per table, never all-pairs; " +
-        "width-scaled bits rule applies at growing corpus scale.")
+        "width-scaled bits rule applies at growing corpus scale."),
+
+    // ── modularity of the LPA partition (Newman & Girvan 2004) ───────
+    // The quality score of a community partition: Q = Σ_c [e_c/E −
+    // (K_c/E)²] with E the directed (symmetric-list) edge count, e_c
+    // the within-community directed edges, K_c the community degree
+    // sum. Everything is exact integer counting — two broadcast label
+    // joins + community-bounded rollups; the one double expression is
+    // the final display. The number a curation pipeline actually reads
+    // before trusting the communities ("is Q ≫ 0?").
+    QueryDef(
+      "graph_modularity",
+      (s, dir) => {
+        val (edges, fin) = lpaFinal(s, dir)
+        val deg = edges.select(col("src").as("node"), col("deg")).distinct()
+        val eIn = edges
+          .join(broadcast(fin.select(col("node").as("src"), col("lbl").as("la"))), "src")
+          .join(broadcast(fin.select(col("node").as("dst"), col("lbl").as("lb"))), "dst")
+          .filter(col("la") === col("lb"))
+          .agg(count(lit(1)).as("e_in"))
+        val kc = deg
+          .join(broadcast(fin), "node")
+          .groupBy(col("lbl")).agg(sum(col("deg")).as("kc"))
+        val sk = kc.agg(
+          count(lit(1)).as("n_communities"),
+          sum((col("kc") * col("kc")).cast(DecimalType(38, 0))).as("sk2"))
+        val nn = fin.agg(count(lit(1)).as("n_nodes"))
+        val ee = edges.agg(count(lit(1)).as("e"))
+        nn.crossJoin(broadcast(sk)).crossJoin(broadcast(eIn))
+          .crossJoin(broadcast(ee))
+          .select(col("n_nodes"), col("n_communities"),
+            expr("e div 2").as("m_edges"),
+            round(expr(
+              "CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e)"), 6)
+              .as("modularity"))
+      },
+      Some(s"""WITH $lpaDuckCtes,
+          deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+          e_in_t AS (
+            SELECT count(*) AS e_in
+            FROM edges e
+            JOIN l$LpaIters a ON e.src = a.node
+            JOIN l$LpaIters b ON e.dst = b.node
+            WHERE a.lbl = b.lbl),
+          kc AS (
+            SELECT l.lbl, sum(deg) AS kc
+            FROM deg d JOIN l$LpaIters l ON d.node = l.node
+            GROUP BY l.lbl),
+          sk AS (
+            SELECT count(*) AS n_communities, sum(kc * kc) AS sk2 FROM kc),
+          nn AS (SELECT count(*) AS n_nodes FROM l$LpaIters),
+          ee AS (SELECT count(*) AS e FROM edges)
+        SELECT n_nodes, n_communities, e // 2 AS m_edges,
+          round(CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e), 6)
+            AS modularity
+        FROM nn CROSS JOIN sk CROSS JOIN e_in_t CROSS JOIN ee"""),
+      doc = "Newman-Girvan modularity of the LPA partition: Q = e_in/E - " +
+        "sum_c (K_c/E)^2, all exact integer counting (two broadcast " +
+        "label joins, community-bounded rollups), one final double; the " +
+        "partition-quality number read before trusting communities."),
+
+    // ── semantic clusters: kNN graph → τ-edges → connected components ─
+    // The SemDeDup/embedding-clustering composition: keep kNN edges at
+    // cosine ≥ τ, resolve transitive clusters with the same CC operator
+    // the dedup family uses, singletons label themselves. The kNN graph
+    // bounds candidate edges (≤ k per vector), so the CC input is
+    // node-×-k-sized — never the all-pairs graph; cluster count/size
+    // then feed the curation rollups (duplication profile, SemDeDup
+    // keep-one).
+    QueryDef(
+      "sim_semantic_clusters",
+      (s, dir) => {
+        val knn = knnGraph(s, dir)
+          .filter(col("cosine") >= SemClusterTau)
+          .select(col("vec_id"), col("neighbor_id"))
+        val labels = graft.operators.ConnectedComponents.run(knn)
+        val all = vectors(s, dir).select(col("vec_id"))
+        val wc = Window.partitionBy(col("cluster_id"))
+        all
+          .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+          .withColumn("cluster_size", count(lit(1)).over(wc))
+          .select(col("cluster_id"), col("vec_id"), col("cluster_size"))
+          .orderBy(col("cluster_id"), col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE $knnDuckCtes,
+          knn AS (
+            SELECT query_id, neighbor_id FROM ranked
+            WHERE rank <= $KnnK AND cosine >= $SemClusterTau),
+          und AS (
+            SELECT query_id AS u, neighbor_id AS v FROM knn
+            UNION SELECT neighbor_id, query_id FROM knn),
+          reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          lbl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT coalesce(l.cluster_id, n.vec_id) AS cluster_id,
+          n.vec_id AS vec_id,
+          count(*) OVER (PARTITION BY coalesce(l.cluster_id, n.vec_id)) AS cluster_size
+        FROM nvecs n LEFT JOIN lbl l ON n.vec_id = l.vec_id
+        ORDER BY cluster_id, n.vec_id"""),
+      doc = s"Semantic clusters: kNN-graph edges at cosine >= $SemClusterTau " +
+        "resolved with the shared CC operator (min-label), singleton " +
+        "fill; CC input is node-x-k-bounded, never all-pairs."),
+
+    // ── Heaps-law fit over doc-id-prefix vocabulary growth ───────────
+    // V(n) ≈ K·n^β (Heaps 1978): vocabulary size vs token count over 10
+    // growing doc_id-prefix snapshots. The trick that keeps it ONE
+    // corpus pass: a token's FIRST occurrence (min doc_id per type)
+    // determines which prefixes count it, so n_types(cut) is a
+    // conditional count over the vocab-sized first-occurrence table and
+    // n_toks(cut) a conditional sum over the doc-level token counts —
+    // no per-prefix rescans. OLS on (ln n, ln V) with the exact-DECIMAL
+    // regression recipe (T18's).
+    QueryDef(
+      "text_heaps_fit",
+      (s, dir) => {
+        val tk = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).as("ntok"))
+        val firstOcc = tokenized(s, dir)
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        val mx = Tables.load(s, dir, "documents")
+          .agg(max(col("doc_id")).as("max_id"))
+        val cuts = broadcast(mx.select(
+          explode(expr(s"""transform(sequence(1, $HeapsCuts),
+            i -> struct(i AS cut_i, (max_id * CAST(i AS BIGINT)) div $HeapsCuts AS cut))"""))
+            .as("c")).select(col("c.cut_i"), col("c.cut")))
+        val ntoks = tk.crossJoin(cuts)
+          .filter(col("doc_id") <= col("cut"))
+          .groupBy(col("cut_i")).agg(sum(col("ntok")).as("n_toks"))
+        val ntypes = firstOcc.crossJoin(cuts)
+          .filter(col("first_doc") <= col("cut"))
+          .groupBy(col("cut_i")).agg(count(lit(1)).as("n_types"))
+        val pts = ntoks.join(ntypes, "cut_i")
+          .select(
+            expr("CAST(round(ln(CAST(n_toks AS DOUBLE)), 9) AS DECIMAL(28,9))").as("xr"),
+            expr("CAST(round(ln(CAST(n_types AS DOUBLE)), 9) AS DECIMAL(28,9))").as("yr"),
+            expr("CAST(round(ln(CAST(n_toks AS DOUBLE)) * ln(CAST(n_toks AS DOUBLE)), 9) AS DECIMAL(28,9))").as("xx"),
+            expr("CAST(round(ln(CAST(n_toks AS DOUBLE)) * ln(CAST(n_types AS DOUBLE)), 9) AS DECIMAL(28,9))").as("xy"))
+        pts.agg(count(lit(1)).as("n_points"),
+            sum(col("xr")).as("sx"), sum(col("yr")).as("sy"),
+            sum(col("xx")).as("sxx"), sum(col("xy")).as("sxy"))
+          .select(col("n_points"),
+            round(expr(
+              """(n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 6)
+              .as("beta"),
+            round(expr(
+              """(CAST(sy AS DOUBLE) - ((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / n_points"""), 6).as("ln_k"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, len(string_split(lower(text), ' ')) AS ntok
+          FROM documents),
+        first_occ AS (
+          SELECT tok, min(doc_id) AS first_doc FROM $tokenizedDuck GROUP BY tok),
+        mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        cuts AS (
+          SELECT i AS cut_i, (max_id * i) // $HeapsCuts AS cut
+          FROM mx, range(1, ${HeapsCuts + 1}) t(i)),
+        ntoks AS (
+          SELECT cut_i, CAST(sum(ntok) AS BIGINT) AS n_toks
+          FROM tk CROSS JOIN cuts WHERE doc_id <= cut GROUP BY cut_i),
+        ntypes AS (
+          SELECT cut_i, count(*) AS n_types
+          FROM first_occ CROSS JOIN cuts WHERE first_doc <= cut GROUP BY cut_i),
+        pts AS (
+          SELECT
+            CAST(round(ln(CAST(n_toks AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xr,
+            CAST(round(ln(CAST(n_types AS DOUBLE)), 9) AS DECIMAL(28,9)) AS yr,
+            CAST(round(ln(CAST(n_toks AS DOUBLE)) * ln(CAST(n_toks AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xx,
+            CAST(round(ln(CAST(n_toks AS DOUBLE)) * ln(CAST(n_types AS DOUBLE)), 9) AS DECIMAL(28,9)) AS xy
+          FROM ntoks JOIN ntypes USING (cut_i)),
+        agg AS (
+          SELECT count(*) AS n_points,
+            sum(xr) AS sx, sum(yr) AS sy, sum(xx) AS sxx, sum(xy) AS sxy
+          FROM pts)
+        SELECT n_points,
+          round((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+          round((CAST(sy AS DOUBLE) - ((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+            / n_points, 6) AS ln_k
+        FROM agg"""),
+      doc = s"Heaps-law fit over $HeapsCuts doc_id-prefix snapshots: " +
+        "n_types per prefix from the vocab-sized first-occurrence table " +
+        "(min doc_id per type), n_toks from doc-level counts — one " +
+        "corpus pass, no rescans; exact-DECIMAL OLS for beta and ln K.")
   )
 }

@@ -301,4 +301,109 @@ class Round13Spec extends SparkSpec {
     // in some probe essentially always
     assert(found >= 95, s"only $found/100 planted near-dup pairs at rank 1")
   }
+
+  // ── modularity ─────────────────────────────────────────────────────
+
+  test("graph_modularity matches a full Scala replay of Q over the LPA labels") {
+    val row = q("graph_modularity")(spark, sf()).collect().head
+    val (nNodes, nComm, mEdges, qMod) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+
+    // rebuild edges + replay LPA (the graph_label_prop test's recursion)
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = line.join(orders, line("l_orderkey") === orders("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    (1 to Round13Queries.LpaIters).foreach { _ =>
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val e = edges.length.toLong
+    val eIn = edges.count { case (u, v) => lbl(u) == lbl(v) }.toLong
+    val kc = edges.groupBy(e2 => lbl(e2._1)).view.mapValues(_.size.toLong).toMap
+    val sk2 = kc.values.map(k => BigInt(k) * BigInt(k)).sum
+    val expQ = r6(eIn.toDouble / e - sk2.toDouble / (e.toDouble * e))
+    assert(nNodes == nbrs.size)
+    assert(nComm == lbl.values.toSet.size)
+    assert(mEdges == e / 2)
+    assert(qMod == expQ, s"modularity: got $qMod want $expQ")
+    assert(qMod >= -0.5 && qMod <= 1.0)
+  }
+
+  // ── semantic clusters ──────────────────────────────────────────────
+
+  test("sim_semantic_clusters matches a union-find replay over tau-edges") {
+    val knn = q("sim_knn_graph")(spark, sf()).collect()
+      .filter(_.getDouble(3) >= Round13Queries.SemClusterTau)
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(knn.nonEmpty, "fixture must yield some tau-edges")
+    val allIds = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    knn.foreach { case (a, b) => union(a, b) }
+    val expected = allIds.map(v => v -> find(v)).toMap
+    val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val rows = q("sim_semantic_clusters")(spark, sf()).collect()
+    assert(rows.length == allIds.length, "one row per vector")
+    rows.foreach { r =>
+      val (cid, vid, sz) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cid == expected(vid), s"vec $vid: got $cid want ${expected(vid)}")
+      assert(sz == sizes(expected(vid)), s"vec $vid cluster_size")
+    }
+    // some genuine merging happened on the fixture
+    assert(sizes.values.max > 1)
+  }
+
+  // ── Heaps fit ──────────────────────────────────────────────────────
+
+  test("text_heaps_fit matches a Scala replay; beta in (0,1)") {
+    val row = q("text_heaps_fit")(spark, sf()).collect().head
+    val (nPts, beta, lnK) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(nPts == Round13Queries.HeapsCuts)
+    // the synthetic fixture draws from a CLOSED ~31-word pool, so the
+    // vocabulary saturates in the first prefix and beta ~ 0 is the
+    // correct Heaps verdict (natural text sits near 0.5-0.8); the exact
+    // replay below is the strong pin
+    assert(beta >= 0.0 && beta < 1.0, s"beta out of range: $beta")
+
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val maxId = docs.map(_._1).max
+    val firstOcc = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def d9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pts = (1 to Round13Queries.HeapsCuts).map { i =>
+      val cut = maxId * i / Round13Queries.HeapsCuts
+      val nToks = docs.filter(_._1 <= cut).map(_._2.size.toLong).sum
+      val nTypes = firstOcc.values.count(_ <= cut).toLong
+      (math.log(nToks.toDouble), math.log(nTypes.toDouble))
+    }
+    val n = pts.size
+    val sx = pts.map(p => d9(p._1)).sum.toDouble
+    val sy = pts.map(p => d9(p._2)).sum.toDouble
+    val sxx = pts.map(p => d9(p._1 * p._1)).sum.toDouble
+    val sxy = pts.map(p => d9(p._1 * p._2)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(beta == r6(slope), s"beta: got $beta want ${r6(slope)}")
+    assert(lnK == r6((sy - slope * sx) / n), s"ln_k mismatch")
+  }
 }
