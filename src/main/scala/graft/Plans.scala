@@ -28,7 +28,10 @@ object Plans {
     // round 12: the fragment-replicate salted rank join, the PQ/ADC
     // shortlist + exact re-rank serving path, and the context-sharded
     // trigram-LM layout (VERDICT r11 item 8)
-    "graph_pagerank_salted", "sim_pq_topk", "text_lm_trigram_backoff_sharded")
+    "graph_pagerank_salted", "sim_pq_topk", "text_lm_trigram_backoff_sharded",
+    // round 13: the two-table multiprobe kNN graph (pair-distinct before
+    // the one exact verify) and the LPA label-join iteration
+    "sim_knn_graph", "graph_label_prop")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -210,6 +210,14 @@ object Round13Queries {
     def probeCol(bc: String, t: Int) = array(
       ((col(bc) + lit(t * 256)) +: (0 until NBits).map(b =>
         col(bc).bitwiseXOR(lit(1 << b)) + lit(t * 256))): _*)
+    // score IN-BUCKET, narrow and codegen'd, BEFORE the pair dedup: a
+    // pair found by several probes/tables scores identically each time,
+    // so max() dedups it and the (query, neighbor) shuffle carries 8
+    // bytes of cosine instead of two 64-dim vectors — the first draft
+    // shuffled first(v)/first(qv) per candidate and went quadratic in
+    // shuffle BYTES (×10 probe: 241 s, ×26: out of disk); this form
+    // re-scores duplicate candidates (cheap in-row math) to keep the
+    // one wide-payload stage out of the plan entirely
     val cand = Seq(("b0", 0), ("b1", 1)).map { case (bc, t) =>
       val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
         (col(bc) + lit(t * 256)).as("bucket"))
@@ -218,20 +226,14 @@ object Round13Queries {
       corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("v"), col("qv"), col("nrm"), col("qn"))
+          round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+            .as("cosine"))
     }.reduce(_ unionByName _)
-      // a pair surviving in both tables (or several probes) must
-      // score once: exact-verify AFTER the pair-level distinct
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("v")).as("v"), first(col("qv")).as("qv"),
-        first(col("nrm")).as("nrm"), first(col("qn")).as("qn"))
+      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val res = cand
-      .select(
-        col("query_id"), col("neighbor_id"),
-        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-          .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
       .select(col("query_id").as("vec_id"), col("rank"),
@@ -680,7 +682,10 @@ object Round13Queries {
     QueryDef(
       "graph_modularity",
       (s, dir) => {
-        val (edges, fin) = lpaFinal(s, dir)
+        val (edges, fin0) = lpaFinal(s, dir)
+        // four consumers below (e_in twice, K_c, node count) — cut the
+        // 4-round LPA lineage once; the label table is node-sized
+        val fin = fin0.localCheckpoint()
         val deg = edges.select(col("src").as("node"), col("deg")).distinct()
         val eIn = edges
           .join(broadcast(fin.select(col("node").as("src"), col("lbl").as("la"))), "src")
