@@ -42,10 +42,19 @@ object Round13Queries {
     * unused by every other LSH consumer): union-of-tables is the
     * standard recall amplifier when every vector is a query — Hamming-1
     * multiprobe on ONE table left recall at ~0.15 on the near-random
-    * fixture, two tables clear ~0.3 at 2× candidate cost.
+    * fixture, two tables clear ~0.3 at 2× candidate cost. Width
+    * parameterized for the bits~log2(n) scale rule (the
+    * dedup_embedding_ann_scaled discipline): candidates grow as
+    * n²/2^bits per table, so widening the signature with the corpus
+    * holds per-bucket load — and probe cost — constant.
     */
-  val KnnTables: Seq[Seq[Seq[Double]]] =
-    Seq(hyperplaneSet(11), hyperplaneSet(12))
+  def knnTables(bits: Int): Seq[Seq[Seq[Double]]] =
+    Seq(hyperplaneSet(11, bits), hyperplaneSet(12, bits))
+
+  /** Production-width signature for the scaled kNN twin (2^12 buckets —
+    * the log2 rule's setting for the ×26–×50 probe corpora).
+    */
+  val KnnScaledBits = 12
 
   /** Synchronous label-propagation rounds (fixed — both engines replay
     * the identical unrolled recursion; bipartite graphs can oscillate,
@@ -196,20 +205,22 @@ object Round13Queries {
     * Materialized (localCheckpoint) so the corpus-bucket cache releases
     * before the caller composes further stages.
     */
-  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    def bucketCol(t: Int) = (0 until NBits).map { b =>
-      when(VectorOps.dot(col("v"), typedLit(KnnTables(t)(b))) >= 0.0,
+  private[graft] def knnGraph(s: SparkSession, dir: String,
+      bits: Int = NBits): DataFrame = {
+    val tables = knnTables(bits)
+    def bucketCol(t: Int) = (0 until bits).map { b =>
+      when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
     val all = vectors(s, dir)
       .withColumn("b0", bucketCol(0)).withColumn("b1", bucketCol(1))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
-    // per table: own bucket + the NBits Hamming-1 flips; the table
+    // per table: own bucket + the `bits` Hamming-1 flips; the table
     // index is folded into the join key so tables never cross-match
     def probeCol(bc: String, t: Int) = array(
-      ((col(bc) + lit(t * 256)) +: (0 until NBits).map(b =>
-        col(bc).bitwiseXOR(lit(1 << b)) + lit(t * 256))): _*)
+      ((col(bc) + lit(t << bits)) +: (0 until bits).map(b =>
+        col(bc).bitwiseXOR(lit(1 << b)) + lit(t << bits))): _*)
     // score IN-BUCKET, narrow and codegen'd, BEFORE the pair dedup: a
     // pair found by several probes/tables scores identically each time,
     // so max() dedups it and the (query, neighbor) shuffle carries 8
@@ -220,7 +231,7 @@ object Round13Queries {
     // one wide-payload stage out of the plan entirely
     val cand = Seq(("b0", 0), ("b1", 1)).map { case (bc, t) =>
       val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
-        (col(bc) + lit(t * 256)).as("bucket"))
+        (col(bc) + lit(t << bits)).as("bucket"))
       val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(probeCol(bc, t)).as("bucket"))
       corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
@@ -246,14 +257,15 @@ object Round13Queries {
   /** The kNN-graph oracle CTE chain, ending in `ranked` (query_id,
     * neighbor_id, cosine, rank) — shared by both consumers.
     */
-  private def knnDuckCtes: String = {
-    def bucketSql(t: Int) = (0 until NBits).map { b =>
-      val lits = KnnTables(t)(b).mkString("[", ", ", "]")
+  private def knnDuckCtes(bits: Int = NBits): String = {
+    val tables = knnTables(bits)
+    def bucketSql(t: Int) = (0 until bits).map { b =>
+      val lits = tables(t)(b).mkString("[", ", ", "]")
       s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
-    def probes(t: Int) = (0 to NBits).map {
-      case 0 => s"b$t + ${t * 256}"
-      case b => s"xor(b$t, ${1 << (b - 1)}) + ${t * 256}"
+    def probes(t: Int) = (0 to bits).map {
+      case 0 => s"b$t + ${t << bits}"
+      case b => s"xor(b$t, ${1 << (b - 1)}) + ${t << bits}"
     }.mkString("[", ", ", "]")
     s"""$vectorsDuck,
       bucketed AS (
@@ -262,7 +274,7 @@ object Round13Queries {
       corpus AS (
         SELECT vec_id, v, nrm, b0 AS bucket FROM bucketed
         UNION ALL
-        SELECT vec_id, v, nrm, b1 + 256 AS bucket FROM bucketed),
+        SELECT vec_id, v, nrm, b1 + ${1 << bits} AS bucket FROM bucketed),
       q AS (
         SELECT vec_id AS query_id, unnest(${probes(0)}) AS bucket
         FROM bucketed
@@ -662,7 +674,7 @@ object Round13Queries {
     QueryDef(
       "sim_knn_graph",
       (s, dir) => knnGraph(s, dir),
-      Some(s"""WITH $knnDuckCtes
+      Some(s"""WITH ${knnDuckCtes()}
         SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
         WHERE rank <= $KnnK ORDER BY vec_id, rank"""),
       doc = s"Sign-LSH kNN graph (k=$KnnK): every vector's top-k cosine " +
@@ -670,6 +682,24 @@ object Round13Queries {
         "hash tables (pair-level distinct, exact verify once); candidate " +
         "volume is sum of bucket-load^2 per table, never all-pairs; " +
         "width-scaled bits rule applies at growing corpus scale."),
+
+    // ── width-scaled kNN graph twin (bits ~ log2 n) ──────────────────
+    // The production setting of V11 for larger corpora: candidates grow
+    // as n²/2^bits per table, so the 8-bit index that is right for the
+    // fixture goes quadratic on probe corpora (×10: 16.7 s, ×26:
+    // 133 s) — at 2^12 buckets the per-bucket load (and with it probe
+    // cost) drops ~16×. Same recipe, same oracle builder, wider
+    // signature — exactly the dedup_embedding_ann_scaled discipline.
+    QueryDef(
+      "sim_knn_graph_scaled",
+      (s, dir) => knnGraph(s, dir, KnnScaledBits),
+      Some(s"""WITH ${knnDuckCtes(KnnScaledBits)}
+        SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= $KnnK ORDER BY vec_id, rank"""),
+      doc = s"Width-scaled kNN graph (bits=$KnnScaledBits ~ log2 of the " +
+        "probe corpora): same two-table multiprobe recipe with a wider " +
+        "signature — per-bucket load, hence candidate volume, stays " +
+        "constant as the corpus grows."),
 
     // ── modularity of the LPA partition (Newman & Girvan 2004) ───────
     // The quality score of a community partition: Q = Σ_c [e_c/E −
@@ -757,7 +787,7 @@ object Round13Queries {
           .select(col("cluster_id"), col("vec_id"), col("cluster_size"))
           .orderBy(col("cluster_id"), col("vec_id"))
       },
-      Some(s"""WITH RECURSIVE $knnDuckCtes,
+      Some(s"""WITH RECURSIVE ${knnDuckCtes()},
           knn AS (
             SELECT query_id, neighbor_id FROM ranked
             WHERE rank <= $KnnK AND cosine >= $SemClusterTau),

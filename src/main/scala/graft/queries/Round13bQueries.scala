@@ -41,6 +41,9 @@ object Round13bQueries {
   /** Exponential-mechanism privacy budget. */
   val DpqEpsilon = 1.0
 
+  /** Bootstrap replicate count. */
+  val BootB = 100
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -402,6 +405,123 @@ object Round13bQueries {
       doc = s"epsilon=$DpqEpsilon DP median (exponential mechanism, " +
         "Gumbel-max form) over the n_chars candidate grid: one " +
         "histogram shuffle, cumulative window over the grid, TakeOrdered " +
-        "1; seeded replayable noise (demo stance, as pipe_dp_stats).")
+        "1; seeded replayable noise (demo stance, as pipe_dp_stats)."),
+
+    // ── rank-distribution window functions ───────────────────────────
+    // The remaining SQL-standard ranking family: ntile quartiles,
+    // percent_rank, cume_dist — per-source over (n_chars, doc_id) so
+    // the order is total (percent_rank/cume_dist over a non-total order
+    // are tie-dependent but deterministic; the doc_id tiebreak removes
+    // even that concern). One partition-sort window, no extra shuffle.
+    QueryDef(
+      "q113_rank_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT source, doc_id, n_chars,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+        ORDER BY source, doc_id"""),
+      doc = "SQL-standard rank-distribution family (ntile, percent_rank, " +
+        "cume_dist) per source over a total (n_chars, doc_id) order; one " +
+        "partition-sort window."),
+
+    // ── Poisson-bootstrap confidence interval (Chamandy et al. 2012) ─
+    // THE distributed bootstrap: per (doc, replicate) a seeded
+    // Poisson(1) weight approximates with-replacement resampling
+    // without ever materializing a resample — the one-pass map-reduce
+    // form Google published for exactly the "CI over a corpus-scale
+    // mean" job. B replicates fan the corpus out ×B in-row (explode),
+    // ONE (replicate) rollup computes every weighted mean, the CI is a
+    // percentile over the B-row replicate table. Poisson(1) via
+    // inverse-CDF on a seeded uniform with literal cumulative
+    // thresholds (truncated at k=8, P(k>8) < 1e-6 — stated); identical
+    // literals in both engines ⇒ identical weights.
+    QueryDef(
+      "pipe_bootstrap_ci",
+      (s, dir) => {
+        val u = s"((${h60Spark("concat('boot:', cast(doc_id as string), ':', cast(b as string))")} % 1000000) + 0.5) / 1000000.0"
+        val reps = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr(s"sequence(1, $BootB)")).as("b"))
+          .withColumn("w", expr(s"CASE ${poissonCase(u)} END"))
+        val means = reps.groupBy(col("b"))
+          .agg(
+            sum(col("w") * col("n_chars")).as("sw_x"),
+            sum(col("w")).as("sw"))
+          .filter(col("sw") > 0)
+          .select(col("b"),
+            round(col("sw_x").cast(DoubleType) / col("sw"), 6).as("mean_b"))
+        val wOrd = Window.orderBy(col("mean_b"), col("b"))
+        val ranked = means.withColumn("rn", row_number().over(wOrd))
+          .crossJoin(broadcast(means.agg(count(lit(1)).as("nb"))))
+        val lo = ranked
+          .filter(col("rn") === expr("CAST(ceil(nb * 0.025) AS BIGINT)"))
+          .select(col("mean_b").as("ci_lo"))
+        val hi = ranked
+          .filter(col("rn") === expr("CAST(ceil(nb * 0.975) AS BIGINT)"))
+          .select(col("mean_b").as("ci_hi"))
+        val pt = Tables.load(s, dir, "documents")
+          .agg(round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 6)
+            .as("mean_hat"), count(lit(1)).as("n_docs"))
+        pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("n_docs"), col("mean_hat"), col("ci_lo"), col("ci_hi"))
+      },
+      Some {
+        val u = s"((${h60Duck("'boot:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")} % 1000000) + 0.5) / 1000000.0"
+        s"""WITH reps AS (
+            SELECT doc_id, n_chars, u.b AS b,
+              CASE ${poissonCase(u)} END AS w
+            FROM documents, unnest(range(1, ${BootB + 1})) u(b)),
+          means AS (
+            SELECT b,
+              round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS mean_b
+            FROM reps GROUP BY b HAVING sum(w) > 0),
+          ranked AS (
+            SELECT b, mean_b,
+              row_number() OVER (ORDER BY mean_b, b) AS rn,
+              count(*) OVER () AS nb
+            FROM means),
+          lo AS (SELECT mean_b AS ci_lo FROM ranked
+                 WHERE rn = CAST(ceil(nb * 0.025) AS BIGINT)),
+          hi AS (SELECT mean_b AS ci_hi FROM ranked
+                 WHERE rn = CAST(ceil(nb * 0.975) AS BIGINT)),
+          pt AS (
+            SELECT count(*) AS n_docs,
+              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_hat
+            FROM documents)
+        SELECT n_docs, mean_hat, ci_lo, ci_hi
+        FROM pt CROSS JOIN lo CROSS JOIN hi"""
+      },
+      doc = s"Poisson bootstrap (B=$BootB, Chamandy 2012): seeded " +
+        "Poisson(1) weights per (doc, replicate) — with-replacement " +
+        "resampling without materializing resamples; one in-row x-B " +
+        "fan-out + ONE replicate rollup; 95% CI from the B-row table.")
   )
+
+  /** Truncated-Poisson(1) inverse CDF as CASE branches over a uniform
+    * expression — cumulative thresholds e^{-1}·Σ 1/k! as literal
+    * doubles, identical text in both engines. P(k > 8) < 1.02e-6 is
+    * folded into the k=8 branch.
+    */
+  private def poissonCase(u: String): String = {
+    // cumulative thresholds c_k = e^-1 * sum_{j<=k} 1/j!
+    val fact = (0 to 7).map(k => (1 to k).foldLeft(1.0)(_ * _))
+    val cum = fact.map(f => math.exp(-1.0) / f)
+      .scanLeft(0.0)(_ + _).tail
+    cum.zipWithIndex.map { case (c, k) =>
+      s"WHEN $u < $c THEN $k"
+    }.mkString(" ") + " ELSE 8"
+  }
 }

@@ -187,4 +187,69 @@ class Round13bSpec extends SparkSpec {
     assert(dpScore == expS, s"dp score: got $dpScore want $expS")
     assert(hist.map(_._1).contains(dpMed), "released value must be observed")
   }
+
+  // ── rank-distribution windows ──────────────────────────────────────
+
+  test("q113_rank_distribution: percent_rank/cume_dist/ntile replay") {
+    val rows = q("q113_rank_distribution")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(d => (d._3, d._2))
+      val n = ordered.length
+      ordered.zipWithIndex.foreach { case ((_, id, _, quart, pr, cd), i) =>
+        val expPr = if (n == 1) 0.0 else r6(i.toDouble / (n - 1))
+        assert(pr == expPr, s"doc $id percent_rank")
+        // total order ⇒ cume_dist = (i+1)/n
+        assert(cd == r6((i + 1).toDouble / n), s"doc $id cume_dist")
+        // ntile(4): first (n mod 4) tiles get ceil(n/4) rows
+        val base = n / 4; val extra = n % 4
+        val expTile = if (i < (base + 1) * extra) i / (base + 1) + 1
+          else (i - (base + 1) * extra) / base + extra + 1
+        assert(quart == expTile, s"doc $id ntile: got $quart want $expTile")
+      }
+    }
+  }
+
+  // ── Poisson bootstrap ──────────────────────────────────────────────
+
+  test("pipe_bootstrap_ci: full seeded replay, CI brackets the point estimate") {
+    val row = q("pipe_bootstrap_ci")(spark, sf()).collect().head
+    val (nDocs, meanHat, ciLo, ciHi) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(ciLo <= meanHat && meanHat <= ciHi,
+      s"CI [$ciLo, $ciHi] must bracket $meanHat")
+
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nDocs == docs.length)
+    assert(meanHat == r6(docs.map(_._2).sum.toDouble / docs.length))
+
+    def u(doc: Long, b: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$doc:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 15), 16)
+      ((h % 1000000L) + 0.5) / 1000000.0
+    }
+    val fact = (0 to 7).map(k => (1 to k).foldLeft(1.0)(_ * _))
+    val cum = fact.map(f => math.exp(-1.0) / f).scanLeft(0.0)(_ + _).tail
+    def pois(uu: Double): Long = {
+      val idx = cum.indexWhere(uu < _)
+      if (idx < 0) 8L else idx.toLong
+    }
+    val means = (1 to Round13bQueries.BootB).flatMap { b =>
+      var swx = 0L; var sw = 0L
+      docs.foreach { case (id, x) =>
+        val w = pois(u(id, b)); swx += w * x; sw += w
+      }
+      if (sw > 0) Some((b, r6(swx.toDouble / sw))) else None
+    }
+    val ranked = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val nb = ranked.length
+    assert(ciLo == ranked(math.ceil(nb * 0.025).toInt - 1), "ci_lo replay")
+    assert(ciHi == ranked(math.ceil(nb * 0.975).toInt - 1), "ci_hi replay")
+  }
 }
