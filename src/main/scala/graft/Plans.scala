@@ -44,7 +44,14 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq else flagships
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      // sim_knn_graph materializes via localCheckpoint (its executed
+      // plan is a bare RDD scan) — dump the un-materialized pipeline
+      val df = name match {
+        case "sim_knn_graph" =>
+          val (res, _) = graft.queries.Round13Queries.knnGraphPlan(spark, dir)
+          res
+        case _ => SparkEntry.queries(name)(spark, dir)
+      }
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(8000))

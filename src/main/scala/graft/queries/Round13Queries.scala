@@ -207,6 +207,18 @@ object Round13Queries {
     */
   private[graft] def knnGraph(s: SparkSession, dir: String,
       bits: Int = NBits): DataFrame = {
+    val (res, all) = knnGraphPlan(s, dir, bits)
+    try res.localCheckpoint(true)
+    finally all.unpersist(false)
+  }
+
+  /** The un-materialized kNN pipeline plus its persisted bucket stage —
+    * `knnGraph` checkpoints it (so composing consumers read blocks, not
+    * lineage); Plans dumps this form, since the checkpointed result's
+    * plan is a bare RDD scan.
+    */
+  private[graft] def knnGraphPlan(s: SparkSession, dir: String,
+      bits: Int = NBits): (DataFrame, DataFrame) = {
     val tables = knnTables(bits)
     def bucketCol(t: Int) = (0 until bits).map { b =>
       when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
@@ -250,8 +262,7 @@ object Round13Queries {
       .select(col("query_id").as("vec_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy(col("vec_id"), col("rank"))
-    try res.localCheckpoint(true)
-    finally all.unpersist(false)
+    (res, all)
   }
 
   /** The kNN-graph oracle CTE chain, ending in `ranked` (query_id,
