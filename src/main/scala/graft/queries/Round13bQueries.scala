@@ -507,7 +507,42 @@ object Round13bQueries {
       doc = s"Poisson bootstrap (B=$BootB, Chamandy 2012): seeded " +
         "Poisson(1) weights per (doc, replicate) — with-replacement " +
         "resampling without materializing resamples; one in-row x-B " +
-        "fan-out + ONE replicate rollup; 95% CI from the B-row table.")
+        "fan-out + ONE replicate rollup; 95% CI from the B-row table."),
+
+    // ── exact heavy hitters: the ST20 SpaceSaving batch twin ─────────
+    // The ground truth the streaming SpaceSaving table approximates:
+    // per event_type, the top-Capacity users by exact event count. One
+    // (type, user) rollup, per-type top-k through the two-phase
+    // WindowGroupLimit (only each type's best Capacity rows cross the
+    // second exchange). StreamingHeavyHitterSpec checks the paper's
+    // est/err guarantees against exactly these counts.
+    QueryDef(
+      "ev_heavy_hitters",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("user_id").asc)
+        Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= graft.streaming.HeavyHitterStream.Capacity)
+          .select(col("event_type"), col("rnk"), col("user_id"), col("n"))
+          .orderBy(col("event_type"), col("rnk"))
+      },
+      Some(s"""WITH cnt AS (
+          SELECT event_type, user_id, count(*) AS n
+          FROM events GROUP BY event_type, user_id),
+        ranked AS (
+          SELECT event_type, user_id, n,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY n DESC, user_id ASC) AS rnk
+          FROM cnt)
+        SELECT event_type, rnk, user_id, n FROM ranked
+        WHERE rnk <= ${graft.streaming.HeavyHitterStream.Capacity}
+        ORDER BY event_type, rnk"""),
+      doc = "Exact per-type top-8 users by event count (the SpaceSaving " +
+        "stream's ground truth): one rollup + two-phase WindowGroupLimit " +
+        "top-k per type.")
   )
 
   /** Truncated-Poisson(1) inverse CDF as CASE branches over a uniform

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ST20 — SpaceSaving guarantees against the exact batch counts:
+  *
+  *  - reconstruction: last emission per (type, user) with tombstones
+  *    dropped = the live counter table (≤ Capacity rows per type);
+  *  - the paper's bounds hold for every resident: est − err ≤ true ≤
+  *    est (err = 0 residents are EXACT);
+  *  - completeness: every user with true count > N_type/Capacity is
+  *    resident (the heavy-hitter guarantee);
+  *  - a Scala replay of the deterministic update rule reproduces the
+  *    final table exactly;
+  *  - multi-batch ts-ordered RocksDB replay ≡ single-batch.
+  */
+class StreamingHeavyHitterSpec extends SparkSpec {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  private lazy val stagedDir: String = {
+    val d = tmpDir("heavyhitters")
+    graft.Tables.load(spark, sf(), "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy(col("ts"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  /** Final live table per (type, user): last emission wins, tombstones
+    * drop the entry.
+    */
+  private def finalTable(srcDir: String, name: String)
+      : Map[(String, Long), (Long, Long)] = {
+    val got = EventStreams.runToMemoryAvailableNow(
+      HeavyHitterStream.heavyHitters(
+        spark.readStream
+          .schema(spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)).toDF(),
+      name, "append")
+    // memory sink preserves emission order within the run
+    val rows = got.collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val last = scala.collection.mutable.LinkedHashMap[(String, Long), (Long, Long)]()
+    rows.foreach { case (k, v) => last(k) = v }
+    last.filter(_._2._1 >= 0).toMap
+  }
+
+  private lazy val singleBatch: Map[(String, Long), (Long, Long)] = withRocksDb {
+    finalTable(s"$stagedDir/events.parquet", "conv_hh_one")
+  }
+
+  private lazy val trueCounts: Map[(String, Long), Long] =
+    graft.Tables.load(spark, stagedDir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("SpaceSaving bounds + heavy-hitter completeness vs exact counts") {
+    assert(singleBatch.nonEmpty)
+    singleBatch.groupBy(_._1._1).foreach { case (typ, tbl) =>
+      assert(tbl.size <= HeavyHitterStream.Capacity, s"$typ table overflow")
+    }
+    singleBatch.foreach { case ((typ, u), (est, err)) =>
+      val t = trueCounts((typ, u))
+      assert(est - err <= t && t <= est,
+        s"$typ/$u: est=$est err=$err true=$t violates bounds")
+      if (err == 0) assert(est == t, s"$typ/$u: err=0 entry must be exact")
+    }
+    val nPerType = trueCounts.groupBy(_._1._1).view.mapValues(_.values.sum)
+    nPerType.foreach { case (typ, n) =>
+      val threshold = n.toDouble / HeavyHitterStream.Capacity
+      trueCounts.filter { case ((t, _), c) => t == typ && c > threshold }
+        .foreach { case ((_, u), c) =>
+          assert(singleBatch.contains((typ, u)),
+            s"$typ/$u true=$c > N/m=$threshold must be resident")
+        }
+    }
+  }
+
+  test("Scala replay of the update rule reproduces the final table") {
+    val evs = graft.Tables.load(spark, stagedDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tables = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Long, (Long, Long)]]()
+    evs.sortBy(e => (e._2, e._3)).foreach { case (typ, _, _, u) =>
+      val tbl = tables.getOrElseUpdate(typ, scala.collection.mutable.Map())
+      tbl.get(u) match {
+        case Some((e, r)) => tbl(u) = (e + 1, r)
+        case None if tbl.size < HeavyHitterStream.Capacity => tbl(u) = (1L, 0L)
+        case None =>
+          val (evictU, (minEst, _)) = tbl.minBy { case (uu, (e, _)) => (e, -uu) }
+          tbl.remove(evictU)
+          tbl(u) = (minEst + 1, minEst)
+      }
+    }
+    val expected = tables.flatMap { case (typ, tbl) =>
+      tbl.map { case (u, v) => (typ, u) -> v }
+    }.toMap
+    assert(singleBatch == expected,
+      s"diffs: ${(singleBatch.toSet diff expected.toSet).take(3)} / ${
+        (expected.toSet diff singleBatch.toSet).take(3)}")
+  }
+
+  test("multi-batch ts-ordered replay converges (counters only in state)") {
+    withRocksDb {
+      val d = tmpDir("hh-multi")
+      val ev = spark.read.parquet(s"$stagedDir/events.parquet")
+      val cuts = ev.selectExpr(
+          "percentile(unix_micros(ts), cast(1 as double)/3) AS c1",
+          "percentile(unix_micros(ts), cast(2 as double)/3) AS c2")
+        .collect().head
+      val (c1, c2) = (cuts.getDouble(0).toLong, cuts.getDouble(1).toLong)
+      Seq((Long.MinValue, c1), (c1, c2), (c2, Long.MaxValue))
+        .zipWithIndex.foreach { case ((lo, hi), i) =>
+          val stage = tmpDir(s"hh-stage-$i")
+          ev.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+            .orderBy(col("ts")).coalesce(1)
+            .write.mode("overwrite").parquet(stage)
+          val src = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(src,
+            java.nio.file.Paths.get(d, f"chunk$i%02d.parquet"))
+          Thread.sleep(1100)
+        }
+      val multi = finalTable(d, "conv_hh_multi")
+      assert(multi == singleBatch,
+        s"multi-batch deviates: ${(multi.toSet diff singleBatch.toSet).take(3)}")
+    }
+  }
+}
