@@ -77,10 +77,17 @@ object Bench {
       while (!stable(times) && times.size < maxRuns) times :+= once()
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The stdout line must survive the driver's 2,000-char stdout-tail
+    // capture AS VALID JSON (round 13's full 275-query blob was ~10 KB,
+    // so the tail cut off the front brace and BENCH_r13.json recorded
+    // "parsed": null). Print only the SLOWEST 25 per-query timings here
+    // (the regression-relevant ones, ~1 KB); the complete sweep lives in
+    // BENCH_FULL.json below.
+    val slowest = results.toSeq.sortBy(-_._2).take(25)
+    val qs = slowest.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_note":"slowest 25 of ${results.size}; full map in BENCH_FULL.json","sf":"$sfDir","runs":$runs}""")
     // Full per-query artifact: the driver's BENCH_rN.json keeps only a
     // 2,000-char tail of stdout, which truncates ~100 of the per-query
     // timings — regressions could hide in the lost prefix. Persist the

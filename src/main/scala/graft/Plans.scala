@@ -46,15 +46,18 @@ object Plans {
     names.foreach { name =>
       // sim_knn_graph materializes via localCheckpoint (its executed
       // plan is a bare RDD scan) — dump the un-materialized pipeline
-      val df = name match {
+      val (df, pinned) = name match {
         case "sim_knn_graph" =>
-          val (res, _) = graft.queries.Round13Queries.knnGraphPlan(spark, dir)
-          res
-        case _ => SparkEntry.queries(name)(spark, dir)
+          val (res, buckets) = graft.queries.Round13Queries.knnGraphPlan(spark, dir)
+          (res, Some(buckets))
+        case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(8000))
+      // release the pinned bucket stage (persist-scoping discipline —
+      // knnGraphPlan leaves it cached for the caller to scope)
+      pinned.foreach(_.unpersist(false))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -155,26 +155,130 @@ object Round13Queries {
   }
 
   /** Final LPA label table (node, lbl) after LpaIters synchronous
-    * rounds — shared by graph_label_prop and graph_modularity.
+    * rounds — shared by graph_label_prop(+_partitioned) and
+    * graph_modularity(+_partitioned).
+    *
+    * @param bcast join strategy for the per-round edges ⋈ labels join:
+    *   `true` broadcasts the node-sized label table (fixture-fast,
+    *   assumes nodes ≪ broadcast budget); `false` is the R6
+    *   co-partitioned layout — edges checkpointed hash-partitioned on
+    *   `src`, each round shuffle-hash-joins the label table into that
+    *   fixed layout (the edge side never re-exchanges) and
+    *   localCheckpoints the round result (the pagerank_partitioned
+    *   discipline: at scale, materialized rounds beat one deep nested
+    *   plan — ×50 probe measured 127.7 s nested vs ~38 s
+    *   checkpoint-at-a-time). Bit-identical label tables either way
+    *   (exact integer counts, deterministic min-label argmax).
     */
-  private def lpaFinal(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val edges = RetrievalQueries.transactionEdges(s, dir)
+  private[queries] def lpaFinal(s: SparkSession, dir: String,
+      bcast: Boolean = true): (DataFrame, DataFrame) = {
+    val edges = RetrievalQueries.transactionEdges(s, dir, partitioned = !bcast)
     val l0 = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     val wArg = Window.partitionBy(col("node"))
       .orderBy(col("c").desc, col("lbl").asc)
     val fin = (1 to LpaIters).foldLeft(l0) { (l, _) =>
-      edges
-        .join(broadcast(l.withColumnRenamed("node", "src")), "src")
+      val lbls = l.withColumnRenamed("node", "src")
+      val joined =
+        if (bcast) edges.join(broadcast(lbls), "src")
+        else edges.join(lbls.hint("shuffle_hash"), "src")
+      val next = joined
         .select(col("dst").as("node"), col("lbl"))
         .groupBy(col("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(wArg))
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
+      if (bcast) next else next.localCheckpoint()
     }
     (edges, fin)
   }
+
+  /** The (node, community, community_size) projection over a final LPA
+    * label table — shared by both graph_label_prop forms.
+    */
+  private[queries] def lpaProject(fin: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("lbl"))
+    fin
+      .withColumn("community_size", count(lit(1)).over(wc))
+      .select(expr(nodeStr).as("node"), expr(lblStr).as("community"),
+        col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  /** Newman-Girvan modularity of the LPA partition — shared plan for
+    * graph_modularity (broadcast label joins) and
+    * graph_modularity_partitioned (shuffle-hash label joins over the
+    * src-partitioned edge layout; no node-sized broadcast anywhere).
+    * Exact integer counting in both forms ⇒ bit-identical output.
+    */
+  private[queries] def modularityPlan(s: SparkSession, dir: String,
+      bcast: Boolean): DataFrame = {
+    val (edges, fin0) = lpaFinal(s, dir, bcast)
+    // four consumers below (e_in twice, K_c, node count) — cut the
+    // 4-round LPA lineage once; the label table is node-sized
+    val fin = fin0.localCheckpoint()
+    def lblJoin(df: DataFrame, lbls: DataFrame, key: String): DataFrame =
+      if (bcast) df.join(broadcast(lbls), key)
+      else df.join(lbls.hint("shuffle_hash"), key)
+    val deg = edges.select(col("src").as("node"), col("deg")).distinct()
+    val eIn = lblJoin(
+      lblJoin(edges, fin.select(col("node").as("src"), col("lbl").as("la")), "src"),
+      fin.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("e_in"))
+    val kc = lblJoin(deg, fin, "node")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("kc"))
+    val sk = kc.agg(
+      count(lit(1)).as("n_communities"),
+      sum((col("kc") * col("kc")).cast(DecimalType(38, 0))).as("sk2"))
+    val nn = fin.agg(count(lit(1)).as("n_nodes"))
+    val ee = edges.agg(count(lit(1)).as("e"))
+    nn.crossJoin(broadcast(sk)).crossJoin(broadcast(eIn))
+      .crossJoin(broadcast(ee))
+      .select(col("n_nodes"), col("n_communities"),
+        expr("e div 2").as("m_edges"),
+        round(expr(
+          "CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e)"), 6)
+          .as("modularity"))
+  }
+
+  /** Shared oracle for graph_label_prop and graph_label_prop_partitioned
+    * (bit-identical label tables by construction).
+    */
+  private[queries] def lpaSql: String =
+    s"""WITH $lpaDuckCtes
+        SELECT
+          CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+               ELSE 's' || (node // 2) END AS node,
+          CASE WHEN lbl % 2 = 0 THEN 'c' || (lbl // 2)
+               ELSE 's' || (lbl // 2) END AS community,
+          count(*) OVER (PARTITION BY lbl) AS community_size
+        FROM l$LpaIters
+        ORDER BY node"""
+
+  /** Shared oracle for graph_modularity and graph_modularity_partitioned. */
+  private[queries] def modularitySql: String =
+    s"""WITH $lpaDuckCtes,
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        e_in_t AS (
+          SELECT count(*) AS e_in
+          FROM edges e
+          JOIN l$LpaIters a ON e.src = a.node
+          JOIN l$LpaIters b ON e.dst = b.node
+          WHERE a.lbl = b.lbl),
+        kc AS (
+          SELECT l.lbl, sum(deg) AS kc
+          FROM deg d JOIN l$LpaIters l ON d.node = l.node
+          GROUP BY l.lbl),
+        sk AS (
+          SELECT count(*) AS n_communities, sum(kc * kc) AS sk2 FROM kc),
+        nn AS (SELECT count(*) AS n_nodes FROM l$LpaIters),
+        ee AS (SELECT count(*) AS e FROM edges)
+      SELECT n_nodes, n_communities, e // 2 AS m_edges,
+        round(CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e), 6)
+          AS modularity
+      FROM nn CROSS JOIN sk CROSS JOIN e_in_t CROSS JOIN ee"""
 
   /** The LPA rounds + edge CTEs shared by both graph oracles. */
   private def lpaDuckCtes: String = {
@@ -265,6 +369,51 @@ object Round13Queries {
     (res, all)
   }
 
+  /** kNN graph → τ-edges → connected components, width-parameterized —
+    * shared by sim_semantic_clusters (fixture 8-bit index) and
+    * sim_semantic_clusters_scaled (bits = KnnScaledBits, the log2-n
+    * production width). The cluster stage is identical either way: the
+    * bits parameter only changes which kNN build feeds it — and with it
+    * whether candidate volume stays ~n·k as the corpus grows.
+    */
+  private[queries] def semanticClusters(s: SparkSession, dir: String,
+      bits: Int = NBits): DataFrame = {
+    val knn = knnGraph(s, dir, bits)
+      .filter(col("cosine") >= SemClusterTau)
+      .select(col("vec_id"), col("neighbor_id"))
+    val labels = graft.operators.ConnectedComponents.run(knn)
+    val all = vectors(s, dir).select(col("vec_id"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    all
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .select(col("cluster_id"), col("vec_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** The semantic-cluster oracle at a given signature width: the full
+    * kNN CTE chain + recursive-CTE reachability + singleton fill.
+    */
+  private[queries] def semanticClustersSql(bits: Int = NBits): String =
+    s"""WITH RECURSIVE ${knnDuckCtes(bits)},
+        knn AS (
+          SELECT query_id, neighbor_id FROM ranked
+          WHERE rank <= $KnnK AND cosine >= $SemClusterTau),
+        und AS (
+          SELECT query_id AS u, neighbor_id AS v FROM knn
+          UNION SELECT neighbor_id, query_id FROM knn),
+        reach AS (
+          SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        lbl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      SELECT coalesce(l.cluster_id, n.vec_id) AS cluster_id,
+        n.vec_id AS vec_id,
+        count(*) OVER (PARTITION BY coalesce(l.cluster_id, n.vec_id)) AS cluster_size
+      FROM nvecs n LEFT JOIN lbl l ON n.vec_id = l.vec_id
+      ORDER BY cluster_id, n.vec_id"""
+
   /** The kNN-graph oracle CTE chain, ending in `ranked` (query_id,
     * neighbor_id, cosine, rank) — shared by both consumers.
     */
@@ -323,24 +472,8 @@ object Round13Queries {
     // form applies verbatim when the node table outgrows broadcast.
     QueryDef(
       "graph_label_prop",
-      (s, dir) => {
-        val (_, fin) = lpaFinal(s, dir)
-        val wc = Window.partitionBy(col("lbl"))
-        fin
-          .withColumn("community_size", count(lit(1)).over(wc))
-          .select(expr(nodeStr).as("node"), expr(lblStr).as("community"),
-            col("community_size"))
-          .orderBy(col("node"))
-      },
-      Some(s"""WITH $lpaDuckCtes
-          SELECT
-            CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
-                 ELSE 's' || (node // 2) END AS node,
-            CASE WHEN lbl % 2 = 0 THEN 'c' || (lbl // 2)
-                 ELSE 's' || (lbl // 2) END AS community,
-            count(*) OVER (PARTITION BY lbl) AS community_size
-          FROM l$LpaIters
-          ORDER BY node"""),
+      (s, dir) => lpaProject(lpaFinal(s, dir)._2),
+      Some(lpaSql),
       doc = s"Label propagation ($LpaIters synchronous rounds, " +
         "most-frequent-neighbor label, min-label ties): per round one " +
         "edges x broadcast-labels join + one (node, lbl) count shuffle " +
@@ -565,6 +698,12 @@ object Round13Queries {
     // hapax terms. Shape: one vocab-sized token-count shuffle with a
     // conditional split (no second corpus pass), scalar totals
     // broadcast, TakeOrdered top-k.
+    // Scope note (like the IVFPQ no-residual note): the prior totals
+    // na/nb/nt are computed over the min-count-FILTERED vocabulary, not
+    // the full corpus token totals of Monroe et al. — the α_w shrinkage
+    // weights shift accordingly (identically in both engines and in the
+    // spec replay); computing totals before the HAVING filter would be
+    // the paper-literal form.
     QueryDef(
       "text_odds_ratio",
       (s, dir) => {
@@ -722,53 +861,8 @@ object Round13Queries {
     // before trusting the communities ("is Q ≫ 0?").
     QueryDef(
       "graph_modularity",
-      (s, dir) => {
-        val (edges, fin0) = lpaFinal(s, dir)
-        // four consumers below (e_in twice, K_c, node count) — cut the
-        // 4-round LPA lineage once; the label table is node-sized
-        val fin = fin0.localCheckpoint()
-        val deg = edges.select(col("src").as("node"), col("deg")).distinct()
-        val eIn = edges
-          .join(broadcast(fin.select(col("node").as("src"), col("lbl").as("la"))), "src")
-          .join(broadcast(fin.select(col("node").as("dst"), col("lbl").as("lb"))), "dst")
-          .filter(col("la") === col("lb"))
-          .agg(count(lit(1)).as("e_in"))
-        val kc = deg
-          .join(broadcast(fin), "node")
-          .groupBy(col("lbl")).agg(sum(col("deg")).as("kc"))
-        val sk = kc.agg(
-          count(lit(1)).as("n_communities"),
-          sum((col("kc") * col("kc")).cast(DecimalType(38, 0))).as("sk2"))
-        val nn = fin.agg(count(lit(1)).as("n_nodes"))
-        val ee = edges.agg(count(lit(1)).as("e"))
-        nn.crossJoin(broadcast(sk)).crossJoin(broadcast(eIn))
-          .crossJoin(broadcast(ee))
-          .select(col("n_nodes"), col("n_communities"),
-            expr("e div 2").as("m_edges"),
-            round(expr(
-              "CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e)"), 6)
-              .as("modularity"))
-      },
-      Some(s"""WITH $lpaDuckCtes,
-          deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
-          e_in_t AS (
-            SELECT count(*) AS e_in
-            FROM edges e
-            JOIN l$LpaIters a ON e.src = a.node
-            JOIN l$LpaIters b ON e.dst = b.node
-            WHERE a.lbl = b.lbl),
-          kc AS (
-            SELECT l.lbl, sum(deg) AS kc
-            FROM deg d JOIN l$LpaIters l ON d.node = l.node
-            GROUP BY l.lbl),
-          sk AS (
-            SELECT count(*) AS n_communities, sum(kc * kc) AS sk2 FROM kc),
-          nn AS (SELECT count(*) AS n_nodes FROM l$LpaIters),
-          ee AS (SELECT count(*) AS e FROM edges)
-        SELECT n_nodes, n_communities, e // 2 AS m_edges,
-          round(CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e), 6)
-            AS modularity
-        FROM nn CROSS JOIN sk CROSS JOIN e_in_t CROSS JOIN ee"""),
+      (s, dir) => modularityPlan(s, dir, bcast = true),
+      Some(modularitySql),
       doc = "Newman-Girvan modularity of the LPA partition: Q = e_in/E - " +
         "sum_c (K_c/E)^2, all exact integer counting (two broadcast " +
         "label joins, community-bounded rollups), one final double; the " +
@@ -784,37 +878,8 @@ object Round13Queries {
     // keep-one).
     QueryDef(
       "sim_semantic_clusters",
-      (s, dir) => {
-        val knn = knnGraph(s, dir)
-          .filter(col("cosine") >= SemClusterTau)
-          .select(col("vec_id"), col("neighbor_id"))
-        val labels = graft.operators.ConnectedComponents.run(knn)
-        val all = vectors(s, dir).select(col("vec_id"))
-        val wc = Window.partitionBy(col("cluster_id"))
-        all
-          .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-          .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
-          .withColumn("cluster_size", count(lit(1)).over(wc))
-          .select(col("cluster_id"), col("vec_id"), col("cluster_size"))
-          .orderBy(col("cluster_id"), col("vec_id"))
-      },
-      Some(s"""WITH RECURSIVE ${knnDuckCtes()},
-          knn AS (
-            SELECT query_id, neighbor_id FROM ranked
-            WHERE rank <= $KnnK AND cosine >= $SemClusterTau),
-          und AS (
-            SELECT query_id AS u, neighbor_id AS v FROM knn
-            UNION SELECT neighbor_id, query_id FROM knn),
-          reach AS (
-            SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
-          lbl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
-        SELECT coalesce(l.cluster_id, n.vec_id) AS cluster_id,
-          n.vec_id AS vec_id,
-          count(*) OVER (PARTITION BY coalesce(l.cluster_id, n.vec_id)) AS cluster_size
-        FROM nvecs n LEFT JOIN lbl l ON n.vec_id = l.vec_id
-        ORDER BY cluster_id, n.vec_id"""),
+      (s, dir) => semanticClusters(s, dir),
+      Some(semanticClustersSql()),
       doc = s"Semantic clusters: kNN-graph edges at cosine >= $SemClusterTau " +
         "resolved with the shared CC operator (min-label), singleton " +
         "fill; CC input is node-x-k-bounded, never all-pairs."),

@@ -52,8 +52,13 @@ object Round13cQueries {
     // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) and
     // the grade twin 0.39·(w/s) + 11.8·(sy/w) − 15.59. Deterministic
     // proxies, identical in both engines: sentences = terminal-punct
-    // runs (min 1), words = whitespace tokens, syllables = vowel GROUPS
-    // per word (min 1 per word — the standard heuristic). Zero-shuffle
+    // runs (min 1), words = whitespace tokens, syllables = total vowel
+    // groups floored GLOBALLY at the word count (greatest(groups,
+    // n_words) — NOT the per-word max(1, groups) heuristic: the global
+    // floor undercounts whenever multi-syllable words coexist with
+    // vowel-less words, but it is one aggregate comparison instead of a
+    // per-word pass, and both engines compute it identically).
+    // Zero-shuffle
     // narrow pass + one doc-ordered output; all ratios are plain double
     // divisions of exact integer counts.
     QueryDef(

@@ -111,7 +111,13 @@ object RateAnomalyStream {
     * ("graft.rate_anomaly.dropped_late") that counts late events for
     * already-closed buckets — the one silent divergence path vs the
     * batch twin; returned alongside the stream for callers/tests that
-    * want to assert on it.
+    * want to assert on it. The counter is AT-LEAST-ONCE, not
+    * exactly-once: task retries, speculative execution, and micro-batch
+    * re-execution each re-add their partition's increments, so it can
+    * over-count under failure/replay — an alerting signal ("late data is
+    * arriving"), not an exact ledger; tests that need the exact count
+    * derive it from the data (batch-vs-stream verdict diff), never from
+    * the accumulator.
     */
   def rateAnomaly(events: DataFrame): Dataset[RateVerdict] =
     rateAnomalyWithMetrics(events)._1

@@ -46,14 +46,15 @@ class StreamingHeavyHitterSpec extends SparkSpec {
   /** Final live table per (type, user): last emission wins, tombstones
     * drop the entry.
     */
-  private def finalTable(srcDir: String, name: String)
+  private def finalTable(srcDir: String, name: String,
+      capacity: Int = HeavyHitterStream.Capacity)
       : Map[(String, Long), (Long, Long)] = {
     val got = EventStreams.runToMemoryAvailableNow(
       HeavyHitterStream.heavyHitters(
         spark.readStream
           .schema(spark.read.parquet(srcDir).schema)
           .option("maxFilesPerTrigger", 1)
-          .parquet(srcDir)).toDF(),
+          .parquet(srcDir), capacity).toDF(),
       name, "append")
     // memory sink preserves emission order within the run
     val rows = got.collect()
@@ -121,6 +122,53 @@ class StreamingHeavyHitterSpec extends SparkSpec {
     assert(singleBatch == expected,
       s"diffs: ${(singleBatch.toSet diff expected.toSet).take(3)} / ${
         (expected.toSet diff singleBatch.toSet).take(3)}")
+  }
+
+  test("capacity is a real parameter: bounds + replay hold at 64") {
+    // same stream at capacity 64 (a deployment-ish table size): the
+    // paper's bounds must hold against the SAME exact counts, and the
+    // deterministic Scala replay parameterized the same way must match
+    // bit-for-bit — this is the test that would have caught a hardcoded
+    // `Capacity` surviving inside the update rule
+    val cap = 64
+    val got = withRocksDb {
+      finalTable(s"$stagedDir/events.parquet", "conv_hh_cap64", cap)
+    }
+    got.groupBy(_._1._1).foreach { case (typ, tbl) =>
+      assert(tbl.size <= cap, s"$typ table overflow at capacity $cap")
+    }
+    got.foreach { case ((typ, u), (est, err)) =>
+      val t = trueCounts((typ, u))
+      assert(est - err <= t && t <= est,
+        s"$typ/$u: est=$est err=$err true=$t violates bounds at cap=$cap")
+    }
+    val evs = graft.Tables.load(spark, stagedDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tables = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Long, (Long, Long)]]()
+    evs.sortBy(e => (e._2, e._3)).foreach { case (typ, _, _, u) =>
+      val tbl = tables.getOrElseUpdate(typ, scala.collection.mutable.Map())
+      tbl.get(u) match {
+        case Some((e, r)) => tbl(u) = (e + 1, r)
+        case None if tbl.size < cap => tbl(u) = (1L, 0L)
+        case None =>
+          val (evictU, (minEst, _)) = tbl.minBy { case (uu, (e, _)) => (e, -uu) }
+          tbl.remove(evictU)
+          tbl(u) = (minEst + 1, minEst)
+      }
+    }
+    val expected = tables.flatMap { case (typ, tbl) =>
+      tbl.map { case (u, v) => (typ, u) -> v }
+    }.toMap
+    assert(got == expected)
+    // cross-capacity tie: this fixture has 15 distinct users per type,
+    // so the 64-slot table never evicts and holds EVERY user exactly —
+    // the default-capacity residents are necessarily among them (and the
+    // bounds loop above just proved the 64-table err = 0 ⇒ exact)
+    assert(singleBatch.keySet.subsetOf(got.keySet))
   }
 
   test("multi-batch ts-ordered replay converges (counters only in state)") {
