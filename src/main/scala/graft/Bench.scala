@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f-interpolators below format via the JVM default locale; a
+    // comma-decimal locale (de_DE …) would turn both the stdout metric
+    // line and BENCH_FULL.json into invalid JSON ("1,2345")
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -31,7 +31,13 @@ object Plans {
     "graph_pagerank_salted", "sim_pq_topk", "text_lm_trigram_backoff_sharded",
     // round 13: the two-table multiprobe kNN graph (pair-distinct before
     // the one exact verify) and the LPA label-join iteration
-    "sim_knn_graph", "graph_label_prop")
+    "sim_knn_graph", "graph_label_prop",
+    // round 15: the degree-capped butterfly wedge join (WindowGroupLimit
+    // bounding the rank map-side), one co-partitioned LPA round (edge
+    // cache consumed with zero re-exchange), and the quantile-sketch
+    // CCNet cutoffs (map-side partial_quantilesketchagg)
+    "graph_butterflies_capped", "graph_label_prop_partitioned_round",
+    "pipe_ccnet_buckets_sketch")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -49,15 +55,31 @@ object Plans {
       val (df, pinned) = name match {
         case "sim_knn_graph" =>
           val (res, buckets) = graft.queries.Round13Queries.knnGraphPlan(spark, dir)
-          (res, Some(buckets))
+          (res, Some(Seq(buckets)))
+        // the declared row checkpoints; dump the un-materialized pipeline
+        case "graph_butterflies_capped" =>
+          val (res, capped, cs) =
+            graft.queries.Round15Queries.cappedButterflies(spark, dir)
+          (res, Some(Seq(capped, cs)))
+        // the declared row's final plan is a projection over the last
+        // round's blocks; the novel shape is ONE bcast=false round over
+        // the persisted src-partitioned edge layout
+        case "graph_label_prop_partitioned_round" =>
+          val edges = graft.queries.RetrievalQueries
+            .transactionEdges(spark, dir, partitioned = true)
+          val l0 = edges.select(org.apache.spark.sql.functions.col("src").as("node"))
+            .distinct()
+            .withColumn("lbl", org.apache.spark.sql.functions.col("node"))
+          (graft.queries.Round13Queries.lpaRound(edges, l0, bcast = false),
+            Some(Seq(edges)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(8000))
-      // release the pinned bucket stage (persist-scoping discipline —
-      // knnGraphPlan leaves it cached for the caller to scope)
-      pinned.foreach(_.unpersist(false))
+      // release the pinned stages (persist-scoping discipline — the
+      // builders leave them cached for the caller to scope)
+      pinned.foreach(_.foreach(_.unpersist(false)))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -118,7 +118,11 @@ object ConnectedComponents {
       // s is null iff the graph is empty — nothing to propagate, stop.
       changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
       prevSum = s
-      labels.unpersist()
+      // releaseCheckpoint, not unpersist: from round 2 on `labels` is a
+      // localCheckpoint, whose blocks Dataset.unpersist never finds
+      // (Layouts scaladoc); the seed round's plain persist takes the
+      // fallback path
+      Layouts.releaseCheckpoint(labels)
       labels = next
       iter += 1
       // Round i's reliable checkpoint is dead the moment round i+1's has
@@ -239,9 +243,14 @@ object ConnectedComponents {
       // sides bare checkpointed scans
       converged = prev != null && trip == prev &&
         next.exceptAll(prevDf).isEmpty
+      // round i−1's blocks are dead once the confirm above has run (the
+      // next round's confirm reads `next`, not it) — release them
+      // RDD-level (Dataset.unpersist is a no-op on checkpoints)
+      val superseded = cur
       prev = trip
       prevDf = next
       cur = next
+      Layouts.releaseCheckpoint(superseded)
       iter += 1
       if (checkpointDir.isDefined) {
         prevCkptFile.foreach { f =>

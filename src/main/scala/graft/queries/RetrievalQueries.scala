@@ -108,10 +108,9 @@ object RetrievalQueries {
     * DISTINCT co-order pairs in both directions, LONG node ids
     * (cust = 2k, supp = 2k+1 — every iteration join/shuffle hashes
     * 8-byte keys; the ×10 probe measured a string-keyed draft ~2×
-    * slower end-to-end), localCheckpoint-materialized ONCE (the CC
-    * lineage-truncation recipe): iterative consumers read these blocks
-    * instead of re-running the orders⋈lineitem⋈distinct⋈deg build
-    * inside each broadcast subplan.
+    * slower end-to-end), materialized ONCE: iterative consumers read
+    * the materialized blocks instead of re-running the
+    * orders⋈lineitem⋈distinct⋈deg build inside each broadcast subplan.
     */
   /** DISTINCT directed co-order pairs (cust = 2k → supp = 2k+1). */
   private def coOrderPairs(s: SparkSession, dir: String): DataFrame = {
@@ -125,21 +124,31 @@ object RetrievalQueries {
       .distinct()
   }
 
-  /** @param partitioned when true, the edge list is hash-partitioned on
-    *   `src` BEFORE the one-time checkpoint — the co-partitioned layout
-    *   the shuffle-join rank iteration reuses every round (the captured
-    *   `HashPartitioning(src)` satisfies each iteration's join
-    *   distribution, so the edge side never re-exchanges).
+  /** @param partitioned when true, the edge list is eagerly persisted
+    *   hash-partitioned on `src` (Layouts.partitioned) — the
+    *   co-partitioned layout the shuffle-join rank iteration reuses
+    *   every round: the cached `HashPartitioning(src, N)` satisfies each
+    *   iteration's join distribution, so the edge side never
+    *   re-exchanges (Round15Spec pin). Callers release the cache once
+    *   their rounds have materialized. When false: localCheckpoint (the
+    *   CC lineage-truncation recipe; broadcast consumers don't care
+    *   about partitioning).
     */
-  private[queries] def transactionEdges(s: SparkSession, dir: String,
+  private[graft] def transactionEdges(s: SparkSession, dir: String,
       partitioned: Boolean = false): DataFrame = {
     val pairs = coOrderPairs(s, dir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val joined = sym.join(degTab, "src")
-    (if (partitioned) joined.repartition(col("src")) else joined)
-      .localCheckpoint()
+    // partitioned: Layouts.partitioned, NOT repartition+localCheckpoint —
+    // under AQE a checkpoint's LogicalRDD reports UnknownPartitioning, so
+    // every round's join silently re-shuffled the edge side (defeating
+    // this layout's whole purpose; caught by Round15Spec's exchange pin).
+    // The persisted layout survives to every consumer; queries release it
+    // once their rounds have materialized (CacheHygieneSpec policy).
+    if (partitioned) graft.operators.Layouts.partitioned(joined, Seq(col("src")))
+    else joined.localCheckpoint()
   }
 
   /** The per-iteration edges ⋈ ranks join, in the two pinned forms:
@@ -291,8 +300,13 @@ object RetrievalQueries {
   def pagerankPlan(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
     val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
     val step = pagerankStep(edges, nTab, bcast) _
-    rankProject((1 to PrIters).foldLeft(r0)((r, _) =>
-      if (bcast) step(r) else step(r).localCheckpoint()))
+    val fin = (1 to PrIters).foldLeft(r0)((r, _) =>
+      if (bcast) step(r) else step(r).localCheckpoint())
+    // partitioned: rounds have all materialized (eager checkpoints) and
+    // the final projection reads the last round's blocks — release the
+    // cached edge layout (CacheHygieneSpec policy)
+    if (!bcast) edges.unpersist(false)
+    rankProject(fin)
   }
 
   /** Degree-skew salt factor for graph_pagerank_salted. */
@@ -301,8 +315,9 @@ object RetrievalQueries {
   /** Degree-skew-guarded PageRank (the third rank-join form): the
     * co-partitioned layout hashes edges by `src`, so a power-law
     * "celebrity" node's ENTIRE edge list lands in one partition — and
-    * because the checkpointed edge side is an ExistingRDD, not an
-    * exchange, AQE's skew-join splitter cannot re-split it at runtime.
+    * because the materialized edge side enters the join as a cached
+    * scan, not an exchange, AQE's skew-join splitter cannot re-split it
+    * at runtime.
     * Salting fixes it structurally: edges carry salt = hash(dst) mod
     * RankSalt and co-partition on (src, salt) — a hot node's edges
     * spread across RankSalt partitions — while each iteration REPLICATES
@@ -319,10 +334,13 @@ object RetrievalQueries {
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edges = sym.join(degTab, "src")
-      .withColumn("salt", pmod(hash(col("dst")), lit(RankSalt)))
-      .repartition(col("src"), col("salt"))
-      .localCheckpoint()
+    // Layouts.partitioned on (src, salt): the same lost-partitioning fix
+    // as transactionEdges — the old repartition+localCheckpoint form
+    // re-shuffled the edge side into EVERY round's join under AQE
+    val edges = graft.operators.Layouts.partitioned(
+      sym.join(degTab, "src")
+        .withColumn("salt", pmod(hash(col("dst")), lit(RankSalt))),
+      Seq(col("src"), col("salt")))
     val nTab = edges.select(col("src")).distinct()
       .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
     val r0 = edges.select(col("src")).distinct()
@@ -340,8 +358,9 @@ object RetrievalQueries {
         .crossJoin(broadcast(nTab))
         .select(col("dst").as("node"),
           expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
-    rankProject((1 to PrIters).foldLeft(r0)((r, _) =>
-      step(r).localCheckpoint()))
+    val fin = (1 to PrIters).foldLeft(r0)((r, _) => step(r).localCheckpoint())
+    edges.unpersist(false)
+    rankProject(fin)
   }
 
   /** One un-checkpointed PageRank iteration — exposed for the plan pin:
@@ -374,8 +393,10 @@ object RetrievalQueries {
       onRound: (Int, Long, Double) => Unit = (_, _, _) => ())
       : (DataFrame, Int, Seq[Long]) = {
     val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
-    iterateUntil(r0, pagerankStep(edges, nTab, bcast),
+    val res = iterateUntil(r0, pagerankStep(edges, nTab, bcast),
       rankProject, epsPico, maxIter, onRound)
+    if (!bcast) edges.unpersist(false)
+    res
   }
 
   /** Convergence-driven TrustRank — the same ε loop over the
@@ -399,8 +420,10 @@ object RetrievalQueries {
         (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
         expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
         .orderBy(col("trust").desc, col("node"))
-    iterateUntil(t0, trustrankStep(edges, seeds, nSeedTab, bcast),
+    val res = iterateUntil(t0, trustrankStep(edges, seeds, nSeedTab, bcast),
       project, epsPico, maxIter, onRound)
+    if (!bcast) edges.unpersist(false)
+    res
   }
 
   /** Shared convergence loop (the ConnectedComponents recipe applied to
@@ -429,7 +452,10 @@ object RetrievalQueries {
         .agg(max(abs(col("n.r") - coalesce(col("p.r"), lit(0L)))).as("d"))
         .collect().head.getLong(0)
       deltas += d
-      r.unpersist()
+      // NOT r.unpersist(): that is a cache-manager no-op on a
+      // localCheckpointed round (Layouts scaladoc) — the superseded
+      // round's blocks need the RDD-level release
+      graft.operators.Layouts.releaseCheckpoint(r)
       r = next
       iter += 1
       done = d <= epsPico
@@ -466,8 +492,10 @@ object RetrievalQueries {
         expr("1000000000000L div n_seeds").as("r"))
     val step = trustrankStep(edges, seeds, nSeedTab, bcast) _
     // partitioned form: checkpoint per round (see pagerankPlan scaladoc)
-    (1 to PrIters).foldLeft(t0)((t, _) =>
-        if (bcast) step(t) else step(t).localCheckpoint())
+    val fin = (1 to PrIters).foldLeft(t0)((t, _) =>
+      if (bcast) step(t) else step(t).localCheckpoint())
+    if (!bcast) edges.unpersist(false)
+    fin
       .select(expr(nodeLabel).as("node"),
         (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
         expr("node % 2 = 1 AND (node div 2) % 3 = 0").as("is_seed"))
@@ -482,12 +510,14 @@ object RetrievalQueries {
     */
   def hitsPlan(s: SparkSession, dir: String, bcast: Boolean): DataFrame = {
     val basePairs = coOrderPairs(s, dir)
+    // partitioned: the double layout must survive materialization
+    // (Layouts.partitioned — the transactionEdges lost-partitioning fix)
     val pairsA =
-      (if (bcast) basePairs else basePairs.repartition(col("a")))
-        .localCheckpoint()
+      if (bcast) basePairs.localCheckpoint()
+      else graft.operators.Layouts.partitioned(basePairs, Seq(col("a")))
     val pairsB =
       if (bcast) pairsA
-      else basePairs.repartition(col("b")).localCheckpoint()
+      else graft.operators.Layouts.partitioned(basePairs, Seq(col("b")))
     val nCust = pairsA.select(col("a")).distinct()
       .agg(count(lit(1)).as("n")).localCheckpoint()
     val h0 = pairsA.select(col("a")).distinct()
@@ -518,6 +548,10 @@ object RetrievalQueries {
     val h1 = half(a1, "b", "a")
     val a2 = half(h1, "a", "b")
     val h2 = half(a2, "b", "a")
+    // partitioned: every half-step's raw rollup has materialized and the
+    // final normalize/union below reads those blocks — release both pair
+    // layouts (CacheHygieneSpec policy)
+    if (!bcast) { pairsA.unpersist(false); pairsB.unpersist(false) }
     val hubs = h2.select(col("a").as("node"), lit("hub").as("kind"), col("v"))
     val auths = a2.select(col("b").as("node"), lit("auth").as("kind"), col("v"))
     hubs.unionByName(auths)

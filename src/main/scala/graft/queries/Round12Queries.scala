@@ -74,6 +74,44 @@ object Round12Queries {
   private val tokenizedDuck =
     "(SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"
 
+  /** Per-doc LM-surprisal scores (doc_id, lang, avg_surprisal) — the
+    * CCNet scoring pass shared by pipe_ccnet_buckets_cutoff and the
+    * sketch twin (Round15Queries): one token-count shuffle, broadcast
+    * freq/total, one doc rollup over exact-DECIMAL surprisal terms.
+    */
+  private[graft] def ccnetScored(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+    val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    tk.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("surp",
+        round(-log(col("cnt") / col("total")), 9).cast(DecimalType(28, 9)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("surp")).cast(DoubleType) / count(lit(1)), 6)
+        .as("avg_surprisal"))
+  }
+
+  /** The matching DuckDB CTE chain, ending in `scored`. */
+  private[queries] val ccnetScoredDuck: String =
+    """tk AS (
+          SELECT doc_id, lang, unnest(toks) AS tok
+          FROM (SELECT d.doc_id, d.lang, string_split(lower(d.text), ' ') AS toks
+                FROM documents d)),
+        f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS total FROM f),
+        sc AS (
+          SELECT doc_id, lang,
+            CAST(round(-ln(cnt / (SELECT total FROM tot)), 9) AS DECIMAL(28,9)) AS surp
+          FROM tk JOIN f USING (tok)),
+        scored AS (
+          SELECT doc_id, lang,
+            round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS avg_surprisal
+          FROM sc GROUP BY doc_id, lang)"""
+
   /** Corpus 5-gram shingle stream — identical to pipe_decontaminate's
     * (CurationQueries.scala): the bloom twin must screen the same
     * shingle space to share its oracle.
@@ -198,19 +236,7 @@ object Round12Queries {
     QueryDef(
       "pipe_ccnet_buckets_cutoff",
       (s, dir) => {
-        val tk = Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("lang"),
-            explode(split(lower(col("text")), " ")).as("tok"))
-        val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        val tot = freq.agg(sum(col("cnt")).as("total"))
-        val scored = tk.join(broadcast(freq), "tok")
-          .crossJoin(broadcast(tot))
-          .withColumn("surp",
-            round(-log(col("cnt") / col("total")), 9).cast(DecimalType(28, 9)))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(round(sum(col("surp")).cast(DoubleType) / count(lit(1)), 6)
-            .as("avg_surprisal"))
+        val scored = ccnetScored(s, dir)
         val cuts = scored.groupBy(col("lang")).agg(
           round(expr("percentile(avg_surprisal, cast(1 as double) / 3)"), 6).as("c1"),
           round(expr("percentile(avg_surprisal, cast(2 as double) / 3)"), 6).as("c2"))
@@ -222,20 +248,7 @@ object Round12Queries {
           .select(col("doc_id"), col("lang"), col("avg_surprisal"), col("ppl_bucket"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH tk AS (
-          SELECT doc_id, lang, unnest(toks) AS tok
-          FROM (SELECT d.doc_id, d.lang, string_split(lower(d.text), ' ') AS toks
-                FROM documents d)),
-        f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
-        tot AS (SELECT sum(cnt) AS total FROM f),
-        sc AS (
-          SELECT doc_id, lang,
-            CAST(round(-ln(cnt / (SELECT total FROM tot)), 9) AS DECIMAL(28,9)) AS surp
-          FROM tk JOIN f USING (tok)),
-        scored AS (
-          SELECT doc_id, lang,
-            round(CAST(sum(surp) AS DOUBLE) / count(*), 6) AS avg_surprisal
-          FROM sc GROUP BY doc_id, lang),
+      Some(s"""WITH $ccnetScoredDuck,
         cuts AS (
           SELECT lang,
             round(quantile_cont(avg_surprisal, 1.0 / 3), 6) AS c1,

@@ -170,28 +170,52 @@ object Round13Queries {
     *   checkpoint-at-a-time). Bit-identical label tables either way
     *   (exact integer counts, deterministic min-label argmax).
     */
-  private[queries] def lpaFinal(s: SparkSession, dir: String,
+  private[graft] def lpaFinal(s: SparkSession, dir: String,
       bcast: Boolean = true): (DataFrame, DataFrame) = {
     val edges = RetrievalQueries.transactionEdges(s, dir, partitioned = !bcast)
     val l0 = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    val wArg = Window.partitionBy(col("node"))
-      .orderBy(col("c").desc, col("lbl").asc)
-    val fin = (1 to LpaIters).foldLeft(l0) { (l, _) =>
-      val lbls = l.withColumnRenamed("node", "src")
-      val joined =
-        if (bcast) edges.join(broadcast(lbls), "src")
-        else edges.join(lbls.hint("shuffle_hash"), "src")
-      val next = joined
-        .select(col("dst").as("node"), col("lbl"))
-        .groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
-      if (bcast) next else next.localCheckpoint()
+    val fin = (1 to LpaIters).foldLeft(l0) { (l, i) =>
+      val next = lpaRound(edges, l, bcast)
+      if (bcast) next
+      else {
+        // localCheckpoint is EAGER: once round i's blocks exist, round
+        // i−1's node-sized blocks are dead weight for the rest of the
+        // job (round i's plan scans its OWN rdd, no lineage back), and
+        // neither clearCache() nor Dataset.unpersist releases them —
+        // the blocks belong to the checkpointed RDD, which the cache
+        // manager never sees. Free that RDD directly. Round 0 (l0) is
+        // plain lineage: skip.
+        val cp = next.localCheckpoint()
+        if (i > 1) graft.operators.Layouts.releaseCheckpoint(l)
+        cp
+      }
     }
     (edges, fin)
+  }
+
+  /** One synchronous LPA round: edges ⋈ labels (broadcast or
+    * co-partitioned shuffle-hash into the edges' checkpointed layout —
+    * the edge side never re-exchanges), one (node, lbl) count shuffle,
+    * node-partitioned argmax window. Exposed so the spec can pin the
+    * bcast=false round plan (exactly 3 exchanges: label side, count
+    * rollup, argmax window — none above the edge scan).
+    */
+  private[graft] def lpaRound(edges: DataFrame, l: DataFrame,
+      bcast: Boolean): DataFrame = {
+    val wArg = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    val lbls = l.withColumnRenamed("node", "src")
+    val joined =
+      if (bcast) edges.join(broadcast(lbls), "src")
+      else edges.join(lbls.hint("shuffle_hash"), "src")
+    joined
+      .select(col("dst").as("node"), col("lbl"))
+      .groupBy(col("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("lbl"))
   }
 
   /** The (node, community, community_size) projection over a final LPA
@@ -212,12 +236,14 @@ object Round13Queries {
     * src-partitioned edge layout; no node-sized broadcast anywhere).
     * Exact integer counting in both forms ⇒ bit-identical output.
     */
-  private[queries] def modularityPlan(s: SparkSession, dir: String,
+  private[graft] def modularityPlan(s: SparkSession, dir: String,
       bcast: Boolean): DataFrame = {
     val (edges, fin0) = lpaFinal(s, dir, bcast)
     // four consumers below (e_in twice, K_c, node count) — cut the
-    // 4-round LPA lineage once; the label table is node-sized
-    val fin = fin0.localCheckpoint()
+    // 4-round LPA lineage once; the label table is node-sized. The
+    // bcast=false path already returns a checkpointed final round —
+    // don't copy its blocks a second time.
+    val fin = if (bcast) fin0.localCheckpoint() else fin0
     def lblJoin(df: DataFrame, lbls: DataFrame, key: String): DataFrame =
       if (bcast) df.join(broadcast(lbls), key)
       else df.join(lbls.hint("shuffle_hash"), key)
@@ -234,13 +260,21 @@ object Round13Queries {
       sum((col("kc") * col("kc")).cast(DecimalType(38, 0))).as("sk2"))
     val nn = fin.agg(count(lit(1)).as("n_nodes"))
     val ee = edges.agg(count(lit(1)).as("e"))
-    nn.crossJoin(broadcast(sk)).crossJoin(broadcast(eIn))
+    val out = nn.crossJoin(broadcast(sk)).crossJoin(broadcast(eIn))
       .crossJoin(broadcast(ee))
       .select(col("n_nodes"), col("n_communities"),
         expr("e div 2").as("m_edges"),
         round(expr(
           "CAST(e_in AS DOUBLE) / e - CAST(sk2 AS DOUBLE) / (CAST(e AS DOUBLE) * e)"), 6)
           .as("modularity"))
+    if (bcast) out
+    else {
+      // materialize the 1-row result, then release the persisted edge
+      // layout the rollups above consumed (CacheHygieneSpec policy)
+      val mat = out.localCheckpoint()
+      edges.unpersist(false)
+      mat
+    }
   }
 
   /** Shared oracle for graph_label_prop and graph_label_prop_partitioned

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+/** One bipartite edge arrival: (supplier, customer), with a
+  * monotonically-orderable sequence tag for deterministic in-batch
+  * processing (the (ts, event_id) discipline of the other streams).
+  */
+case class EdgeRow(suppkey: Long, custkey: Long, seq: Long)
+
+/** A supplier's current degree-capped customer set (sorted ascending).
+  * "Last emission per suppkey" reconstructs the full capped bipartite
+  * graph at any cut — the ST20 tombstone-free variant of the
+  * reconstruct-from-emissions contract.
+  */
+case class CappedSet(suppkey: Long, custs: Seq[Long])
+
+/** ST21 — streaming degree-capped wedge/butterfly state (round 15): the
+  * online counterpart of `graph_butterflies_capped`. State per supplier
+  * is its cap smallest DISTINCT customer ids seen so far — O(cap) longs
+  * per supplier, the bound item R13b's cap rule supplies; without the
+  * cap a hub supplier's state (and its per-arrival wedge fan-out) grows
+  * with its degree, exactly the Σ deg² wall the batch exact form hits.
+  *
+  * The insert rule (ignore if present; insert if room or smaller than
+  * the current max, evicting the max) maintains "the cap smallest
+  * distinct customers so far", so the FINAL state is a pure function of
+  * the input SET — arrival-order independent, and equal by construction
+  * to the batch cap rule (per supplier keep the cap smallest customer
+  * ids). StreamingButterflySpec pins: final reconstructed sets ≡ the
+  * batch capped edge set, the C(w,2) butterfly rollup over them ≡ the
+  * declared `graph_butterflies_capped` row, and multi-batch RocksDB
+  * replay ≡ single-batch. Wedge/butterfly COUNTING over the
+  * reconstructed state is the consumer's (batch) rollup — emitting
+  * incremental wedge deltas would need retractions whenever an eviction
+  * rewrites history, the same at-least-once trap the rate-anomaly
+  * stream documents.
+  */
+object ButterflyStream {
+
+  class CappedSetProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EdgeRow, CappedSet] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+
+    @transient private var set: ValueState[Seq[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      set = getHandle.getValueState[Seq[Long]]("capped_custs",
+        ExpressionEncoder[Seq[Long]](), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EdgeRow],
+        timerValues: TimerValues): Iterator[CappedSet] = {
+      var s = if (set.exists()) set.get() else Seq.empty[Long]
+      var changed = false
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val c = r.custkey
+        if (!s.contains(c) && (s.size < cap || c < s.last)) {
+          s = (s :+ c).sorted.take(cap)
+          changed = true
+        }
+      }
+      if (changed) {
+        set.update(s)
+        // one snapshot per (supplier, batch): the contract is
+        // last-emission reconstruction, not per-arrival deltas
+        Iterator.single(CappedSet(key, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** edge stream (suppkey, custkey, seq) → capped-set snapshots. */
+  def cappedSets(edges: DataFrame, cap: Int): Dataset[CappedSet] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    edges
+      .select(col("suppkey"), col("custkey"), col("seq"))
+      .as[EdgeRow]
+      .groupByKey(_.suppkey)
+      .transformWithState(new CappedSetProcessor(cap), TimeMode.None(),
+        OutputMode.Append())
+  }
+}

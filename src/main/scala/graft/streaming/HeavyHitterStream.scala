@@ -35,6 +35,11 @@ object HeavyHitterStream {
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, EvUserRow, HhUpdate] {
     import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
 
+    // validate at CONSTRUCTION, not inside the serialized task: with
+    // capacity = 0 the full-table eviction branch would minBy an empty
+    // table and throw from inside a streaming batch
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
     @transient private var counters: MapState[Long, (Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

@@ -142,17 +142,26 @@ class RetrievalSpec extends SparkSpec {
     // single iteration's plan
     val df = RetrievalQueries.pagerankOneStep(spark, sf(), bcast = false)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // outer plan only: the persisted edge layout's EMBEDDED build plan
+    // contains broadcast joins + parquet scans that are not this step's
+    val p = outerPlan(df)
     // the rank join must be a shuffled hash join into the edges' layout...
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
     // ...and no equi-join may broadcast (the only broadcasts left are the
     // 1-row scalar crossJoins, which plan as BroadcastNestedLoopJoin)
     assert(!p.contains("BroadcastHashJoin"),
       "partitioned twin must not broadcast the rank table:\n" + p.take(3000))
-    // the checkpointed edge build still runs once, never rescanning facts
-    assert(p.contains("ExistingRDD"), p.take(3000))
-    assert(!p.contains("lineitem.parquet"),
+    // the persisted edge layout is consumed as a cached scan, facts are
+    // never rescanned by the step itself...
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains(".parquet"),
       "iterations must not rescan the fact tables:\n" + p.take(4000))
+    // ...and consumed DIRECTLY: an Exchange above the edge cache means
+    // the edge side re-shuffles every round (the round-15 Layouts fix —
+    // a localCheckpoint under AQE forgot the HashPartitioning)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(src") && l.contains("ENSURE_REQUIREMENTS")),
+      "edge side re-exchanged into the rank join:\n" + p.take(3000))
     // and the declared row's final plan reads blocks, not fact scans
     val full = SparkEntry.queries("graph_pagerank_partitioned")(spark, sf())
     full.collect()
