@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Rebuild PLANS.md from `sbt "runMain graft.Plans"` output.
+
+Usage: python3 tools/mkplans.py /tmp/plans_raw.txt > PLANS.md
+
+Keeps each section's one-line header comment from the existing PLANS.md
+(matched by query name); new queries need an entry in NEW_HEADERS below.
+"""
+import re
+import sys
+
+RAW = sys.argv[1]
+OLD = "PLANS.md"
+
+NEW_HEADERS = {
+    "sim_kmeans":
+        "Lloyd iterations with broadcast centroids: assignment is a "
+        "zero-shuffle narrow pass, ONE (cluster) rollup per iteration "
+        "(round 11b)",
+    "sim_ivf_kmeans_topk":
+        "trained-quantizer IVF serving path: broadcast codebook "
+        "assignment, cell equi-join candidate restriction, single "
+        "top-k rollup (round 11c)",
+    "graph_butterflies_capped":
+        "degree-capped wedge join: the per-supplier rank compiles to "
+        "WindowGroupLimit (map tasks forward at most cap rows per "
+        "supplier), then the bounded capped⋈capped self-join — "
+        "node-linear where the exact form is hub-quadratic (round 15)",
+    "graph_label_prop_partitioned_round":
+        "one bcast=false LPA round: label side shuffle-hash-joins into "
+        "the persisted HashPartitioning(src) edge cache — zero "
+        "edge-side re-exchange, no node-sized broadcast (round 15)",
+    "pipe_ccnet_buckets_sketch":
+        "quantile-sketch CCNet cutoffs: map-side "
+        "partial_quantilesketchagg (each partition ships <= k rows per "
+        "language), broadcast cutoffs, narrow bucket pass (round 15)",
+}
+
+# name -> existing "## name — comment" line
+old_headers = {}
+with open(OLD) as f:
+    for line in f:
+        m = re.match(r"^## (\S+) — (.*)$", line.rstrip("\n"))
+        if m:
+            old_headers[m.group(1)] = m.group(2)
+
+# parse raw Plans output into (name, plan_text) preserving order
+sections = []
+name, buf = None, []
+plan_line = re.compile(r"^===== (\S+) =====$")
+with open(RAW) as f:
+    for line in f:
+        line = line.rstrip("\n")
+        # sbt prefixes stdout with "[info] " in batch mode
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
+        elif line.startswith("[info]"):
+            line = line[len("[info]"):]
+        m = plan_line.match(line)
+        if m:
+            if name:
+                sections.append((name, buf))
+            name, buf = m.group(1), []
+        elif name is not None:
+            buf.append(line)
+if name:
+    sections.append((name, buf))
+
+if not sections:
+    sys.exit("no '===== name =====' sections found in " + RAW)
+
+out = [
+    "# PLANS — final physical plans of the flagship queries (sf0.001, AQE final)",
+    "",
+    'Regenerate with `sbt "runMain graft.Plans" > /tmp/plans_raw.txt && '
+    "python3 tools/mkplans.py /tmp/plans_raw.txt > PLANS.md` after "
+    "plan-affecting changes.",
+    "",
+]
+for qname, lines in sections:
+    hdr = old_headers.get(qname) or NEW_HEADERS.get(qname)
+    if hdr is None:
+        sys.exit(f"no header comment known for {qname} — add to NEW_HEADERS")
+    # trim trailing blank lines
+    while lines and not lines[-1].strip():
+        lines.pop()
+    while lines and not lines[0].strip():
+        lines.pop(0)
+    out.append(f"## {qname} — {hdr}")
+    out.append("")
+    out.append("```")
+    out.extend(lines)
+    out.append("```")
+    out.append("")
+
+print("\n".join(out))
