@@ -37,7 +37,11 @@ object Plans {
     // cache consumed with zero re-exchange), and the quantile-sketch
     // CCNet cutoffs (map-side partial_quantilesketchagg)
     "graph_butterflies_capped", "graph_label_prop_partitioned_round",
-    "pipe_ccnet_buckets_sketch")
+    "pipe_ccnet_buckets_sketch",
+    // round 15b: the degree-ordered wedge join (orientation bounds any
+    // task's fan-out at O(√m)) and the WindowGroupLimit-bounded
+    // priority-sample rank
+    "graph_triangles", "pipe_priority_sample")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -72,6 +76,10 @@ object Plans {
             .withColumn("lbl", org.apache.spark.sql.functions.col("node"))
           (graft.queries.Round13Queries.lpaRound(edges, l0, bcast = false),
             Some(Seq(edges)))
+        // the declared row checkpoints; dump the un-materialized pipeline
+        case "graph_triangles" =>
+          val (res, o) = graft.queries.Round15bQueries.trianglesPlan(spark, dir)
+          (res, Some(Seq(o)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

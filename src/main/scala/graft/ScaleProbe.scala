@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.ScaleProbe <m> [query...]"        — corpus mode
   *        sbt "runMain graft.ScaleProbe tpch <m> [query...]"   — TPC-H mode
   *        sbt "runMain graft.ScaleProbe suite <m> [query...]"  — full suite
+  *        sbt "runMain graft.ScaleProbe cooccur <m> [query...]" — disjoint co-order graphs
   * (tpch mode replicates customer/orders/lineitem ×m with shifted key
   * spaces — m=10 on sf0.1 ≈ TPC-H sf1 — and times the q_tpch macros;
   * suite mode builds ALL ten tables at ×m and defaults to every declared
@@ -304,6 +305,33 @@ object ScaleProbe {
       s""""recall":$recall,"sec":${timings.map(_._1).min}}""")
   }
 
+  /** `cooccur` mode corpus: m DISJOINT copies of the co-order graphs —
+    * lineitem replicated with l_orderkey, l_partkey AND l_suppkey all
+    * shifted, so each replica's parts/suppliers co-occur only within
+    * their own replica. This is the honest scaling fixture for
+    * graph_triangles: a growing corpus grows the part catalogue with
+    * it, so the graph grows at CONSTANT average degree (n and m both
+    * ×m) — linear trajectory expected. Suite-mode replication keeps the
+    * part key space fixed, so the co-order graph DENSIFIES toward
+    * complete under ×m (wedges ∝ m²) — that slope would measure the
+    * fixture artifact, not the operator.
+    */
+  def scaleCooccur(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    val t = Tables.load(spark, src, "lineitem")
+    (0 until m).map { i =>
+      Seq("l_orderkey", "l_partkey", "l_suppkey").foldLeft(t) { (df, k) =>
+        df.withColumn(k, col(k) + lit(i.toLong * KeyOff))
+      }
+    }.reduce(_.unionByName(_))
+      .repartition(math.max(8, m * 4))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    new java.io.File(fs, "_DONE").createNewFile()
+    ()
+  }
+
   /** `suite` mode corpus: ALL ten fixture tables at ×m in one directory,
     * so every declared query (not just the dedup/similarity/TPC-H
     * subsets) can run on a scaled corpus. Facts replicate with disjoint
@@ -328,6 +356,7 @@ object ScaleProbe {
     val mode = args.headOption match {
       case Some("tpch") => "tpch"
       case Some("suite") => "suite"
+      case Some("cooccur") => "cooccur"
       case Some("annrecall") => "annrecall"
       case Some("bm25") => "bm25"
       case Some("containment") => "containment"
@@ -381,6 +410,7 @@ object ScaleProbe {
         // suite: EVERY declared query on the full ×m corpus — the
         // whole-inventory scaling sweep (VERDICT r7 item 4)
         case "suite" => SparkEntry.queries.keys.toSeq.sorted
+        case "cooccur" => Seq("graph_triangles")
         case _ => if (m <= 3) scalePath ++ allPairs else scalePath
       }
     val spark = SparkSession.builder()
@@ -395,16 +425,22 @@ object ScaleProbe {
     val dir = mode match {
       case "tpch" => s"/tmp/graft_tpch_x$m"
       case "suite" => s"/tmp/graft_suite_x$m"
+      case "cooccur" => s"/tmp/graft_cooccur_x$m"
       case _ => s"/tmp/graft_scale_x$m"
     }
     mode match {
       case "tpch" => scaleTpch(spark, "/root/testdata/sf0.1", dir, m)
       case "suite" => scaleSuite(spark, "/root/testdata/sf0.1", dir, m)
+      case "cooccur" => scaleCooccur(spark, "/root/testdata/sf0.1", dir, m)
       case _ => scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
     }
 
     // warm up codegen/scan paths
-    try SparkEntry.queries(if (mode == "tpch") "q_tpch03" else "dedup_exact")(spark, dir).count()
+    try SparkEntry.queries(mode match {
+      case "tpch" => "q_tpch03"
+      case "cooccur" => "graph_triangles"
+      case _ => "dedup_exact"
+    })(spark, dir).count()
     catch { case _: Throwable => () }
 
     // Pseudo-name dedup_embedding_ann_w<bits>: the width-scaled ANN dedup

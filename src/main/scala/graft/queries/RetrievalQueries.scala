@@ -237,6 +237,9 @@ object RetrievalQueries {
     */
   def syntheticBmQueries(s: SparkSession, dir: String, nq: Int,
       termsPerQuery: Int = 3): DataFrame = {
+    // GLOBAL window over the distinct VOCABULARY (Heaps-law bounded —
+    // sublinear in corpus size), not the corpus; probe-harness only.
+    // The only global window in the repo whose input grows at all.
     val w = Window.orderBy(md5(col("tok")), col("tok"))
     val vocab = tokenized(s, dir)
       .select(explode(col("toks")).as("tok")).distinct()

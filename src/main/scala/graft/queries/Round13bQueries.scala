@@ -356,6 +356,11 @@ object Round13bQueries {
       "pipe_dp_quantile",
       (s, dir) => {
         val u = s"((${h60Spark("concat('dpq:', cast(c as string))")} % 1000000) + 0.5) / 1000000.0"
+        // GLOBAL window, deliberately: its input is the value HISTOGRAM
+        // (one row per distinct n_chars — grid-bounded, not corpus-
+        // bounded), so the single WindowExec partition holds at most
+        // |grid| rows at any corpus size. This is the bench tail's
+        // "No Partition Defined" warning — bounded by construction.
         val wCum = Window.orderBy(col("c"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val hist = Tables.load(s, dir, "documents")
@@ -463,6 +468,10 @@ object Round13bQueries {
           .filter(col("sw") > 0)
           .select(col("b"),
             round(col("sw_x").cast(DoubleType) / col("sw"), 6).as("mean_b"))
+        // GLOBAL window over the B-row replicate table (B = BootB, a
+        // constant) — single-partition WindowExec is bounded at B rows
+        // whatever the corpus size (the warning in the bench tail is
+        // this, by construction)
         val wOrd = Window.orderBy(col("mean_b"), col("b"))
         val ranked = means.withColumn("rn", row_number().over(wOrd))
           .crossJoin(broadcast(means.agg(count(lit(1)).as("nb"))))

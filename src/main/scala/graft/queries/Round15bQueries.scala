@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Round-15b batch: two batch operators a corpus-scale pipeline leans on
+  * that the inventory still lacked —
+  *
+  *  - pipe_priority_sample: PRIORITY SAMPLING (Duffield, Lund & Thorup,
+  *    JACM 2007) — per-stratum weighted sampling with unbiased
+  *    subset-sum estimates from k items. The standard answer to "audit
+  *    N docs per language, weighted by token mass, and still estimate
+  *    stratum totals": priority q_i = w_i / u_i, keep the k largest,
+  *    threshold τ = (k+1)-th priority, estimator ŵ_i = max(w_i, τ).
+  *    u_i comes from the engine-portable h60 hash, and q is ONE IEEE
+  *    double division (exactly rounded, bit-identical across engines —
+  *    unlike ln/exp, which are not correctly-rounded and would make the
+  *    classic exponential-jump reservoir engine-dependent), so the
+  *    sample AND the estimates replay exactly in DuckDB: hash-green.
+  *  - graph_triangles: DEGREE-ORDERED triangle counting (Schank &
+  *    Wagner 2005; the MapReduce form in Suri & Vassilvitskii, WWW
+  *    2011) over the part co-order graph. Orienting every edge from
+  *    its lower-(degree, id) endpoint bounds out-degree by O(√m), so
+  *    the wedge self-join does Σ outdeg² ≤ O(m^1.5) work TOTAL and a
+  *    hub's wedge block never lands on one task — the unipartite
+  *    sibling of graph_butterflies_capped's hub discipline, achieved by
+  *    orientation instead of capping (and exact, not a lower bound).
+  *    The PART graph (not supplier) is the honest fixture: part count
+  *    grows with the corpus so average degree stays ~120 at every SF
+  *    (8.9 k edges / 200 nodes at sf0.001 → 1.196 M / 20 k at sf0.1 —
+  *    the constant-degree growth a real co-occurrence graph shows),
+  *    whereas the supplier co-order graph SATURATES (complete K₁₀₀ at
+  *    sf0.01, 91 % dense at sf0.1 — ~10⁸ wedges, a fixture artifact).
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no analytics
+  * surface (src/parquet_demo/io.py:21-66 is type coercion + ETL
+  * batching); this file is [EXT] like all of SURVEY §2.7.
+  */
+object Round15bQueries {
+
+  /** Sample size per stratum (language). 32 binds on every fixture SF
+    * (64–218 docs per language at sf0.001–0.01), so the threshold /
+    * estimator path — not the degenerate take-everything path — is what
+    * the correctness gate checks.
+    */
+  val PrioK = 32
+
+  private def h60Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Part co-order edges, degrees, and the degree-ordered
+    * orientation — exposed for the spec's combinatorial replay and the
+    * plan pin. Returns (oriented edges persisted, undirected edge DF,
+    * degree DF); the caller releases the persisted stage.
+    */
+  private[graft] def orientedCoOrderEdges(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sos = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+      .distinct()
+    // per-order part lists are lineitem-bounded (~7), so pair
+    // generation is ≤ C(7,2) per order — never a hub blow-up here
+    val e = sos.as("x").join(sos.as("y"),
+        col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+      .select(col("x.sp").as("a"), col("y.sp").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // part-count-sized (node table) — broadcast at declared scope;
+    // beyond the broadcast budget the two joins shuffle-hash on a/b
+    // exactly like the LPA partitioned twins
+    val lower = col("da") <= col("db") // tie ⇒ a (a < b by construction)
+    val oriented = e
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("src"),
+        when(lower, col("b")).otherwise(col("a")).as("dst"),
+        when(lower, col("db")).otherwise(col("da")).as("dd"))
+      .persist()
+    (oriented, e, deg)
+  }
+
+  /** Full triangle pipeline, un-materialized — (result, persisted
+    * oriented-edge stage); the caller materializes and then releases the
+    * stage. Exposed separately so Plans can dump the executed plan (the
+    * declared query localCheckpoints, which would print a bare RDD scan).
+    *
+    * ONE wedge pass: generate oriented wedges and close them in the same
+    * flow (left join against the oriented edge set — (src,dst) pairs are
+    * distinct, so no multiplicity inflation), counting wedges and
+    * triangles in a single aggregate. The node/edge/out-degree stats all
+    * derive from the PERSISTED oriented edges — nothing upstream of the
+    * oriented stage recomputes.
+    */
+  private[graft] def trianglesPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (o, _, _) = orientedCoOrderEdges(s, dir)
+    val wedges = o.as("p").join(o.as("q"),
+        col("p.src") === col("q.src") &&
+          (col("p.dd") < col("q.dd") ||
+            (col("p.dd") === col("q.dd") &&
+              col("p.dst") < col("q.dst"))))
+      .select(col("p.dst").as("v"), col("q.dst").as("t"))
+    val closed = wedges.join(
+        o.select(col("src").as("v"), col("dst").as("t"),
+          lit(1).as("hit")),
+        Seq("v", "t"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        count(col("hit")).as("n_triangles"))
+    val nodes = o.select(col("src").as("n"))
+      .unionByName(o.select(col("dst").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val res = closed
+      .crossJoin(broadcast(nodes))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(o.groupBy(col("src"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_outdeg"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("max_outdeg"))
+    (res, o)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── priority sampling with subset-sum estimates ──────────────────
+    // Shape: one narrow hash+divide pass, ONE per-language rank that
+    // Spark compiles to WindowGroupLimit (each map task forwards at
+    // most k+1 rows per language into the exchange — corpus never
+    // sorts, no language lands on one task beyond k+1 rows), τ taken
+    // from the SAME bounded pass, estimator applied in a narrow
+    // comparison against the broadcast τ table. |langs|·(k+1) rows
+    // after the rank whatever the corpus size.
+    QueryDef(
+      "pipe_priority_sample",
+      (s, dir) => {
+        val u = s"((${h60Spark("concat('ps:', cast(doc_id as string))")}" +
+          " % 1000000) + 0.5) / 1000000.0"
+        val wRank = Window.partitionBy(col("lang"))
+          .orderBy(col("q").desc, col("doc_id").asc)
+        val ranked = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("q", col("n_chars").cast(DoubleType) / expr(u))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= PrioK + 1) // ONE WindowGroupLimit pass
+        val tau = ranked.filter(col("rn") === PrioK + 1)
+          .select(col("lang"), col("q").as("tau"))
+        ranked.filter(col("rn") <= PrioK)
+          .join(broadcast(tau), Seq("lang"), "left")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            round(greatest(col("n_chars").cast(DoubleType),
+              coalesce(col("tau"), lit(0.0))), 6).as("est_w"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""WITH ranked AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(n_chars AS DOUBLE) /
+              (((${h60Duck("'ps:' || CAST(doc_id AS VARCHAR)")}
+                 % 1000000) + 0.5) / 1000000.0) AS q,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY CAST(n_chars AS DOUBLE) /
+                (((${h60Duck("'ps:' || CAST(doc_id AS VARCHAR)")}
+                   % 1000000) + 0.5) / 1000000.0) DESC,
+                doc_id ASC) AS rn
+          FROM documents),
+        tau AS (SELECT lang, q AS tau FROM ranked WHERE rn = ${PrioK + 1})
+        SELECT r.doc_id, r.lang, r.n_chars,
+          round(greatest(CAST(r.n_chars AS DOUBLE),
+            COALESCE(tau.tau, 0.0)), 6) AS est_w
+        FROM ranked r LEFT JOIN tau ON r.lang = tau.lang
+        WHERE r.rn <= $PrioK
+        ORDER BY r.lang, r.doc_id"""),
+      doc = s"Priority sampling (Duffield-Lund-Thorup), k=$PrioK per " +
+        "language, weight = n_chars: priority w/u from the h60 hash " +
+        "(one exactly-rounded IEEE division — engine-portable where " +
+        "ln-based schemes are not), WindowGroupLimit-bounded rank, " +
+        "HT-style estimates max(w, tau); Round15bSpec replays the " +
+        "sample and pins the subset-sum estimator against true totals."),
+
+    // ── degree-ordered triangle counting ─────────────────────────────
+    // Output in exact integers: node/edge/oriented-wedge/triangle
+    // counts plus max out-degree under the orientation — the witness
+    // that no task ever holds more than max_outdeg² wedge pairs (the
+    // O(√m) bound that makes this THE scalable triangle recipe).
+    QueryDef(
+      "graph_triangles",
+      (s, dir) => {
+        val (res, o) = trianglesPlan(s, dir)
+        try res.localCheckpoint(true) finally o.unpersist(false)
+      },
+      Some("""WITH sos AS (
+          SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.sp AS a, y.sp AS b
+          FROM sos x JOIN sos y ON x.ord = y.ord AND x.sp < y.sp),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        o AS (
+          SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS src,
+                 CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS dst,
+                 CASE WHEN da.d <= db.d THEN db.d ELSE da.d END AS dd
+          FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        wedges AS (
+          SELECT p.dst AS v, q.dst AS t
+          FROM o p JOIN o q ON p.src = q.src
+            AND (p.dd < q.dd OR (p.dd = q.dd AND p.dst < q.dst))),
+        closed AS (
+          SELECT count(*) AS n_wedges, count(o.src) AS n_triangles
+          FROM wedges LEFT JOIN o
+            ON wedges.v = o.src AND wedges.t = o.dst)
+        SELECT
+          (SELECT count(*) FROM deg) AS n_nodes,
+          (SELECT count(*) FROM e) AS n_edges,
+          n_wedges, n_triangles,
+          (SELECT max(c) FROM
+            (SELECT count(*) AS c FROM o GROUP BY src)) AS max_outdeg
+        FROM closed"""),
+      doc = "Degree-ordered triangle counting (Schank-Wagner / " +
+        "Suri-Vassilvitskii) on the part co-order graph (constant " +
+        "~120 average degree at every SF — the supplier graph " +
+        "saturates to complete at sf0.01): every edge oriented from " +
+        "its lower-(degree,id) endpoint, so out-degree — and with it " +
+        "any single task's wedge block — is O(sqrt(m))-bounded; exact " +
+        "integer counts; max_outdeg reported as the skew witness.")
+  )
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Round15bQueries
+
+/** Round-15b operator invariants:
+  *
+  *  - pipe_priority_sample: full Scala replay of priorities, the top-k
+  *    selection, the (k+1)-th-priority threshold, and the max(w, τ)
+  *    estimates; the threshold path must BIND on the fixture; the
+  *    subset-sum estimator must land near the true per-stratum totals
+  *    (deterministic given the hash, so a fixed bound is safe); the
+  *    per-language rank must compile to WindowGroupLimit;
+  *  - graph_triangles: combinatorial replay of the whole count from the
+  *    collected edge set, plus the orientation INVARIANT that makes the
+  *    recipe scale — max out-degree ≪ max degree on the co-order graph.
+  */
+class Round15bSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("pipe_priority_sample: priority/threshold/estimate replay, threshold binds") {
+    val out = run("pipe_priority_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val k = Round15bQueries.PrioK
+    val byLang = docs.groupBy(_._2)
+    // every language must exceed k, or the τ/estimator path is untested
+    assert(byLang.values.forall(_.length > k),
+      "threshold path must bind for every language")
+
+    byLang.foreach { case (lang, ds) =>
+      val pri = ds.map { case (id, _, w) =>
+        val u = ((h60(s"ps:$id") % 1000000) + 0.5) / 1000000.0
+        (id, w, w.toDouble / u)
+      }.sortBy { case (id, _, q) => (-q, id) }
+      val tau = pri(k)._3
+      val expected = pri.take(k).map { case (id, w, _) =>
+        // HALF_UP to match Spark's round(), not math.rint's HALF_EVEN
+        (id, lang, w, BigDecimal(math.max(w.toDouble, tau))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+      val got = out.filter(_._2 == lang).sortBy(_._1).toSeq
+      assert(got == expected.toSeq, s"$lang sample/estimates diverge")
+      // Duffield-Lund-Thorup: Σ max(w_i, τ) over the sample estimates
+      // the stratum total Σw. Deterministic given the hash, so a fixed
+      // relative bound is a safe assert (k=32 ⇒ typical error ~1/√k).
+      val est = got.map(_._4).sum
+      val truth = ds.map(_._3).sum.toDouble
+      assert(math.abs(est - truth) / truth < 0.35,
+        s"$lang subset-sum estimate $est vs true $truth")
+    }
+  }
+
+  test("priority rank prunes map-side: WindowGroupLimit in the plan") {
+    val df = run("pipe_priority_sample")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "rn <= k+1 must compile to WindowGroupLimit:\n" + p.take(3000))
+  }
+
+  test("graph_triangles: combinatorial replay from the collected edge set") {
+    val row = run("graph_triangles").collect().head
+    val (nNodes, nEdges, nWedges, nTri, maxOut) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+
+    val sos = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = sos.groupBy(_._1).values.flatMap { grp =>
+      val sps = grp.map(_._2).distinct.sorted
+      for (i <- sps.indices; j <- (i + 1) until sps.length)
+        yield (sps(i), sps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(nNodes == deg.size)
+    assert(nEdges == edges.size)
+
+    def orient(e: (Long, Long)): (Long, Long) = {
+      val (a, b) = e
+      if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b) else (b, a)
+    }
+    val out = edges.toSeq.map(orient).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    assert(maxOut == out.values.map(_.size).max)
+
+    val oriented = edges.map(orient)
+    def ordLt(x: Long, y: Long): Boolean =
+      deg(x) < deg(y) || (deg(x) == deg(y) && x < y)
+    var wedges = 0L
+    var tris = 0L
+    out.values.foreach { nbrs =>
+      val sorted = nbrs.sortWith(ordLt)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+        wedges += 1
+        if (oriented.contains((sorted(i), sorted(j)))) tris += 1
+      }
+    }
+    assert(nWedges == wedges, "oriented wedge count")
+    assert(nTri == tris, "triangle count")
+    assert(nTri > 0, "fixture graph must contain triangles")
+  }
+
+  test("orientation bounds the wedge work: max outdeg well below max degree") {
+    val row = run("graph_triangles").collect().head
+    val (nEdges, maxOut) = (row.getLong(1), row.getLong(4))
+    // the co-order graph is dense with hubs; the degree orientation
+    // must cut the per-node fan-out sharply (the Σ outdeg² ≤ O(m^1.5)
+    // scalability argument). Guard loosely so fixture drift can't flake:
+    // max outdeg must stay below 3·√(2m) where a hub's raw degree is
+    // typically far above it.
+    assert(maxOut <= 3 * math.sqrt(2.0 * nEdges).toLong + 1,
+      s"max_outdeg $maxOut vs edges $nEdges — orientation not binding")
+  }
+}

@@ -34,6 +34,16 @@ NEW_HEADERS = {
         "quantile-sketch CCNet cutoffs: map-side "
         "partial_quantilesketchagg (each partition ships <= k rows per "
         "language), broadcast cutoffs, narrow bucket pass (round 15)",
+    "graph_triangles":
+        "degree-ordered triangle count: oriented edges persisted once, "
+        "ONE wedge self-join closed by a left join in the same flow — "
+        "orientation bounds any task's wedge fan-out at O(sqrt m) "
+        "(round 15b)",
+    "pipe_priority_sample":
+        "priority sampling: per-language rank compiles to "
+        "WindowGroupLimit (map tasks forward <= k+1 rows per language), "
+        "tau from the same pass, broadcast-tau estimate join "
+        "(round 15b)",
 }
 
 # name -> existing "## name — comment" line
