@@ -1,13 +1,15 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
+import graft.operators.KmvDistinctAgg
 
-/** Round-15b batch: two batch operators a corpus-scale pipeline leans on
+/** Round-15b batch: batch operators a corpus-scale pipeline leans on
   * that the inventory still lacked —
   *
   *  - pipe_priority_sample: PRIORITY SAMPLING (Duffield, Lund & Thorup,
@@ -35,6 +37,26 @@ import graft.Tables
   *    the constant-degree growth a real co-occurrence graph shows),
   *    whereas the supplier co-order graph SATURATES (complete K₁₀₀ at
   *    sf0.01, 91 % dense at sf0.1 — ~10⁸ wedges, a fixture artifact).
+  *  - pipe_distinct_kmv: distinct-user cardinality per event type
+  *    through the KMV sketch (operators/KmvDistinctAgg) — the
+  *    deterministic, hash-green counterpart of q15_approx_distinct's
+  *    HLL++ row, and the 100 TB shape: no (group, user)-distinct
+  *    shuffle of the full user space ever happens; each partition
+  *    ships ≤ k tags per group. The events table is the fixture whose
+  *    per-group cardinality actually GROWS with SF (15 / 150 / 1500
+  *    users at sf0.001/0.01/0.1 — documents' synthetic vocabulary is
+  *    a constant 31 tokens per language at every SF), so the
+  *    correctness gate exercises the estimator path and the sf0.001
+  *    spec pins the exact small-group path.
+  *  - pipe_kmv_overlap: SET OPERATIONS on KMV sketches (Beyer et al.
+  *    2007 §5) — distinct-customer overlap between order years
+  *    (Jaccard, union and intersection cardinality estimates) computed
+  *    from the per-year sketches ALONE: the "audience overlap between
+  *    two corpus sources" op, answered without ever joining the two
+  *    user sets. The orders fixture has real partial overlap
+  *    (year-over-year customer Jaccard ~0.6–0.8 at every SF) and
+  *    ~120/~1170 customers per year at sf0.001/0.01, so the estimator
+  *    binds at both gate SFs.
   *
   * Reference scope note: alxmancilla/parquet-demo has no analytics
   * surface (src/parquet_demo/io.py:21-66 is type coercion + ETL
@@ -48,6 +70,14 @@ object Round15bQueries {
     * the correctness gate checks.
     */
   val PrioK = 32
+
+  /** KMV sketch size. 64 is well below the 150 distinct users per
+    * event type at sf0.01, so the ESTIMATOR path — not the exact
+    * small-group path — is what the correctness gate checks; relative
+    * error ~1/√62 ≈ 13 %. (At sf0.001 each type has 15 users < k —
+    * the exact path, which the spec pins separately.)
+    */
+  val KmvK = 64
 
   private def h60Spark(e: String): String =
     s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
@@ -230,6 +260,158 @@ object Round15bQueries {
         "saturates to complete at sf0.01): every edge oriented from " +
         "its lower-(degree,id) endpoint, so out-degree — and with it " +
         "any single task's wedge block — is O(sqrt(m))-bounded; exact " +
-        "integer counts; max_outdeg reported as the skew witness.")
+        "integer counts; max_outdeg reported as the skew witness."),
+
+    // ── KMV distinct-count sketch ────────────────────────────────────
+    // Distinct-user cardinality per event type without a user-space-
+    // sized distinct: the KmvDistinctAgg rollup dedups INSIDE the
+    // bounded buffer, map-side combine ships ≤ k tags per event type
+    // per partition, estimate = (k−1)·2⁶⁰ / t_k from the broadcast-
+    // sized result. Deterministic (k smallest distinct md5 tags), so
+    // the DuckDB window-rank replay is hash-green — the full-value
+    // oracle q15_approx_distinct's HLL++ sketch cannot have.
+    QueryDef(
+      "pipe_distinct_kmv",
+      (s, dir) => {
+        val kmv = udaf(KmvDistinctAgg(KmvK), ExpressionEncoder[Long]())
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr(h60Spark("concat('kmv:', cast(user_id as string))"))
+              .as("tag"))
+          .groupBy(col("event_type"))
+          .agg(kmv(col("tag")).as("tags"))
+          .select(col("event_type"),
+            size(col("tags")).as("n_retained"),
+            round(
+              when(size(col("tags")) < KmvK,
+                size(col("tags")).cast(DoubleType))
+                .otherwise(
+                  lit((KmvK - 1).toDouble * KmvDistinctAgg.TagSpace) /
+                    element_at(col("tags"), KmvK).cast(DoubleType)),
+              4).as("est_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH tags AS (
+          SELECT DISTINCT event_type,
+            ${h60Duck("'kmv:' || CAST(user_id AS VARCHAR)")} AS tag
+          FROM events),
+        ranked AS (
+          SELECT event_type, tag,
+            row_number() OVER (PARTITION BY event_type ORDER BY tag) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS nd
+          FROM tags),
+        agg AS (
+          SELECT event_type, max(nd) AS nd,
+            max(tag) FILTER (WHERE rn = $KmvK) AS tk
+          FROM ranked GROUP BY event_type)
+        SELECT event_type,
+          CAST(LEAST(nd, $KmvK) AS INT) AS n_retained,
+          round(CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+            ELSE CAST(${KmvK - 1} AS DOUBLE)
+              * CAST(1152921504606846976 AS DOUBLE)
+              / CAST(tk AS DOUBLE) END, 4) AS est_distinct
+        FROM agg ORDER BY event_type"""),
+      doc = s"KMV distinct-count sketch (k=$KmvK minimum values, Beyer " +
+        "et al. 2007 estimator): distinct users per event type from " +
+        "the k smallest distinct h60 tags — mergeable, deterministic, " +
+        "hash-green vs the DuckDB window-rank replay, and never " +
+        "shuffles the user space; KmvDistinctSpec pins the merge law, " +
+        "Round15bSpec replays sketch+estimate on both the exact " +
+        "(sf0.001, 15 users < k) and estimator (sf0.01, 150 users) " +
+        "paths."),
+
+    // ── KMV set operations: sketch-only audience overlap ─────────────
+    // Distinct-customer overlap between order years from the per-year
+    // sketches alone (Beyer et al. 2007 §5): combined sketch L =
+    // bottom-k(A ∪ B), Jaccard ρ̂ = |L ∩ A ∩ B| / |L|, union D̂ from
+    // L's k-th tag, intersection D̂∩ = ρ̂·D̂. The user sets themselves
+    // are never joined — at 100 TB the per-source sketches are the
+    // ONLY thing that moves (|sources|·k longs), and the pairwise
+    // combine runs on a |sources|²-row broadcastable table with
+    // codegen'd array built-ins (concat/array_distinct/slice/
+    // array_intersect), no UDF.
+    QueryDef(
+      "pipe_kmv_overlap",
+      (s, dir) => {
+        val kmv = udaf(KmvDistinctAgg(KmvK), ExpressionEncoder[Long]())
+        val sk = Tables.load(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("yr"),
+            expr(h60Spark("concat('ov:', cast(o_custkey as string))"))
+              .as("tag"))
+          .groupBy(col("yr")).agg(kmv(col("tag")).as("tags"))
+        val uni = sk.select(col("yr").as("year_a"), col("tags").as("ta"))
+          .join(sk.select(col("yr").as("year_b"), col("tags").as("tb")),
+            col("year_a") < col("year_b"))
+          .withColumn("uni", slice(
+            array_sort(array_distinct(concat(col("ta"), col("tb")))),
+            1, KmvK))
+          .withColumn("m", size(col("uni")))
+          .withColumn("k_both", size(array_intersect(
+            array_intersect(col("uni"), col("ta")), col("tb"))))
+          .withColumn("jacc",
+            col("k_both").cast(DoubleType) / col("m").cast(DoubleType))
+          .withColumn("d_union",
+            when(col("m") < KmvK, col("m").cast(DoubleType))
+              .otherwise(
+                lit((KmvK - 1).toDouble * KmvDistinctAgg.TagSpace) /
+                  element_at(col("uni"), KmvK).cast(DoubleType)))
+        uni.select(col("year_a"), col("year_b"),
+            col("m").as("n_union_tags"), col("k_both"),
+            round(col("jacc"), 4).as("jaccard_est"),
+            round(col("d_union"), 4).as("est_union"),
+            round(col("jacc") * col("d_union"), 4).as("est_common"))
+          .orderBy(col("year_a"), col("year_b"))
+      },
+      Some(s"""WITH tags AS (
+          SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+            ${h60Duck("'ov:' || CAST(o_custkey AS VARCHAR)")} AS tag
+          FROM orders),
+        ranked AS (
+          SELECT yr, tag,
+            row_number() OVER (PARTITION BY yr ORDER BY tag) AS rn
+          FROM tags),
+        sk AS (SELECT yr, tag FROM ranked WHERE rn <= $KmvK),
+        yrs AS (SELECT DISTINCT yr FROM sk),
+        pairs AS (
+          SELECT a.yr AS ya, b.yr AS yb
+          FROM yrs a JOIN yrs b ON a.yr < b.yr),
+        uni AS (
+          SELECT DISTINCT p.ya, p.yb, s.tag
+          FROM pairs p JOIN sk s ON s.yr = p.ya OR s.yr = p.yb),
+        uranked AS (
+          SELECT ya, yb, tag,
+            row_number() OVER (PARTITION BY ya, yb ORDER BY tag) AS rn
+          FROM uni),
+        l AS (SELECT ya, yb, tag FROM uranked WHERE rn <= $KmvK),
+        st AS (
+          SELECT l.ya, l.yb, count(*) AS m, max(l.tag) AS tk,
+            CAST(sum(CASE WHEN sa.tag IS NOT NULL AND sb.tag IS NOT NULL
+              THEN 1 ELSE 0 END) AS INT) AS k_both
+          FROM l
+          LEFT JOIN sk sa ON sa.yr = l.ya AND sa.tag = l.tag
+          LEFT JOIN sk sb ON sb.yr = l.yb AND sb.tag = l.tag
+          GROUP BY l.ya, l.yb),
+        fin AS (
+          SELECT ya, yb, m, k_both,
+            CAST(k_both AS DOUBLE) / CAST(m AS DOUBLE) AS jacc,
+            CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+              ELSE CAST(${KmvK - 1} AS DOUBLE)
+                * CAST(1152921504606846976 AS DOUBLE)
+                / CAST(tk AS DOUBLE) END AS d_union
+          FROM st)
+        SELECT ya AS year_a, yb AS year_b,
+          CAST(m AS INT) AS n_union_tags, k_both,
+          round(jacc, 4) AS jaccard_est,
+          round(d_union, 4) AS est_union,
+          round(jacc * d_union, 4) AS est_common
+        FROM fin ORDER BY year_a, year_b"""),
+      doc = s"KMV set-operation estimators (Beyer et al. 2007 §5, " +
+        s"k=$KmvK): year-over-year distinct-customer Jaccard, union " +
+        "and intersection estimates computed from the per-year " +
+        "sketches alone — the two user sets are never joined; " +
+        "deterministic (combined sketch = k smallest distinct tags of " +
+        "A ∪ B), so the DuckDB replay is hash-green; Round15bSpec " +
+        "replays the set algebra in Scala and pins estimator accuracy " +
+        "against the exact overlaps.")
   )
 }

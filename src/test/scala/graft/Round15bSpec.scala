@@ -14,7 +14,16 @@ import graft.queries.Round15bQueries
   *    per-language rank must compile to WindowGroupLimit;
   *  - graph_triangles: combinatorial replay of the whole count from the
   *    collected edge set, plus the orientation INVARIANT that makes the
-  *    recipe scale — max out-degree ≪ max degree on the co-order graph.
+  *    recipe scale — max out-degree ≪ max degree on the co-order graph;
+  *  - pipe_distinct_kmv: full Scala replay of the per-event-type KMV
+  *    sketch and estimate on BOTH paths — sf0.001 (15 users < k: the
+  *    sketch IS the exact distinct count) and sf0.01 (150 users: the
+  *    estimator binds); accuracy vs the exact distinct count
+  *    (deterministic given the hash, so a fixed bound is safe);
+  *  - pipe_kmv_overlap: full Scala replay of the sketch set algebra
+  *    (combined bottom-k, |L ∩ A ∩ B|, Jaccard/union/intersection
+  *    estimates) plus accuracy pins against the EXACT per-year-pair
+  *    overlaps and a non-degeneracy guard (partial overlap must exist).
   */
 class Round15bSpec extends SparkSpec {
 
@@ -113,6 +122,105 @@ class Round15bSpec extends SparkSpec {
     assert(nWedges == wedges, "oriented wedge count")
     assert(nTri == tris, "triangle count")
     assert(nTri > 0, "fixture graph must contain triangles")
+  }
+
+  /** Replay the declared query against an in-Scala KMV over the raw
+    * (event_type, user_id) pairs of `dir`, asserting the path named by
+    * `wantEstimator` actually binds.
+    */
+  private def replayKmv(dir: String, wantEstimator: Boolean): Unit = {
+    val out = SparkEntry.queries("pipe_distinct_kmv")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+
+    val k = Round15bQueries.KmvK
+    val users = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = users.groupBy(_._1)
+    assert(byType.values.forall(us =>
+      if (wantEstimator) us.length > k else us.length < k),
+      s"wrong path for $dir — the fixture no longer exercises " +
+        (if (wantEstimator) "the estimator" else "the exact small-group path"))
+
+    byType.foreach { case (et, us) =>
+      val distinctTags = us.map(u => h60(s"kmv:${u._2}")).distinct.sorted
+      val sketch = distinctTags.take(k)
+      val est =
+        if (sketch.length < k) sketch.length.toDouble
+        else BigDecimal(
+          (k - 1).toDouble * graft.operators.KmvDistinctAgg.TagSpace /
+            sketch.last.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = out.find(_._1 == et).get
+      assert(got._2 == sketch.length, s"$et n_retained")
+      assert(got._3 == est, s"$et estimate diverges from replay")
+      // KMV accuracy: deterministic given the hash, fixed bound safe.
+      // On the exact path this degenerates to equality (est == exact).
+      val exact = distinctTags.length
+      assert(math.abs(est - exact) / exact < 0.4,
+        s"$et est $est vs exact $exact")
+    }
+  }
+
+  test("pipe_distinct_kmv: exact path at sf0.001 (every group < k users)") {
+    replayKmv(sf(), wantEstimator = false)
+  }
+
+  test("pipe_distinct_kmv: estimator path binds at sf0.01") {
+    replayKmv(sf("sf0.01"), wantEstimator = true)
+  }
+
+  test("pipe_kmv_overlap: set-algebra replay, accuracy vs exact overlaps") {
+    val k = Round15bQueries.KmvK
+    val out = run("pipe_kmv_overlap").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+
+    val cust = Tables.load(spark, sf(), "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byYr: Map[Int, Set[Long]] =
+      cust.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // per-year sketches must oversubscribe k, or the estimator is idle
+    assert(byYr.values.forall(_.size > k), "estimator path must bind")
+    val sketches: Map[Int, Seq[Long]] = byYr.view.mapValues(us =>
+      us.toSeq.map(u => h60(s"ov:$u")).sorted.take(k)).toMap
+    val tagSets: Map[Int, Set[Long]] =
+      sketches.view.mapValues(_.toSet).toMap
+
+    val yrs = byYr.keys.toSeq.sorted
+    val expected = for (a <- yrs; b <- yrs if a < b) yield {
+      val l = (sketches(a) ++ sketches(b)).distinct.sorted.take(k)
+      val kBoth = l.count(t => tagSets(a)(t) && tagSets(b)(t))
+      val jacc = kBoth.toDouble / l.length.toDouble
+      val dUnion =
+        if (l.length < k) l.length.toDouble
+        else (k - 1).toDouble * graft.operators.KmvDistinctAgg.TagSpace /
+          l.last.toDouble
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, l.length, kBoth, r4(jacc), r4(dUnion), r4(jacc * dUnion))
+    }
+    assert(out.toSeq == expected, "set-algebra replay diverges")
+
+    // accuracy vs the EXACT overlaps (deterministic hash ⇒ fixed bounds
+    // are safe): Jaccard within ±0.25 absolute, intersection within
+    // ±40% relative — the ~1/√k regime for k=64
+    out.foreach { case (a, b, _, _, jacc, _, common) =>
+      val inter = (byYr(a) intersect byYr(b)).size.toDouble
+      val union = (byYr(a) union byYr(b)).size.toDouble
+      assert(math.abs(jacc - inter / union) < 0.25,
+        s"$a/$b jaccard $jacc vs exact ${inter / union}")
+      assert(math.abs(common - inter) / inter < 0.4,
+        s"$a/$b est_common $common vs exact $inter")
+    }
+    // the fixture must have PARTIAL overlap, or the estimators are
+    // trivially 1.0/union — pin that at least one pair is strictly
+    // between 0.2 and 0.98
+    assert(out.exists(o => o._5 > 0.2 && o._5 < 0.98),
+      "degenerate fixture: no partial overlap")
   }
 
   test("orientation bounds the wedge work: max outdeg well below max degree") {
