@@ -57,6 +57,12 @@ import graft.operators.KmvDistinctAgg
   *    (year-over-year customer Jaccard ~0.6–0.8 at every SF) and
   *    ~120/~1170 customers per year at sf0.001/0.01, so the estimator
   *    binds at both gate SFs.
+  *  - graph_clustering_coeff: Watts-Strogatz local clustering
+  *    coefficient + global transitivity over the part co-order graph,
+  *    from the SAME degree-ordered wedge join as graph_triangles —
+  *    per-node triangle attribution keeps the Σ outdeg² ≤ O(m^1.5)
+  *    bound, and the summary follows the exact-math recipe (integer
+  *    counts, one IEEE division per node, DECIMAL(28,9) sum).
   *
   * Reference scope note: alxmancilla/parquet-demo has no analytics
   * surface (src/parquet_demo/io.py:21-66 is type coercion + ETL
@@ -116,6 +122,57 @@ object Round15bQueries {
         when(lower, col("db")).otherwise(col("da")).as("dd"))
       .persist()
     (oriented, e, deg)
+  }
+
+  /** Local-clustering-coefficient pipeline, un-materialized — (result,
+    * persisted oriented-edge stage); the caller materializes and then
+    * releases the stage. Same oriented wedge join as trianglesPlan (the
+    * Σ outdeg² ≤ O(m^1.5) discipline), but each CLOSED wedge is kept as
+    * a (s, v, t) row and attributed to all three member nodes, giving
+    * per-node triangle counts t_v; LCC_v = t_v / C(deg_v, 2) and the
+    * summary aggregates follow the exact-math recipe (integer counts,
+    * ONE IEEE division per node, DECIMAL(28,9) for the order-
+    * independent sum — a raw double sum would be partition-order
+    * dependent and could differ between engines at the last bit).
+    */
+  private[graft] def lccPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (o, _, deg) = orientedCoOrderEdges(s, dir)
+    val wedges = o.as("p").join(o.as("q"),
+        col("p.src") === col("q.src") &&
+          (col("p.dd") < col("q.dd") ||
+            (col("p.dd") === col("q.dd") &&
+              col("p.dst") < col("q.dst"))))
+      .select(col("p.src").as("s"), col("p.dst").as("v"),
+        col("q.dst").as("t"))
+    val tri = wedges.join(
+        o.select(col("src").as("v"), col("dst").as("t")), Seq("v", "t"))
+    val nodeTri = tri
+      .select(explode(array(col("s"), col("v"), col("t"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tv"))
+    val base = deg.filter(col("d") >= 2)
+      .join(nodeTri, Seq("n"), "left")
+      .withColumn("tv", coalesce(col("tv"), lit(0L)))
+      .withColumn("pairs", expr("d * (d - 1) div 2"))
+      .withColumn("lcc",
+        col("tv").cast(DoubleType) / col("pairs").cast(DoubleType))
+    val res = base.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(tv) div 3").as("n_triangles"),
+        expr("sum(pairs)").as("n_open_wedges"),
+        expr("CAST(sum(CAST(round(lcc, 9) AS DECIMAL(28,9))) AS DOUBLE)")
+          .as("lcc_sum"),
+        expr("sum(CASE WHEN tv = 0 THEN 1 ELSE 0 END)").as("n_zero"),
+        max(col("lcc")).as("max_lcc_raw"))
+      .select(col("n_nodes"), col("n_triangles"),
+        round(col("lcc_sum") / col("n_nodes").cast(DoubleType), 6)
+          .as("avg_lcc"),
+        round(lit(3.0) * col("n_triangles").cast(DoubleType) /
+          col("n_open_wedges").cast(DoubleType), 6).as("transitivity"),
+        round(col("n_zero").cast(DoubleType) /
+          col("n_nodes").cast(DoubleType), 6).as("share_zero"),
+        round(col("max_lcc_raw"), 6).as("max_lcc"))
+    (res, o)
   }
 
   /** Full triangle pipeline, un-materialized — (result, persisted
@@ -412,6 +469,78 @@ object Round15bQueries {
         "deterministic (combined sketch = k smallest distinct tags of " +
         "A ∪ B), so the DuckDB replay is hash-green; Round15bSpec " +
         "replays the set algebra in Scala and pins estimator accuracy " +
-        "against the exact overlaps.")
+        "against the exact overlaps."),
+
+    // ── local clustering coefficient / transitivity ──────────────────
+    // The classic graph-cohesion quality signal over the part co-order
+    // graph: per-node LCC_v = t_v / C(deg_v, 2) from the SAME oriented
+    // wedge join as graph_triangles (each closed wedge attributed to
+    // its three member nodes), summarized to a 1-row corpus metric.
+    // Exact-math recipe throughout: integer triangle/pair counts, ONE
+    // IEEE division per node, DECIMAL(28,9) for the order-independent
+    // sum (a raw double sum would be partition-order dependent).
+    QueryDef(
+      "graph_clustering_coeff",
+      (s, dir) => {
+        val (res, o) = lccPlan(s, dir)
+        try res.localCheckpoint(true) finally o.unpersist(false)
+      },
+      Some("""WITH sos AS (
+          SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.sp AS a, y.sp AS b
+          FROM sos x JOIN sos y ON x.ord = y.ord AND x.sp < y.sp),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        o AS (
+          SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS src,
+                 CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS dst,
+                 CASE WHEN da.d <= db.d THEN db.d ELSE da.d END AS dd
+          FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        wedges AS (
+          SELECT p.src AS s, p.dst AS v, q.dst AS t
+          FROM o p JOIN o q ON p.src = q.src
+            AND (p.dd < q.dd OR (p.dd = q.dd AND p.dst < q.dst))),
+        tri AS (
+          SELECT w.s, w.v, w.t
+          FROM wedges w JOIN o ON w.v = o.src AND w.t = o.dst),
+        nodetri AS (
+          SELECT n, count(*) AS tv FROM (
+            SELECT s AS n FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT t FROM tri) GROUP BY n),
+        base AS (
+          SELECT deg.n, COALESCE(nt.tv, 0) AS tv,
+            deg.d * (deg.d - 1) // 2 AS pairs,
+            CAST(COALESCE(nt.tv, 0) AS DOUBLE)
+              / CAST(deg.d * (deg.d - 1) // 2 AS DOUBLE) AS lcc
+          FROM deg LEFT JOIN nodetri nt ON deg.n = nt.n
+          WHERE deg.d >= 2),
+        agg AS (
+          SELECT count(*) AS n_nodes,
+            CAST(sum(tv) AS BIGINT) // 3 AS n_triangles,
+            CAST(sum(pairs) AS BIGINT) AS n_open_wedges,
+            CAST(sum(CAST(round(lcc, 9) AS DECIMAL(28,9))) AS DOUBLE)
+              AS lcc_sum,
+            CAST(sum(CASE WHEN tv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero,
+            max(lcc) AS max_lcc_raw
+          FROM base)
+        SELECT n_nodes, n_triangles,
+          round(lcc_sum / CAST(n_nodes AS DOUBLE), 6) AS avg_lcc,
+          round(CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+            / CAST(n_open_wedges AS DOUBLE), 6) AS transitivity,
+          round(CAST(n_zero AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+            AS share_zero,
+          round(max_lcc_raw, 6) AS max_lcc
+        FROM agg"""),
+      doc = "Local clustering coefficient + transitivity (Watts-" +
+        "Strogatz avg-LCC and the global 3T/wedges ratio) over the " +
+        "part co-order graph: per-node triangle counts from the " +
+        "degree-ordered wedge join (each closed wedge attributed to " +
+        "its 3 nodes — the Σ outdeg² bound carries over), LCC summary " +
+        "in exact integers + one IEEE division per node + " +
+        "DECIMAL(28,9) order-independent sum; Round15bSpec replays " +
+        "per-node LCC combinatorially.")
   )
 }

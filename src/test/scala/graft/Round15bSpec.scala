@@ -223,6 +223,54 @@ class Round15bSpec extends SparkSpec {
       "degenerate fixture: no partial overlap")
   }
 
+  test("graph_clustering_coeff: per-node LCC replay from the collected edge set") {
+    val row = run("graph_clustering_coeff").collect().head
+    val (nNodes, nTri, avgLcc, trans, shareZero, maxLcc) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4), row.getDouble(5))
+
+    val sos = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = sos.groupBy(_._1).values.flatMap { grp =>
+      val sps = grp.map(_._2).distinct.sorted
+      for (i <- sps.indices; j <- (i + 1) until sps.length)
+        yield (sps(i), sps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // per-node triangle count: closed neighbor pairs (exact, unoriented)
+    val nodes = adj.keys.toSeq.filter(n => adj(n).size >= 2)
+    val tv: Map[Long, Long] = nodes.map { n =>
+      val nb = adj(n).toSeq.sorted
+      var c = 0L
+      for (i <- nb.indices; j <- (i + 1) until nb.length)
+        if (adj(nb(i)).contains(nb(j))) c += 1
+      n -> c
+    }.toMap
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lcc: Map[Long, Double] = nodes.map { n =>
+      val d = adj(n).size.toLong
+      n -> tv(n).toDouble / (d * (d - 1) / 2).toDouble
+    }.toMap
+    assert(nNodes == nodes.size)
+    assert(nTri == tv.values.sum / 3, "triangle total via node attribution")
+    val lccSum = nodes.map(n => BigDecimal(lcc(n))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(avgLcc == r(lccSum / nodes.size, 6), "avg LCC")
+    val openWedges = nodes.map { n =>
+      val d = adj(n).size.toLong; d * (d - 1) / 2 }.sum
+    assert(trans == r(3.0 * (tv.values.sum / 3).toDouble /
+      openWedges.toDouble, 6), "transitivity")
+    assert(shareZero ==
+      r(nodes.count(tv(_) == 0L).toDouble / nodes.size.toDouble, 6))
+    assert(maxLcc == r(lcc.values.max, 6))
+    // the metric must be non-degenerate on the fixture: some clustering
+    // exists but the graph is not a clique
+    assert(avgLcc > 0.0 && avgLcc < 1.0)
+  }
+
   test("orientation bounds the wedge work: max outdeg well below max degree") {
     val row = run("graph_triangles").collect().head
     val (nEdges, maxOut) = (row.getLong(1), row.getLong(4))
