@@ -90,13 +90,54 @@ object Round15bQueries {
   private def h60Duck(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle for graph_triangles and its partitioned twin — the
+    * orientation is a pure per-edge function, so both join strategies
+    * produce the identical oriented edge set and counts.
+    */
+  private val trianglesSql: String = """WITH sos AS (
+          SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.sp AS a, y.sp AS b
+          FROM sos x JOIN sos y ON x.ord = y.ord AND x.sp < y.sp),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        o AS (
+          SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS src,
+                 CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS dst,
+                 CASE WHEN da.d <= db.d THEN db.d ELSE da.d END AS dd
+          FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        wedges AS (
+          SELECT p.dst AS v, q.dst AS t
+          FROM o p JOIN o q ON p.src = q.src
+            AND (p.dd < q.dd OR (p.dd = q.dd AND p.dst < q.dst))),
+        closed AS (
+          SELECT count(*) AS n_wedges, count(o.src) AS n_triangles
+          FROM wedges LEFT JOIN o
+            ON wedges.v = o.src AND wedges.t = o.dst)
+        SELECT
+          (SELECT count(*) FROM deg) AS n_nodes,
+          (SELECT count(*) FROM e) AS n_edges,
+          n_wedges, n_triangles,
+          (SELECT max(c) FROM
+            (SELECT count(*) AS c FROM o GROUP BY src)) AS max_outdeg
+        FROM closed"""
+
   /** Part co-order edges, degrees, and the degree-ordered
     * orientation — exposed for the spec's combinatorial replay and the
     * plan pin. Returns (oriented edges persisted, undirected edge DF,
     * degree DF); the caller releases the persisted stage.
+    *
+    * @param bcast join strategy for the two edge ⋈ degree joins:
+    *   `true` broadcasts the node-sized degree table (fixture-fast,
+    *   assumes parts ≪ broadcast budget); `false` shuffle-hash-joins
+    *   it — the R10b/R11b discipline for node tables beyond the
+    *   broadcast budget. The orientation is a pure per-edge function
+    *   of (deg_a, deg_b, a, b), so the oriented edge set — and every
+    *   count downstream — is bit-identical either way (shared oracle).
     */
-  private[graft] def orientedCoOrderEdges(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def orientedCoOrderEdges(s: SparkSession, dir: String,
+      bcast: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val sos = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
       .distinct()
@@ -110,12 +151,16 @@ object Round15bQueries {
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // part-count-sized (node table) — broadcast at declared scope;
-    // beyond the broadcast budget the two joins shuffle-hash on a/b
+    // the bcast=false twin shuffle-hashes the two joins on a/b
     // exactly like the LPA partitioned twins
     val lower = col("da") <= col("db") // tie ⇒ a (a < b by construction)
-    val oriented = e
-      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
-      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+    val dega = deg.select(col("n").as("a"), col("d").as("da"))
+    val degb = deg.select(col("n").as("b"), col("d").as("db"))
+    val joined =
+      if (bcast) e.join(broadcast(dega), "a").join(broadcast(degb), "b")
+      else e.join(dega.hint("shuffle_hash"), "a")
+        .join(degb.hint("shuffle_hash"), "b")
+    val oriented = joined
       .select(
         when(lower, col("a")).otherwise(col("b")).as("src"),
         when(lower, col("b")).otherwise(col("a")).as("dst"),
@@ -187,9 +232,9 @@ object Round15bQueries {
     * derive from the PERSISTED oriented edges — nothing upstream of the
     * oriented stage recomputes.
     */
-  private[graft] def trianglesPlan(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val (o, _, _) = orientedCoOrderEdges(s, dir)
+  private[graft] def trianglesPlan(s: SparkSession, dir: String,
+      bcast: Boolean = true): (DataFrame, DataFrame) = {
+    val (o, _, _) = orientedCoOrderEdges(s, dir, bcast)
     val wedges = o.as("p").join(o.as("q"),
         col("p.src") === col("q.src") &&
           (col("p.dd") < col("q.dd") ||
@@ -283,34 +328,7 @@ object Round15bQueries {
         val (res, o) = trianglesPlan(s, dir)
         try res.localCheckpoint(true) finally o.unpersist(false)
       },
-      Some("""WITH sos AS (
-          SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
-        e AS (
-          SELECT DISTINCT x.sp AS a, y.sp AS b
-          FROM sos x JOIN sos y ON x.ord = y.ord AND x.sp < y.sp),
-        deg AS (
-          SELECT n, count(*) AS d FROM (
-            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
-        o AS (
-          SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS src,
-                 CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS dst,
-                 CASE WHEN da.d <= db.d THEN db.d ELSE da.d END AS dd
-          FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
-        wedges AS (
-          SELECT p.dst AS v, q.dst AS t
-          FROM o p JOIN o q ON p.src = q.src
-            AND (p.dd < q.dd OR (p.dd = q.dd AND p.dst < q.dst))),
-        closed AS (
-          SELECT count(*) AS n_wedges, count(o.src) AS n_triangles
-          FROM wedges LEFT JOIN o
-            ON wedges.v = o.src AND wedges.t = o.dst)
-        SELECT
-          (SELECT count(*) FROM deg) AS n_nodes,
-          (SELECT count(*) FROM e) AS n_edges,
-          n_wedges, n_triangles,
-          (SELECT max(c) FROM
-            (SELECT count(*) AS c FROM o GROUP BY src)) AS max_outdeg
-        FROM closed"""),
+      Some(trianglesSql),
       doc = "Degree-ordered triangle counting (Schank-Wagner / " +
         "Suri-Vassilvitskii) on the part co-order graph (constant " +
         "~120 average degree at every SF — the supplier graph " +
@@ -318,6 +336,25 @@ object Round15bQueries {
         "its lower-(degree,id) endpoint, so out-degree — and with it " +
         "any single task's wedge block — is O(sqrt(m))-bounded; exact " +
         "integer counts; max_outdeg reported as the skew witness."),
+
+    // ── partitioned twin: no node-sized broadcast ────────────────────
+    // Same pipeline with the two edge ⋈ degree joins shuffle-hash
+    // instead of broadcast — the R10b/R11b discipline for node tables
+    // beyond the broadcast budget. Orientation is a pure per-edge
+    // function of (deg_a, deg_b, a, b) ⇒ identical oriented edges and
+    // counts, shared oracle; Round15bSpec pins the plan (no broadcast
+    // of the degree side) and bit-equality with the broadcast form.
+    QueryDef(
+      "graph_triangles_partitioned",
+      (s, dir) => {
+        val (res, o) = trianglesPlan(s, dir, bcast = false)
+        try res.localCheckpoint(true) finally o.unpersist(false)
+      },
+      Some(trianglesSql),
+      doc = "graph_triangles for part catalogues beyond the broadcast " +
+        "budget: degree joins shuffle-hash on the edge endpoints " +
+        "(hint-pinned), everything downstream unchanged — " +
+        "bit-identical counts by construction, shared oracle."),
 
     // ── KMV distinct-count sketch ────────────────────────────────────
     // Distinct-user cardinality per event type without a user-space-

@@ -223,6 +223,30 @@ class Round15bSpec extends SparkSpec {
       "degenerate fixture: no partial overlap")
   }
 
+  test("graph_triangles_partitioned: bit-identical to broadcast form, no degree broadcast") {
+    val bcast = run("graph_triangles").collect().toSeq
+    val part = run("graph_triangles_partitioned").collect().toSeq
+    assert(part == bcast, "partitioned twin diverges from broadcast form")
+    // plan pin on the oriented-edge stage: the two degree joins must be
+    // shuffle-hash, not broadcast (the node table beyond-budget path)
+    val (o, _, _) = Round15bQueries.orientedCoOrderEdges(
+      spark, sf(), bcast = false)
+    try {
+      o.count()
+      val p = o.queryExecution.executedPlan.toString
+      // both hinted degree joins must be shuffle-hash (the upstream
+      // pair-generation self-join on ord is size-chosen by the planner
+      // and may legitimately broadcast at fixture scale — it is not a
+      // node-table join)
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+        "both degree joins must shuffle-hash:\n" + p.take(3000))
+      assert(!p.contains("BroadcastHashJoin [a#") &&
+        !p.contains("BroadcastHashJoin [b#"),
+        "a degree join was broadcast in the partitioned twin:\n" +
+          p.take(3000))
+    } finally o.unpersist(false)
+  }
+
   test("graph_clustering_coeff: per-node LCC replay from the collected edge set") {
     val row = run("graph_clustering_coeff").collect().head
     val (nNodes, nTri, avgLcc, trans, shareZero, maxLcc) =
