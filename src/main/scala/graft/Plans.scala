@@ -39,9 +39,13 @@ object Plans {
     "graph_butterflies_capped", "graph_label_prop_partitioned_round",
     "pipe_ccnet_buckets_sketch",
     // round 15b: the degree-ordered wedge join (orientation bounds any
-    // task's fan-out at O(√m)) and the WindowGroupLimit-bounded
-    // priority-sample rank
-    "graph_triangles", "pipe_priority_sample")
+    // task's fan-out at O(√m)), the WindowGroupLimit-bounded
+    // priority-sample rank, the partitioned-degree-join twin, the
+    // per-node LCC attribution, and the two KMV sketch rollups
+    // (map-side partial_kmvdistinctagg; sketch-only set algebra)
+    "graph_triangles", "pipe_priority_sample",
+    "graph_triangles_partitioned", "graph_clustering_coeff",
+    "pipe_distinct_kmv", "pipe_kmv_overlap")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -76,9 +80,16 @@ object Plans {
             .withColumn("lbl", org.apache.spark.sql.functions.col("node"))
           (graft.queries.Round13Queries.lpaRound(edges, l0, bcast = false),
             Some(Seq(edges)))
-        // the declared row checkpoints; dump the un-materialized pipeline
+        // the declared rows checkpoint; dump the un-materialized pipelines
         case "graph_triangles" =>
           val (res, o) = graft.queries.Round15bQueries.trianglesPlan(spark, dir)
+          (res, Some(Seq(o)))
+        case "graph_triangles_partitioned" =>
+          val (res, o) = graft.queries.Round15bQueries
+            .trianglesPlan(spark, dir, bcast = false)
+          (res, Some(Seq(o)))
+        case "graph_clustering_coeff" =>
+          val (res, o) = graft.queries.Round15bQueries.lccPlan(spark, dir)
           (res, Some(Seq(o)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.operators.KmvDistinctAgg
+import graft.operators.{CmSketchAgg, KmvDistinctAgg}
 
 /** Round-15b batch: batch operators a corpus-scale pipeline leans on
   * that the inventory still lacked —
@@ -57,6 +57,14 @@ import graft.operators.KmvDistinctAgg
   *    (year-over-year customer Jaccard ~0.6–0.8 at every SF) and
   *    ~120/~1170 customers per year at sf0.001/0.01, so the estimator
   *    binds at both gate SFs.
+  *  - pipe_count_min: COUNT-MIN sketch (Cormode & Muthukrishnan 2005)
+  *    — per-language token-frequency estimation from a d×w integer
+  *    matrix (operators/CmSketchAgg): the frequency member of the
+  *    sketch family (KMV = cardinality, bottom-k = rank, SpaceSaving
+  *    = top-k). Deterministic cell sums ⇒ hash-green DuckDB replay;
+  *    the declared row reports est vs exact per token, so the
+  *    overestimate invariant (est ≥ exact always, > for colliding
+  *    tokens at w=32) is visible in the output itself.
   *  - graph_clustering_coeff: Watts-Strogatz local clustering
   *    coefficient + global transitivity over the part co-order graph,
   *    from the SAME degree-ordered wedge join as graph_triangles —
@@ -76,6 +84,16 @@ object Round15bQueries {
     * the correctness gate checks.
     */
   val PrioK = 32
+
+  /** Count-Min geometry: w=32 forces real collisions on the ~31-token
+    * per-language fixture vocabulary (the overestimate path is
+    * exercised, not idle), d=4 keeps estimates tight via the min. The
+    * four hash functions are the four 32-bit chunks of ONE md5 per
+    * occurrence — hashing stays in codegen'd built-ins; the Aggregator
+    * only unpacks and increments.
+    */
+  val CmD = 4
+  val CmW = 32
 
   /** KMV sketch size. 64 is well below the 150 distinct users per
     * event type at sf0.01, so the ESTIMATOR path — not the exact
@@ -160,12 +178,18 @@ object Round15bQueries {
       if (bcast) e.join(broadcast(dega), "a").join(broadcast(degb), "b")
       else e.join(dega.hint("shuffle_hash"), "a")
         .join(degb.hint("shuffle_hash"), "b")
-    val oriented = joined
-      .select(
+    // persist HASH-PARTITIONED on src (Layouts.partitioned — explicit-N
+    // repartition + eager persist, AQE-safe): the wedge self-join p⋈q
+    // on src then consumes BOTH sides from the cached layout with ZERO
+    // exchanges, and the out-degree rollup is map-side — one persist
+    // shuffle of |o| replaces two self-join exchanges of |o| (measured
+    // ×10: 82.9 s → see BASELINE round-15b table)
+    val oriented = graft.operators.Layouts.partitioned(
+      joined.select(
         when(lower, col("a")).otherwise(col("b")).as("src"),
         when(lower, col("b")).otherwise(col("a")).as("dst"),
-        when(lower, col("db")).otherwise(col("da")).as("dd"))
-      .persist()
+        when(lower, col("db")).otherwise(col("da")).as("dd")),
+      Seq(col("src")))
     (oriented, e, deg)
   }
 
@@ -507,6 +531,85 @@ object Round15bQueries {
         "A ∪ B), so the DuckDB replay is hash-green; Round15bSpec " +
         "replays the set algebra in Scala and pins estimator accuracy " +
         "against the exact overlaps."),
+
+    // ── Count-Min sketch: frequency estimation, bounded memory ──────
+    // Per-language token frequencies from a d×w matrix: positions for
+    // all d rows come from ONE codegen'd md5 per occurrence (packed
+    // base-w into a long), the Aggregator increments d cells per row,
+    // map-side combine ships one 128-cell matrix per language per
+    // partition. Estimates = min over the d cells, joined back against
+    // the broadcast 5-row sketch table; exact counts alongside make
+    // the ε-overcount auditable row by row. All-integer math — no
+    // float parity surface at all.
+    QueryDef(
+      "pipe_count_min",
+      (s, dir) => {
+        val cm = udaf(CmSketchAgg(CmD, CmW), ExpressionEncoder[Long]())
+        def pos(j: Int): String =
+          s"(cast(conv(substring(md5(concat('cm:', tok)), ${1 + 8 * j}, 8)" +
+            s", 16, 10) as bigint) % $CmW)"
+        val packed = (0 until CmD)
+          .map(j => s"${pos(j)} * ${math.pow(CmW, j).toLong}L")
+          .mkString(" + ")
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .withColumn("packed", expr(packed))
+        val sketch = toks.groupBy(col("lang"))
+          .agg(cm(col("packed")).as("cells"))
+        val estExpr = (0 until CmD).map { j =>
+          s"element_at(cells, ${j * CmW} + " +
+            s"cast((packed div ${math.pow(CmW, j).toLong}L) % $CmW as int)" +
+            " + 1)"
+        }.mkString("least(", ", ", ")")
+        toks.groupBy(col("lang"), col("tok"), col("packed"))
+          .agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(sketch), "lang")
+          .withColumn("est_count", expr(estExpr))
+          .select(col("lang"), col("tok"), col("n_exact"),
+            col("est_count"),
+            (col("est_count") - col("n_exact")).as("overcount"))
+          .orderBy(col("lang"), col("tok"))
+      },
+      Some {
+        def posD(j: Int): String =
+          s"CAST(('0x' || substring(md5('cm:' || tok), ${1 + 8 * j}, 8)) " +
+            s"AS BIGINT) % $CmW"
+        s"""WITH toks AS (
+          SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY lang, tok),
+        pos AS (
+          SELECT lang, tok, n,
+            ${posD(0)} AS p0, ${posD(1)} AS p1,
+            ${posD(2)} AS p2, ${posD(3)} AS p3
+          FROM cnt),
+        cells AS (
+          SELECT lang, j, b, CAST(sum(n) AS BIGINT) AS c FROM (
+            SELECT lang, 0 AS j, p0 AS b, n FROM pos
+            UNION ALL SELECT lang, 1, p1, n FROM pos
+            UNION ALL SELECT lang, 2, p2, n FROM pos
+            UNION ALL SELECT lang, 3, p3, n FROM pos)
+          GROUP BY lang, j, b)
+        SELECT p.lang, p.tok, p.n AS n_exact,
+          LEAST(c0.c, c1.c, c2.c, c3.c) AS est_count,
+          LEAST(c0.c, c1.c, c2.c, c3.c) - p.n AS overcount
+        FROM pos p
+        JOIN cells c0 ON c0.lang = p.lang AND c0.j = 0 AND c0.b = p.p0
+        JOIN cells c1 ON c1.lang = p.lang AND c1.j = 1 AND c1.b = p.p1
+        JOIN cells c2 ON c2.lang = p.lang AND c2.j = 2 AND c2.b = p.p2
+        JOIN cells c3 ON c3.lang = p.lang AND c3.j = 3 AND c3.b = p.p3
+        ORDER BY p.lang, p.tok"""
+      },
+      doc = s"Count-Min sketch (Cormode-Muthukrishnan, d=$CmD w=$CmW): " +
+        "per-language token-frequency estimates from a 128-cell " +
+        "integer matrix — deterministic cell sums replay hash-green " +
+        "in DuckDB; output carries est vs exact so the overestimate " +
+        "invariant is auditable; CmSketchSpec pins the merge law, " +
+        "Round15bSpec replays sketch+estimates and pins est >= exact " +
+        "with real collisions at w=32."),
 
     // ── local clustering coefficient / transitivity ──────────────────
     // The classic graph-cohesion quality signal over the part co-order

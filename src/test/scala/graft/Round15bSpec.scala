@@ -23,7 +23,13 @@ import graft.queries.Round15bQueries
   *  - pipe_kmv_overlap: full Scala replay of the sketch set algebra
   *    (combined bottom-k, |L ∩ A ∩ B|, Jaccard/union/intersection
   *    estimates) plus accuracy pins against the EXACT per-year-pair
-  *    overlaps and a non-degeneracy guard (partial overlap must exist).
+  *    overlaps and a non-degeneracy guard (partial overlap must exist);
+  *  - pipe_count_min: full Scala replay of the per-language d×w matrix
+  *    and min-of-d estimates; est ≥ exact for every token and strictly
+  *    greater somewhere (w=32 forces real collisions — the estimate
+  *    path does work, not pass-through);
+  *  - graph_triangles_partitioned: bit-equality with the broadcast
+  *    form plus the shuffle-hash plan pin on both degree joins.
   */
 class Round15bSpec extends SparkSpec {
 
@@ -221,6 +227,43 @@ class Round15bSpec extends SparkSpec {
     // between 0.2 and 0.98
     assert(out.exists(o => o._5 > 0.2 && o._5 < 0.98),
       "degenerate fixture: no partial overlap")
+  }
+
+  test("pipe_count_min: sketch/estimate replay, overestimate invariant, real collisions") {
+    import graft.operators.CmSketchAgg
+    val (d, w) = (Round15bQueries.CmD, Round15bQueries.CmW)
+    val out = run("pipe_count_min").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+
+    def packed(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until d).map { j =>
+        (java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16) % w) *
+          math.pow(w, j).toLong
+      }.sum
+    }
+    val toks = Tables.load(spark, sf(), "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    toks.groupBy(_._1).foreach { case (lang, ts) =>
+      val agg = CmSketchAgg(d, w)
+      val sk = ts.map(t => packed(t._2)).foldLeft(agg.zero)(agg.reduce)
+      val counts = ts.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val expected = counts.toSeq.sortBy(_._1).map { case (tok, n) =>
+        val est = CmSketchAgg.estimate(sk, d, w, packed(tok))
+        (lang, tok, n, est, est - n)
+      }
+      val got = out.filter(_._1 == lang).sortBy(_._2).toSeq
+      assert(got == expected, s"$lang sketch/estimates diverge")
+      assert(got.forall(r => r._4 >= r._3), s"$lang under-estimate")
+    }
+    // w=32 on the fixture vocabulary must produce real collisions, or
+    // the min-of-d estimate path is idle
+    assert(out.exists(_._5 > 0L), "no collision — overestimate path idle")
   }
 
   test("graph_triangles_partitioned: bit-identical to broadcast form, no degree broadcast") {

@@ -44,6 +44,22 @@ NEW_HEADERS = {
         "WindowGroupLimit (map tasks forward <= k+1 rows per language), "
         "tau from the same pass, broadcast-tau estimate join "
         "(round 15b)",
+    "graph_triangles_partitioned":
+        "no-node-broadcast twin: both degree joins ShuffledHashJoin on "
+        "the edge endpoints (hint-pinned), wedge pipeline unchanged "
+        "(round 15b)",
+    "graph_clustering_coeff":
+        "per-node LCC: closed wedges attributed to their 3 nodes "
+        "(explode + one count shuffle bounded by the triangle total), "
+        "DECIMAL(28,9) order-independent avg (round 15b)",
+    "pipe_distinct_kmv":
+        "KMV distinct sketch: map-side partial_kmvdistinctagg caps "
+        "each partition at k tags per group — the user space never "
+        "shuffles (round 15b)",
+    "pipe_kmv_overlap":
+        "KMV set algebra: per-year sketch rollup, then the pairwise "
+        "overlap on a |years|^2-row self-join with codegen'd array "
+        "built-ins (round 15b)",
 }
 
 # name -> existing "## name — comment" line
