@@ -45,7 +45,8 @@ object Plans {
     // (map-side partial_kmvdistinctagg; sketch-only set algebra)
     "graph_triangles", "pipe_priority_sample",
     "graph_triangles_partitioned", "graph_clustering_coeff",
-    "pipe_distinct_kmv", "pipe_kmv_overlap")
+    "pipe_distinct_kmv", "pipe_kmv_overlap",
+    "pipe_count_min", "pipe_f2_ams")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.operators.{CmSketchAgg, KmvDistinctAgg}
+import graft.operators.{AmsSketchAgg, CmSketchAgg, KmvDistinctAgg}
 
 /** Round-15b batch: batch operators a corpus-scale pipeline leans on
   * that the inventory still lacked —
@@ -65,6 +65,13 @@ import graft.operators.{CmSketchAgg, KmvDistinctAgg}
   *    the declared row reports est vs exact per token, so the
   *    overestimate invariant (est ≥ exact always, > for colliding
   *    tokens at w=32) is visible in the output itself.
+  *  - pipe_f2_ams: AMS tug-of-war sketch (Alon, Matias & Szegedy 1996)
+  *    — the SECOND FREQUENCY MOMENT F₂ = Σ f² (self-join size) per
+  *    language from k=60 signed counters (operators/AmsSketchAgg): the
+  *    skew / shuffle-volume predictor. Signs are the 60 bits of the
+  *    h60 tag (one hash per occurrence); deterministic integer sums ⇒
+  *    hash-green replay; exact F₂ reported alongside so the error is
+  *    auditable.
   *  - graph_clustering_coeff: Watts-Strogatz local clustering
   *    coefficient + global transitivity over the part co-order graph,
   *    from the SAME degree-ordered wedge join as graph_triangles —
@@ -94,6 +101,13 @@ object Round15bQueries {
     */
   val CmD = 4
   val CmW = 32
+
+  /** AMS counter count: all 60 bits of the h60 tag serve as the sign
+    * functions (one hash per occurrence, no second hashing pass);
+    * relative error ~√(2/60) ≈ 18 % — deterministic on the fixture,
+    * spec-pinned.
+    */
+  val AmsK = 60
 
   /** KMV sketch size. 64 is well below the 150 distinct users per
     * event type at sf0.01, so the ESTIMATOR path — not the exact
@@ -610,6 +624,64 @@ object Round15bQueries {
         "invariant is auditable; CmSketchSpec pins the merge law, " +
         "Round15bSpec replays sketch+estimates and pins est >= exact " +
         "with real collisions at w=32."),
+
+    // ── AMS F₂ sketch: self-join size from k signed counters ─────────
+    // The shuffle-volume predictor: F₂ of a key stream IS the
+    // candidate count of its self-equi-join (LSH buckets, groupBy
+    // reducers). k=60 longs of state per language; the exact rollup it
+    // estimates is the vocabulary-sized exchange, reported alongside
+    // so the ~√(2/k) error is auditable row by row.
+    QueryDef(
+      "pipe_f2_ams",
+      (s, dir) => {
+        val ams = udaf(AmsSketchAgg(AmsK), ExpressionEncoder[Long]())
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .withColumn("tag", expr(h60Spark("concat('f2:', tok)")))
+        val sketch = toks.groupBy(col("lang"))
+          .agg(ams(col("tag")).as("counters"))
+        val exact = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("f"))
+          .groupBy(col("lang"))
+          .agg(sum(expr("f * f")).as("f2_exact"))
+        exact.join(sketch, "lang")
+          .select(col("lang"), col("f2_exact"),
+            expr("round(CAST(aggregate(counters, 0L, (acc, c) -> " +
+              s"acc + c * c) AS DOUBLE) / CAST($AmsK AS DOUBLE), 4)")
+              .as("f2_est"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT lang, tok, CAST(count(*) AS BIGINT) AS f,
+            ${h60Duck("'f2:' || tok")} AS tag
+          FROM toks GROUP BY lang, tok),
+        ctr AS (
+          SELECT lang, t.j,
+            CAST(sum(CASE WHEN (tag >> t.j) & 1 = 1 THEN f ELSE -f END)
+              AS BIGINT) AS c
+          FROM cnt CROSS JOIN range($AmsK) t(j)
+          GROUP BY lang, t.j),
+        est AS (
+          SELECT lang, CAST(sum(c * c) AS BIGINT) AS ss
+          FROM ctr GROUP BY lang),
+        ex AS (
+          SELECT lang, CAST(sum(f * f) AS BIGINT) AS f2_exact
+          FROM cnt GROUP BY lang)
+        SELECT ex.lang, ex.f2_exact,
+          round(CAST(ss AS DOUBLE) / CAST($AmsK AS DOUBLE), 4) AS f2_est
+        FROM ex JOIN est ON ex.lang = est.lang
+        ORDER BY ex.lang"""),
+      doc = s"AMS tug-of-war F2 sketch (Alon-Matias-Szegedy, k=$AmsK " +
+        "counters signed by the h60 bits, one hash per occurrence): " +
+        "per-language self-join size estimate next to the exact " +
+        "vocabulary rollup — deterministic integer counters replay " +
+        "hash-green in DuckDB; AmsSketchSpec pins the merge law, " +
+        "Round15bSpec replays counters+estimate and pins accuracy.",
+    ),
 
     // ── local clustering coefficient / transitivity ──────────────────
     // The classic graph-cohesion quality signal over the part co-order

@@ -28,6 +28,9 @@ import graft.queries.Round15bQueries
   *    and min-of-d estimates; est ≥ exact for every token and strictly
   *    greater somewhere (w=32 forces real collisions — the estimate
   *    path does work, not pass-through);
+  *  - pipe_f2_ams: full Scala replay of the k signed counters and the
+  *    mean-of-squares F₂ estimate; accuracy inside the ~3·√(2/k) band
+  *    against the exact per-language self-join size;
   *  - graph_triangles_partitioned: bit-equality with the broadcast
   *    form plus the shuffle-hash plan pin on both degree joins.
   */
@@ -264,6 +267,34 @@ class Round15bSpec extends SparkSpec {
     // w=32 on the fixture vocabulary must produce real collisions, or
     // the min-of-d estimate path is idle
     assert(out.exists(_._5 > 0L), "no collision — overestimate path idle")
+  }
+
+  test("pipe_f2_ams: counter/estimate replay, accuracy vs exact F2") {
+    import graft.operators.AmsSketchAgg
+    val k = Round15bQueries.AmsK
+    val out = run("pipe_f2_ams").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+
+    val toks = Tables.load(spark, sf(), "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    toks.groupBy(_._1).foreach { case (lang, ts) =>
+      val agg = AmsSketchAgg(k)
+      val counters = ts.map(t => h60(s"f2:${t._2}"))
+        .foldLeft(agg.zero)(agg.reduce)
+      val est = BigDecimal(AmsSketchAgg.estimate(counters, k))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val f2 = ts.groupBy(_._2).values.map(g => g.length.toLong)
+        .map(f => f * f).sum
+      val got = out.find(_._1 == lang).get
+      assert(got._2 == f2, s"$lang exact F2")
+      assert(got._3 == est, s"$lang estimate diverges from replay")
+      // deterministic given the hash, fixed ~3*sqrt(2/k) band is safe
+      assert(math.abs(est - f2.toDouble) / f2.toDouble <=
+        3.0 * math.sqrt(2.0 / k), s"$lang est $est vs exact $f2")
+    }
   }
 
   test("graph_triangles_partitioned: bit-identical to broadcast form, no degree broadcast") {

@@ -60,6 +60,14 @@ NEW_HEADERS = {
         "KMV set algebra: per-year sketch rollup, then the pairwise "
         "overlap on a |years|^2-row self-join with codegen'd array "
         "built-ins (round 15b)",
+    "pipe_count_min":
+        "Count-Min sketch: map-side partial_cmsketchagg (one 128-cell "
+        "matrix per language per partition), estimates via broadcast "
+        "sketch join (round 15b)",
+    "pipe_f2_ams":
+        "AMS F2 sketch: map-side partial_amssketchagg (60 signed "
+        "counters per language per partition) next to the exact "
+        "vocabulary rollup it estimates (round 15b)",
 }
 
 # name -> existing "## name — comment" line
