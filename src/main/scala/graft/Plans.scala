@@ -90,8 +90,8 @@ object Plans {
             .trianglesPlan(spark, dir, bcast = false)
           (res, Some(Seq(o)))
         case "graph_clustering_coeff" =>
-          val (res, o) = graft.queries.Round15bQueries.lccPlan(spark, dir)
-          (res, Some(Seq(o)))
+          val (res, stages) = graft.queries.Round15bQueries.lccPlan(spark, dir)
+          (res, Some(stages))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

@@ -174,11 +174,19 @@ object Round15bQueries {
       .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
       .distinct()
     // per-order part lists are lineitem-bounded (~7), so pair
-    // generation is ≤ C(7,2) per order — never a hub blow-up here
+    // generation is ≤ C(7,2) per order — never a hub blow-up here.
+    // PERSIST the edge set eagerly: the degree rollup AND both sides
+    // of the orientation join (plus lccPlan's node join) consume it —
+    // in the broadcast form each BroadcastExchange otherwise re-derives
+    // the whole distinct self-join (measured ×10: 99.2 s vs the
+    // shuffle-hash twin's 29.3 s, whose exchanges Spark reuses).
+    // Callers release it with the oriented stage.
     val e = sos.as("x").join(sos.as("y"),
         col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
       .select(col("x.sp").as("a"), col("y.sp").as("b"))
       .distinct()
+      .persist()
+    e.count()
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -219,8 +227,14 @@ object Round15bQueries {
     * dependent and could differ between engines at the last bit).
     */
   private[graft] def lccPlan(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val (o, _, deg) = orientedCoOrderEdges(s, dir)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (o, e, deg0) = orientedCoOrderEdges(s, dir)
+    // the summary consumes deg downstream of the oriented stage — pin
+    // the node-sized rollup and release the edge set now (the oriented
+    // stage is already materialized)
+    val deg = deg0.persist()
+    deg.count()
+    e.unpersist(false)
     val wedges = o.as("p").join(o.as("q"),
         col("p.src") === col("q.src") &&
           (col("p.dd") < col("q.dd") ||
@@ -255,7 +269,7 @@ object Round15bQueries {
         round(col("n_zero").cast(DoubleType) /
           col("n_nodes").cast(DoubleType), 6).as("share_zero"),
         round(col("max_lcc_raw"), 6).as("max_lcc"))
-    (res, o)
+    (res, Seq(o, deg))
   }
 
   /** Full triangle pipeline, un-materialized — (result, persisted
@@ -272,7 +286,9 @@ object Round15bQueries {
     */
   private[graft] def trianglesPlan(s: SparkSession, dir: String,
       bcast: Boolean = true): (DataFrame, DataFrame) = {
-    val (o, _, _) = orientedCoOrderEdges(s, dir, bcast)
+    val (o, e, _) = orientedCoOrderEdges(s, dir, bcast)
+    // everything downstream reads the materialized oriented stage only
+    e.unpersist(false)
     val wedges = o.as("p").join(o.as("q"),
         col("p.src") === col("q.src") &&
           (col("p.dd") < col("q.dd") ||
@@ -694,8 +710,9 @@ object Round15bQueries {
     QueryDef(
       "graph_clustering_coeff",
       (s, dir) => {
-        val (res, o) = lccPlan(s, dir)
-        try res.localCheckpoint(true) finally o.unpersist(false)
+        val (res, stages) = lccPlan(s, dir)
+        try res.localCheckpoint(true)
+        finally stages.foreach(_.unpersist(false))
       },
       Some("""WITH sos AS (
           SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),

@@ -303,9 +303,10 @@ class Round15bSpec extends SparkSpec {
     assert(part == bcast, "partitioned twin diverges from broadcast form")
     // plan pin on the oriented-edge stage: the two degree joins must be
     // shuffle-hash, not broadcast (the node table beyond-budget path)
-    val (o, _, _) = Round15bQueries.orientedCoOrderEdges(
+    val (o, e, _) = Round15bQueries.orientedCoOrderEdges(
       spark, sf(), bcast = false)
     try {
+      e.unpersist(false)
       o.count()
       val p = o.queryExecution.executedPlan.toString
       // both hinted degree joins must be shuffle-hash (the upstream
