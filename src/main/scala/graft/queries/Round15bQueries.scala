@@ -242,8 +242,15 @@ object Round15bQueries {
               col("p.dst") < col("q.dst"))))
       .select(col("p.src").as("s"), col("p.dst").as("v"),
         col("q.dst").as("t"))
+    // closure via shuffle-hash inner join (the triangles-plan shape —
+    // measured faster than a broadcast probe inside the wedge stage,
+    // and the only shape beyond the edge-broadcast budget); only the
+    // matched (s, v, t) triangle rows — 3·T after the explode — reach
+    // the nodeTri exchange
     val tri = wedges.join(
-        o.select(col("src").as("v"), col("dst").as("t")), Seq("v", "t"))
+        o.select(col("src").as("v"), col("dst").as("t"))
+          .hint("shuffle_hash"),
+        Seq("v", "t"))
     val nodeTri = tri
       .select(explode(array(col("s"), col("v"), col("t"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("tv"))
@@ -289,27 +296,38 @@ object Round15bQueries {
     val (o, e, _) = orientedCoOrderEdges(s, dir, bcast)
     // everything downstream reads the materialized oriented stage only
     e.unpersist(false)
+    // Oriented wedge generation: BOTH sides read the cached
+    // HashPartitioning(src) layout — zero exchanges. Closure is a
+    // shuffle-hash inner join against the edge set: measured FASTER at
+    // sf0.1 than broadcasting the 1.2 M-edge build side into the wedge
+    // stage (4.9 s vs 9.2 s warm min-of-3 — the broadcast probe
+    // serializes into the same whole-stage pipeline that generates the
+    // 41 M wedges, while the exchange overlaps it), and it is the only
+    // closure shape that survives when the edge set outgrows the
+    // broadcast budget. n_wedges is NOT counted off the 41 M-row
+    // stream at all: it equals Σ C(outdeg,2) exactly (the dd/dst
+    // ordering admits exactly one of each dst pair per src), read with
+    // max_outdeg off ONE map-side rollup of the cached layout.
     val wedges = o.as("p").join(o.as("q"),
         col("p.src") === col("q.src") &&
           (col("p.dd") < col("q.dd") ||
             (col("p.dd") === col("q.dd") &&
               col("p.dst") < col("q.dst"))))
       .select(col("p.dst").as("v"), col("q.dst").as("t"))
-    val closed = wedges.join(
-        o.select(col("src").as("v"), col("dst").as("t"),
-          lit(1).as("hit")),
-        Seq("v", "t"), "left")
-      .agg(count(lit(1)).as("n_wedges"),
-        count(col("hit")).as("n_triangles"))
-    val nodes = o.select(col("src").as("n"))
+    val oVT = o.select(col("src").as("v"), col("dst").as("t"))
+    val nTri = wedges.join(oVT.hint("shuffle_hash"), Seq("v", "t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = o.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_wedges"),
+        max(col("c")).as("max_outdeg"))
+    val nNodes = o.select(col("src").as("n"))
       .unionByName(o.select(col("dst").as("n"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
-    val res = closed
-      .crossJoin(broadcast(nodes))
+    val res = nTri
+      .crossJoin(broadcast(nNodes))
       .crossJoin(broadcast(o.agg(count(lit(1)).as("n_edges"))))
-      .crossJoin(broadcast(o.groupBy(col("src"))
-        .agg(count(lit(1)).as("c"))
-        .agg(max(col("c")).as("max_outdeg"))))
+      .crossJoin(broadcast(degStats))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"), col("max_outdeg"))
     (res, o)
