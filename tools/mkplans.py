@@ -35,10 +35,11 @@ NEW_HEADERS = {
         "partial_quantilesketchagg (each partition ships <= k rows per "
         "language), broadcast cutoffs, narrow bucket pass (round 15)",
     "graph_triangles":
-        "degree-ordered triangle count: oriented edges persisted once, "
-        "ONE wedge self-join closed by a left join in the same flow — "
-        "orientation bounds any task's wedge fan-out at O(sqrt m) "
-        "(round 15b)",
+        "degree-ordered triangle count: oriented edges persisted "
+        "hash-partitioned on src (zero-exchange wedge self-join), "
+        "closure = shuffle-hash inner join feeding a partial count, "
+        "n_wedges/max_outdeg off ONE map-side rollup — orientation "
+        "bounds any task's wedge fan-out at O(sqrt m) (round 15b)",
     "pipe_priority_sample":
         "priority sampling: per-language rank compiles to "
         "WindowGroupLimit (map tasks forward <= k+1 rows per language), "
