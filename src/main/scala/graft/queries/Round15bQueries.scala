@@ -72,6 +72,12 @@ import graft.operators.{AmsSketchAgg, CmSketchAgg, KmvDistinctAgg}
   *    h60 tag (one hash per occurrence); deterministic integer sums ⇒
   *    hash-green replay; exact F₂ reported alongside so the error is
   *    auditable.
+  *  - graph_degree_hist: log2-binned degree-distribution profile of
+  *    the part co-order graph — the diagnostic that decides WHEN the
+  *    hub disciplines (degree caps, grid salting, orientation) are
+  *    needed: a heavy top bucket means Σ deg² work concentrates.
+  *    Bucket = bit-length of the degree (length(bin(d)) − 1), integer-
+  *    exact in both engines where floor(log2(d)) sits on float edges.
   *  - graph_clustering_coeff: Watts-Strogatz local clustering
   *    coefficient + global transitivity over the part co-order graph,
   *    from the SAME degree-ordered wedge join as graph_triangles —
@@ -658,6 +664,64 @@ object Round15bQueries {
         "invariant is auditable; CmSketchSpec pins the merge law, " +
         "Round15bSpec replays sketch+estimates and pins est >= exact " +
         "with real collisions at w=32."),
+
+    // ── log2-binned degree histogram: the hub diagnostic ─────────────
+    // One degree rollup + a ≤64-bucket aggregate: node-linear whatever
+    // the graph. The bucket key is the degree's BIT LENGTH − 1 —
+    // bit-exact floor(log2(d)) without the float-edge hazard (Spark's
+    // log2(8) is ln-based and may land a hair under 3.0; DuckDB's may
+    // not — floor would then disagree). This is the profiler a
+    // pipeline runs BEFORE picking cap/salt parameters for the wedge
+    // and rank operators.
+    QueryDef(
+      "graph_degree_hist",
+      (s, dir) => {
+        val sos = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+          .distinct()
+        val e = sos.as("x").join(sos.as("y"),
+            col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+          .select(col("x.sp").as("a"), col("y.sp").as("b"))
+          .distinct()
+        val deg = e.select(col("a").as("n"))
+          .unionByName(e.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val h = deg
+          .withColumn("bucket", (length(bin(col("d"))) - 1).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+        h.crossJoin(broadcast(deg.agg(count(lit(1)).as("total"))))
+          .select(col("bucket"), col("n_nodes"), col("min_deg"),
+            col("max_deg"),
+            round(col("n_nodes").cast(DoubleType) /
+              col("total").cast(DoubleType), 6).as("share"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH sos AS (
+          SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.sp AS a, y.sp AS b
+          FROM sos x JOIN sos y ON x.ord = y.ord AND x.sp < y.sp),
+        deg AS (
+          SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        h AS (
+          SELECT CAST(length(bin(d)) - 1 AS INT) AS bucket,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            min(d) AS min_deg, max(d) AS max_deg
+          FROM deg GROUP BY 1),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM deg)
+        SELECT bucket, n_nodes, min_deg, max_deg,
+          round(CAST(n_nodes AS DOUBLE) / CAST(total AS DOUBLE), 6)
+            AS share
+        FROM h CROSS JOIN t ORDER BY bucket"""),
+      doc = "Log2-binned degree histogram of the part co-order graph " +
+        "(bucket = bit-length of the degree — integer-exact where " +
+        "floor(log2) sits on float edges): per-bucket node counts, " +
+        "min/max degree, and share — the hub diagnostic run before " +
+        "choosing cap/salt parameters; node-linear, ≤64 buckets; " +
+        "Round15bSpec replays the binning and pins share mass = 1."),
 
     // ── AMS F₂ sketch: self-join size from k signed counters ─────────
     // The shuffle-volume predictor: F₂ of a key stream IS the

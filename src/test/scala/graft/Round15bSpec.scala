@@ -269,6 +269,39 @@ class Round15bSpec extends SparkSpec {
     assert(out.exists(_._5 > 0L), "no collision — overestimate path idle")
   }
 
+  test("graph_degree_hist: binning replay, mass = 1, non-degenerate") {
+    val out = run("graph_degree_hist").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length >= 2, "fixture degrees must span multiple buckets")
+
+    val sos = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = sos.groupBy(_._1).values.flatMap { grp =>
+      val sps = grp.map(_._2).distinct.sorted
+      for (i <- sps.indices; j <- (i + 1) until sps.length)
+        yield (sps(i), sps(j))
+    }.toSet
+    val degs = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).values.map(_.size.toLong).toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = degs.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .toSeq.sortBy(_._1).map { case (b, ds) =>
+        (b.toInt, ds.length.toLong, ds.min, ds.max,
+          r6(ds.length.toDouble / degs.length.toDouble))
+      }
+    assert(out.toSeq == expected, "binning diverges from replay")
+    // share mass sums to 1 within rounding granularity
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-4 * out.length)
+    // buckets partition the degree range: min/max consistent, disjoint
+    out.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._4 < hi._3, "bucket overlap")
+      case _ => ()
+    }
+  }
+
   test("pipe_f2_ams: counter/estimate replay, accuracy vs exact F2") {
     import graft.operators.AmsSketchAgg
     val k = Round15bQueries.AmsK
