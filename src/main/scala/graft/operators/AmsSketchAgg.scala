@@ -58,10 +58,20 @@ case class AmsSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long
 
 object AmsSketchAgg {
   /** F₂ estimate from the finished counters: mean of the squares.
-    * Counter magnitudes are ≤ N (stream length), so the squares and
-    * their sum are exact in Long far beyond any per-group fixture; the
-    * one division is a single exactly-rounded IEEE op — engine-portable.
+    * Counter magnitudes are ≤ N (stream length), so c² overflows Long
+    * once a group exceeds ~3·10⁹ rows — at the 100 TB scale the sketch
+    * targets, that is a real stream. The squares are therefore summed
+    * in BigInt (exact at any N; identical to the Long sum wherever the
+    * Long sum is exact, so fixture hashes are unchanged), then cast
+    * once and divided once — the same cast-then-divide rounding an
+    * engine's `CAST(ss AS DOUBLE) / k` performs.
     */
-  def estimate(counters: Array[Long], k: Int): Double =
-    counters.map(c => c * c).sum.toDouble / k.toDouble
+  def estimate(counters: Array[Long], k: Int): Double = {
+    var ss = BigInt(0)
+    var i = 0
+    while (i < counters.length) {
+      val c = BigInt(counters(i)); ss += c * c; i += 1
+    }
+    ss.toDouble / k.toDouble
+  }
 }

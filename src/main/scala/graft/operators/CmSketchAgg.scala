@@ -31,7 +31,16 @@ case class CmSketchAgg(d: Int, w: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
 
   require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
-  require(math.pow(w, d) <= Long.MaxValue / 2, "packed positions overflow")
+  // capacity check in INTEGER math: w^d ≤ Long.MaxValue/2, folded with
+  // a per-step overflow guard (a Double pow rounds near the Long
+  // boundary, so an overflowing geometry could sneak past it and
+  // corrupt packed positions)
+  require({
+    val cap = Long.MaxValue / 2
+    var acc = 1L; var j = 0; var ok = true
+    while (ok && j < d) { ok = acc <= cap / w; if (ok) acc *= w; j += 1 }
+    ok
+  }, s"packed positions overflow: w^d = $w^$d exceeds Long range")
 
   override def zero: Array[Long] = new Array[Long](d * w)
 

@@ -916,7 +916,10 @@ object Round13Queries {
       Some(semanticClustersSql()),
       doc = s"Semantic clusters: kNN-graph edges at cosine >= $SemClusterTau " +
         "resolved with the shared CC operator (min-label), singleton " +
-        "fill; CC input is node-x-k-bounded, never all-pairs."),
+        "fill; CC input is node-x-k-bounded, never all-pairs. " +
+        "TEACHING/verify form — the fixture 8-bit index grows candidates " +
+        "~n^2/256; past fixture scale use sim_semantic_clusters_scaled " +
+        "(the declared width-scaled twin, the D4->D4b pattern)."),
 
     // ── Heaps-law fit over doc-id-prefix vocabulary growth ───────────
     // V(n) ≈ K·n^β (Heaps 1978): vocabulary size vs token count over 10

@@ -151,7 +151,11 @@ object Round13cQueries {
       doc = "Butterfly (2x2 biclique) counting (Sanei-Mehri 2018): " +
         "per-supplier wedge self-join, customer-pair shared-supplier " +
         "rollup, butterflies = sum C(w,2); all exact integers; the " +
-        "bipartite cohesion motif (triangles cannot exist here)."),
+        "bipartite cohesion motif (triangles cannot exist here). " +
+        "TEACHING/verify form — the wedge fan-out is sum deg^2, " +
+        "quadratic in hub degree; past fixture scale use " +
+        "graph_butterflies_capped (the declared node-linear twin, " +
+        "the D4->D4b pattern)."),
 
     // ── DPR-style hard-negative mining (Karpukhin et al. 2020) ───────
     // The contrastive-training data op: for each query vector, the

@@ -233,7 +233,12 @@ object Round15Queries {
       (s, dir) => {
         val sketch = udaf(QuantileSketchAgg(SketchK),
           ExpressionEncoder[QuantileSketchAgg.In]())
-        val scored = Round12Queries.ccnetScored(s, dir)
+        // persisted: the token-explode + freq-join scoring pass feeds
+        // BOTH the cuts aggregation and the final join — without the
+        // persist it executes twice; released after materialization
+        // like the other two-consumer stages in this file
+        val scored = Round12Queries.ccnetScored(s, dir).persist()
+        try {
         val cuts = scored
           .withColumn("tag",
             expr(h60Spark("concat('qsk:', cast(doc_id as string))")))
@@ -250,6 +255,8 @@ object Round15Queries {
           .select(col("doc_id"), col("lang"), col("avg_surprisal"),
             col("ppl_bucket"))
           .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+        } finally scored.unpersist(false)
       },
       Some(s"""WITH ${Round12Queries.ccnetScoredDuck},
         tagged AS (

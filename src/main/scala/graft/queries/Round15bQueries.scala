@@ -739,14 +739,22 @@ object Round15bQueries {
           .withColumn("tag", expr(h60Spark("concat('f2:', tok)")))
         val sketch = toks.groupBy(col("lang"))
           .agg(ams(col("tag")).as("counters"))
+        // squares accumulate in DECIMAL(38,0) (128-bit exact), not
+        // Long: counters/frequencies are bounded by group size N, so a
+        // Long square-sum silently overflows past N ~ 3e9 rows — the
+        // scale this sketch targets. Display stays BIGINT (lossless at
+        // fixture scale; the displayable-F2 bound is Long.MaxValue).
         val exact = toks.groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("f"))
           .groupBy(col("lang"))
-          .agg(sum(expr("f * f")).as("f2_exact"))
+          .agg(expr("CAST(sum(CAST(f AS DECIMAL(19,0)) * " +
+            "CAST(f AS DECIMAL(19,0))) AS BIGINT)").as("f2_exact"))
         exact.join(sketch, "lang")
           .select(col("lang"), col("f2_exact"),
-            expr("round(CAST(aggregate(counters, 0L, (acc, c) -> " +
-              s"acc + c * c) AS DOUBLE) / CAST($AmsK AS DOUBLE), 4)")
+            expr("round(CAST(aggregate(counters, " +
+              "CAST(0 AS DECIMAL(38,0)), (acc, c) -> " +
+              "acc + CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))" +
+              s") AS DOUBLE) / CAST($AmsK AS DOUBLE), 4)")
               .as("f2_est"))
           .orderBy(col("lang"))
       },
@@ -764,10 +772,11 @@ object Round15bQueries {
           FROM cnt CROSS JOIN range($AmsK) t(j)
           GROUP BY lang, t.j),
         est AS (
-          SELECT lang, CAST(sum(c * c) AS BIGINT) AS ss
+          SELECT lang, sum(CAST(c AS HUGEINT) * c) AS ss
           FROM ctr GROUP BY lang),
         ex AS (
-          SELECT lang, CAST(sum(f * f) AS BIGINT) AS f2_exact
+          SELECT lang, CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT)
+            AS f2_exact
           FROM cnt GROUP BY lang)
         SELECT ex.lang, ex.f2_exact,
           round(CAST(ss AS DOUBLE) / CAST($AmsK AS DOUBLE), 4) AS f2_est

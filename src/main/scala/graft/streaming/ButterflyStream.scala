@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 /** One bipartite edge arrival: (supplier, customer), with a
-  * monotonically-orderable sequence tag for deterministic in-batch
-  * processing (the (ts, event_id) discipline of the other streams).
+  * monotonically-orderable sequence tag the SPECS use to cut the
+  * fixture into micro-batches (the capped-insert rule itself is
+  * arrival-order independent, so in-batch processing never consults
+  * it).
   */
 case class EdgeRow(suppkey: Long, custkey: Long, seq: Long)
 
@@ -56,7 +58,11 @@ object ButterflyStream {
         timerValues: TimerValues): Iterator[CappedSet] = {
       var s = if (set.exists()) set.get() else Seq.empty[Long]
       var changed = false
-      rows.toSeq.sortBy(_.seq).foreach { r =>
+      // Iterated lazily: the capped-insert rule is arrival-order
+      // independent (final state = the cap smallest distinct custkeys
+      // of the input set), so materializing/sorting the micro-batch
+      // would buy nothing and cost memory on hot keys.
+      rows.foreach { r =>
         val c = r.custkey
         if (!s.contains(c) && (s.size < cap || c < s.last)) {
           s = (s :+ c).sorted.take(cap)

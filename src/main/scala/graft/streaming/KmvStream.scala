@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** One arrival for the streaming KMV sketch: (group, tag, seq) — tag =
   * the deterministic h60 hash of the counted VALUE (user id), seq = a
-  * monotonically-orderable tag for deterministic in-batch processing
-  * (the (ts, event_id) discipline of the other streams).
+  * monotonically-orderable tag the SPECS use to cut the fixture into
+  * micro-batches (the insert rule itself is arrival-order independent,
+  * so in-batch processing never consults it).
   */
 case class KmvRow(group: String, tag: Long, seq: Long)
 
@@ -60,8 +61,11 @@ object KmvStream {
       // DISTINCT semantics, exactly like KmvDistinctAgg.reduce: a tag
       // already in the sketch contributes nothing — the stream counts
       // values, not arrivals (the buffer is ≤ k longs, so the linear
-      // contains scan is O(k) per row)
-      rows.toSeq.sortBy(_.seq).foreach { r =>
+      // contains scan is O(k) per row). Iterated lazily: the insert
+      // rule is arrival-order independent (final state = k smallest
+      // distinct tags of the input SET), so materializing/sorting the
+      // micro-batch would buy nothing and cost memory on hot keys.
+      rows.foreach { r =>
         if (!s.contains(r.tag)) {
           if (s.size < k) { s = (s :+ r.tag).sorted; changed = true }
           else if (r.tag < s.last) {

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** One scored arrival for the streaming sketch: (stratum, value, tag),
   * tag = the deterministic h60 hash that drives the uniform sample, seq
-  * = a monotonically-orderable tag for deterministic in-batch
-  * processing (the (ts, event_id) discipline of the other streams).
+  * = a monotonically-orderable tag the SPECS use to cut the fixture
+  * into micro-batches (the insert rule itself is arrival-order
+  * independent, so in-batch processing never consults it).
   */
 case class SketchRow(lang: String, value: Double, tag: Long, seq: Long)
 
@@ -62,8 +63,12 @@ object QuantileSketchStream {
       var s = if (sample.exists()) sample.get() else Seq.empty[SketchEntry]
       var changed = false
       // multiset semantics, exactly like QuantileSketchAgg.reduce: every
-      // row is an observation (no distinct-ing) — duplicates carry mass
-      rows.toSeq.sortBy(_.seq).foreach { r =>
+      // row is an observation (no distinct-ing) — duplicates carry mass.
+      // Iterated lazily: bottom-k-by-tag is arrival-order independent
+      // (final state = k ord-smallest entries of the input multiset),
+      // so materializing/sorting the micro-batch would buy nothing and
+      // cost memory on hot keys.
+      rows.foreach { r =>
         val e = SketchEntry(r.tag, r.value)
         if (s.size < k) { s = (s :+ e).sorted(ord); changed = true }
         else if (ord.compare(e, s.last) < 0) {
