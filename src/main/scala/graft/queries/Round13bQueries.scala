@@ -58,8 +58,40 @@ object Round13bQueries {
   private def h60Duck(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
-  private val nodeStr =
+  private[queries] val nodeStr =
     "IF(node % 2 = 0, concat('c', node div 2), concat('s', node div 2))"
+
+  /** The unrolled k-core peel oracle — SHARED by graph_kcore and its
+    * co-partitioned twin (`graph_kcore_partitioned`, Round16Queries):
+    * the join strategy cannot change exact integer peeling, so both
+    * replay the same SQL.
+    */
+  private[queries] def kcoreSql: String = {
+    val rounds = (1 to KcorePeels).map { i =>
+      s"""k$i AS (
+          SELECT src FROM (
+            SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src)
+          WHERE deg >= $KcoreK),
+        e$i AS (
+          SELECT e.src, e.dst FROM e${i - 1} e
+          JOIN k$i a ON e.src = a.src
+          JOIN k$i b ON e.dst = b.src)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e0 AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      $rounds
+      SELECT
+        CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+             ELSE 's' || (node // 2) END AS node,
+        deg
+      FROM (SELECT src AS node, count(*) AS deg FROM e$KcorePeels GROUP BY src)
+      ORDER BY node"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -265,36 +297,13 @@ object Round13bQueries {
           .select(expr(nodeStr).as("node"), col("deg"))
           .orderBy(col("node"))
       },
-      Some {
-        val rounds = (1 to KcorePeels).map { i =>
-          s"""k$i AS (
-              SELECT src FROM (
-                SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src)
-              WHERE deg >= $KcoreK),
-            e$i AS (
-              SELECT e.src, e.dst FROM e${i - 1} e
-              JOIN k$i a ON e.src = a.src
-              JOIN k$i b ON e.dst = b.src)"""
-        }.mkString(",\n")
-        s"""WITH pairs AS (
-            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          e0 AS (
-            SELECT a AS src, b AS dst FROM pairs
-            UNION ALL
-            SELECT b AS src, a AS dst FROM pairs),
-          $rounds
-          SELECT
-            CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
-                 ELSE 's' || (node // 2) END AS node,
-            deg
-          FROM (SELECT src AS node, count(*) AS deg FROM e$KcorePeels GROUP BY src)
-          ORDER BY node"""
-      },
+      Some(kcoreSql),
       doc = s"k-core peeling (k=$KcoreK, $KcorePeels unrolled rounds): " +
         "per round one degree rollup + two broadcast semi-joins; the " +
         "spam/quality prune that drops weakly-attached nodes; spec " +
-        "verifies the fixture reaches the true fixed point in-bound."),
+        "verifies the fixture reaches the true fixed point in-bound. " +
+        "Assumes a broadcastable surviving-node set — past that, use " +
+        "graph_kcore_partitioned (the declared co-partitioned twin)."),
 
     // ── per-user event-type transition matrix ────────────────────────
     // The Markov session model: P(next event type | current), counted

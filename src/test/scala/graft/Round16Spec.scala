@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{RetrievalQueries, Round13bQueries, Round16Queries}
+
+/** Round-16 operator invariants:
+  *
+  *  - graph_kcore_partitioned is bit-identical to graph_kcore (exact
+  *    integer peeling — the join strategy cannot change the survivor
+  *    sets), so the two share one oracle;
+  *  - the symmetry argument itself, replayed combinatorially: peeling
+  *    via "surviving sources per dst" from the collected edge set
+  *    reproduces the declared output row for row;
+  *  - one co-partitioned peel round plan: survivors shuffle-hash into
+  *    the persisted HashPartitioning(src) edge layout — no node-sized
+  *    broadcast, and NO re-exchange of the edge side (the whole point
+  *    of the twin; a dst-keyed semi-join would reshuffle the edges
+  *    every round).
+  */
+class Round16Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("graph_kcore_partitioned: bit-identical to graph_kcore (shared oracle)") {
+    val b = run("graph_kcore").collect().toSeq
+    val p = run("graph_kcore_partitioned").collect().toSeq
+    assert(b.nonEmpty, "empty kcore fixture output")
+    assert(b == p, "partitioned twin diverged from broadcast form")
+  }
+
+  test("symmetry peel replay: surviving-source counts reproduce the declared row set") {
+    val edges = RetrievalQueries.transactionEdges(spark, sf())
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val k = Round13bQueries.KcoreK
+
+    // round 1: full degrees
+    var surv = edges.groupBy(_._1).view.mapValues(_.length).toMap
+      .filter(_._2 >= k).keySet
+    // rounds 2..KcorePeels: deg_i(v) = #{u in K : (u,v) in E}
+    (2 to Round13bQueries.KcorePeels).foreach { _ =>
+      surv = edges.filter(e => surv(e._1)).groupBy(_._2).view
+        .mapValues(_.length).toMap.filter(_._2 >= k).keySet
+    }
+    val expected = edges.filter(e => surv(e._1)).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+      .filter { case (v, _) => surv(v) }
+      .map { case (v, d) =>
+        (if (v % 2 == 0) s"c${v / 2}" else s"s${v / 2}") -> d
+      }
+
+    val got = run("graph_kcore_partitioned").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, "symmetry replay diverged from declared output")
+  }
+
+  test("co-partitioned peel round: shuffled-hash survivor join, edge side never re-exchanges") {
+    val edges = RetrievalQueries.transactionEdges(spark, sf(), partitioned = true)
+    val e0 = edges.select(col("src"), col("dst"))
+    val k1 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= Round13bQueries.KcoreK)
+      .select(col("src"))
+    val df = Round16Queries.peelRound(e0, k1)
+    df.collect()
+    val p = outerPlan(df)
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "partitioned peel must not broadcast the survivor set:\n" + p.take(3000))
+    assert(p.contains("InMemoryTableScan"),
+      "peels must read the persisted partitioned edges:\n" + p.take(3000))
+    // an Exchange above the edge cache means the edge side re-shuffles
+    // every peel — the broadcast form's dst-join cost the twin exists
+    // to avoid
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(src") &&
+          l.contains("ENSURE_REQUIREMENTS")),
+      "edge side re-exchanged into the survivor join:\n" + p.take(3000))
+    edges.unpersist(false)
+  }
+}
