@@ -124,15 +124,17 @@ object RetrievalQueries {
       .distinct()
   }
 
-  /** @param partitioned when true, the edge list is eagerly persisted
-    *   hash-partitioned on `src` (Layouts.partitioned) — the
-    *   co-partitioned layout the shuffle-join rank iteration reuses
-    *   every round: the cached `HashPartitioning(src, N)` satisfies each
+  /** @param partitioned when true, the edge list is eagerly
+    *   materialized hash-partitioned on `src` (Layouts.partitioned —
+    *   an AQE-off localCheckpoint whose LogicalRDD KEEPS the layout) —
+    *   the co-partitioned layout the shuffle-join rank iteration
+    *   reuses every round: `HashPartitioning(src, N)` satisfies each
     *   iteration's join distribution, so the edge side never
-    *   re-exchanges (Round15Spec pin). Callers release the cache once
-    *   their rounds have materialized. When false: localCheckpoint (the
-    *   CC lineage-truncation recipe; broadcast consumers don't care
-    *   about partitioning).
+    *   re-exchanges (Round15Spec pin). Callers release the blocks via
+    *   `Layouts.releaseCheckpoint` once their rounds have
+    *   materialized. When false: plain localCheckpoint (the CC
+    *   lineage-truncation recipe; broadcast consumers don't care about
+    *   partitioning).
     */
   private[graft] def transactionEdges(s: SparkSession, dir: String,
       partitioned: Boolean = false): DataFrame = {
@@ -141,13 +143,17 @@ object RetrievalQueries {
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val degTab = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val joined = sym.join(degTab, "src")
-    // partitioned: Layouts.partitioned, NOT repartition+localCheckpoint —
-    // under AQE a checkpoint's LogicalRDD reports UnknownPartitioning, so
-    // every round's join silently re-shuffled the edge side (defeating
-    // this layout's whole purpose; caught by Round15Spec's exchange pin).
-    // The persisted layout survives to every consumer; queries release it
-    // once their rounds have materialized (CacheHygieneSpec policy).
-    if (partitioned) graft.operators.Layouts.partitioned(joined, Seq(col("src")))
+    // partitioned: Layouts.partitioned, NOT a bare
+    // repartition+localCheckpoint — under AQE a checkpoint's LogicalRDD
+    // reports UnknownPartitioning, so every round's join silently
+    // re-shuffled the edge side (defeating this layout's whole purpose;
+    // caught by Round15Spec's exchange pin). Layouts compiles the
+    // checkpoint with AQE off, which keeps the HashPartitioning AND the
+    // raw-block scan cost (the round-15 persist form paid the columnar
+    // cache codec every round — +45-72% on the rank twins in isolation,
+    // BASELINE.md round-16 mover table).
+    if (partitioned) graft.operators.Layouts.partitioned(joined,
+      Seq(col("src")), graft.operators.Layouts.IterativeRows)
     else joined.localCheckpoint()
   }
 
@@ -308,7 +314,7 @@ object RetrievalQueries {
     // partitioned: rounds have all materialized (eager checkpoints) and
     // the final projection reads the last round's blocks — release the
     // cached edge layout (CacheHygieneSpec policy)
-    if (!bcast) edges.unpersist(false)
+    if (!bcast) graft.operators.Layouts.releaseCheckpoint(edges)
     rankProject(fin)
   }
 
@@ -343,7 +349,7 @@ object RetrievalQueries {
     val edges = graft.operators.Layouts.partitioned(
       sym.join(degTab, "src")
         .withColumn("salt", pmod(hash(col("dst")), lit(RankSalt))),
-      Seq(col("src"), col("salt")))
+      Seq(col("src"), col("salt")), graft.operators.Layouts.IterativeRows)
     val nTab = edges.select(col("src")).distinct()
       .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
     val r0 = edges.select(col("src")).distinct()
@@ -362,7 +368,7 @@ object RetrievalQueries {
         .select(col("dst").as("node"),
           expr("15000000000000L div (100L * n_nodes) + sw").as("r"))
     val fin = (1 to PrIters).foldLeft(r0)((r, _) => step(r).localCheckpoint())
-    edges.unpersist(false)
+    graft.operators.Layouts.releaseCheckpoint(edges)
     rankProject(fin)
   }
 
@@ -398,7 +404,7 @@ object RetrievalQueries {
     val (edges, nTab, r0) = pagerankSetup(s, dir, bcast)
     val res = iterateUntil(r0, pagerankStep(edges, nTab, bcast),
       rankProject, epsPico, maxIter, onRound)
-    if (!bcast) edges.unpersist(false)
+    if (!bcast) graft.operators.Layouts.releaseCheckpoint(edges)
     res
   }
 
@@ -425,7 +431,7 @@ object RetrievalQueries {
         .orderBy(col("trust").desc, col("node"))
     val res = iterateUntil(t0, trustrankStep(edges, seeds, nSeedTab, bcast),
       project, epsPico, maxIter, onRound)
-    if (!bcast) edges.unpersist(false)
+    if (!bcast) graft.operators.Layouts.releaseCheckpoint(edges)
     res
   }
 
@@ -497,7 +503,7 @@ object RetrievalQueries {
     // partitioned form: checkpoint per round (see pagerankPlan scaladoc)
     val fin = (1 to PrIters).foldLeft(t0)((t, _) =>
       if (bcast) step(t) else step(t).localCheckpoint())
-    if (!bcast) edges.unpersist(false)
+    if (!bcast) graft.operators.Layouts.releaseCheckpoint(edges)
     fin
       .select(expr(nodeLabel).as("node"),
         (col("r").cast(DoubleType) / lit(1.0e12)).as("trust"),
@@ -517,10 +523,12 @@ object RetrievalQueries {
     // (Layouts.partitioned — the transactionEdges lost-partitioning fix)
     val pairsA =
       if (bcast) basePairs.localCheckpoint()
-      else graft.operators.Layouts.partitioned(basePairs, Seq(col("a")))
+      else graft.operators.Layouts.partitioned(basePairs,
+        Seq(col("a")), graft.operators.Layouts.IterativeRows)
     val pairsB =
       if (bcast) pairsA
-      else graft.operators.Layouts.partitioned(basePairs, Seq(col("b")))
+      else graft.operators.Layouts.partitioned(basePairs,
+        Seq(col("b")), graft.operators.Layouts.IterativeRows)
     val nCust = pairsA.select(col("a")).distinct()
       .agg(count(lit(1)).as("n")).localCheckpoint()
     val h0 = pairsA.select(col("a")).distinct()
@@ -554,7 +562,10 @@ object RetrievalQueries {
     // partitioned: every half-step's raw rollup has materialized and the
     // final normalize/union below reads those blocks — release both pair
     // layouts (CacheHygieneSpec policy)
-    if (!bcast) { pairsA.unpersist(false); pairsB.unpersist(false) }
+    if (!bcast) {
+      graft.operators.Layouts.releaseCheckpoint(pairsA)
+      graft.operators.Layouts.releaseCheckpoint(pairsB)
+    }
     val hubs = h2.select(col("a").as("node"), lit("hub").as("kind"), col("v"))
     val auths = a2.select(col("b").as("node"), lit("auth").as("kind"), col("v"))
     hubs.unionByName(auths)

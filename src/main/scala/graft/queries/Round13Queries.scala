@@ -272,7 +272,7 @@ object Round13Queries {
       // materialize the 1-row result, then release the persisted edge
       // layout the rollups above consumed (CacheHygieneSpec policy)
       val mat = out.localCheckpoint()
-      edges.unpersist(false)
+      graft.operators.Layouts.releaseCheckpoint(edges)
       mat
     }
   }

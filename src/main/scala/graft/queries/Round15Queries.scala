@@ -176,7 +176,7 @@ object Round15Queries {
         // every round has materialized (eager checkpoints) and the
         // projection reads the final round's blocks — release the
         // persisted edge layout (CacheHygieneSpec policy)
-        edges.unpersist(false)
+        graft.operators.Layouts.releaseCheckpoint(edges)
         Round13Queries.lpaProject(fin)
       },
       Some(Round13Queries.lpaSql),

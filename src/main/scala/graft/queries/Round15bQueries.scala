@@ -193,6 +193,28 @@ object Round15bQueries {
       .distinct()
       .persist()
     e.count()
+    val (orientedPlan, deg) = orientedFrom(e, bcast)
+    // materialize HASH-PARTITIONED on src (Layouts.partitioned — the
+    // AQE-off checkpoint that keeps HashPartitioning): the wedge
+    // self-join p⋈q on src then consumes BOTH sides from the
+    // checkpointed layout with ZERO exchanges, and the out-degree
+    // rollup is map-side — one layout shuffle of |o| replaces two
+    // self-join exchanges of |o| (measured ×10: 82.9 s → see BASELINE
+    // round-15b table)
+    val oriented = graft.operators.Layouts.partitioned(
+      orientedPlan, Seq(col("src")))
+    (oriented, e, deg)
+  }
+
+  /** Degree rollup + degree-ordered orientation over an (a, b) pair
+    * set — the shared build both `orientedCoOrderEdges` (which
+    * checkpoints it) and the spec's join-strategy pin (which needs the
+    * UN-materialized plan: a checkpointed layout is a LogicalRDD leaf,
+    * so the degree joins are only visible on the build plan) consume.
+    * Returns (oriented plan, degree table).
+    */
+  private[graft] def orientedFrom(e: DataFrame, bcast: Boolean)
+      : (DataFrame, DataFrame) = {
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -206,19 +228,10 @@ object Round15bQueries {
       if (bcast) e.join(broadcast(dega), "a").join(broadcast(degb), "b")
       else e.join(dega.hint("shuffle_hash"), "a")
         .join(degb.hint("shuffle_hash"), "b")
-    // persist HASH-PARTITIONED on src (Layouts.partitioned — explicit-N
-    // repartition + eager persist, AQE-safe): the wedge self-join p⋈q
-    // on src then consumes BOTH sides from the cached layout with ZERO
-    // exchanges, and the out-degree rollup is map-side — one persist
-    // shuffle of |o| replaces two self-join exchanges of |o| (measured
-    // ×10: 82.9 s → see BASELINE round-15b table)
-    val oriented = graft.operators.Layouts.partitioned(
-      joined.select(
-        when(lower, col("a")).otherwise(col("b")).as("src"),
-        when(lower, col("b")).otherwise(col("a")).as("dst"),
-        when(lower, col("db")).otherwise(col("da")).as("dd")),
-      Seq(col("src")))
-    (oriented, e, deg)
+    (joined.select(
+      when(lower, col("a")).otherwise(col("b")).as("src"),
+      when(lower, col("b")).otherwise(col("a")).as("dst"),
+      when(lower, col("db")).otherwise(col("da")).as("dd")), deg)
   }
 
   /** Local-clustering-coefficient pipeline, un-materialized — (result,
@@ -404,7 +417,8 @@ object Round15bQueries {
       "graph_triangles",
       (s, dir) => {
         val (res, o) = trianglesPlan(s, dir)
-        try res.localCheckpoint(true) finally o.unpersist(false)
+        try res.localCheckpoint(true)
+        finally graft.operators.Layouts.releaseCheckpoint(o)
       },
       Some(trianglesSql),
       doc = "Degree-ordered triangle counting (Schank-Wagner / " +
@@ -426,7 +440,8 @@ object Round15bQueries {
       "graph_triangles_partitioned",
       (s, dir) => {
         val (res, o) = trianglesPlan(s, dir, bcast = false)
-        try res.localCheckpoint(true) finally o.unpersist(false)
+        try res.localCheckpoint(true)
+        finally graft.operators.Layouts.releaseCheckpoint(o)
       },
       Some(trianglesSql),
       doc = "graph_triangles for part catalogues beyond the broadcast " +
@@ -803,7 +818,7 @@ object Round15bQueries {
       (s, dir) => {
         val (res, stages) = lccPlan(s, dir)
         try res.localCheckpoint(true)
-        finally stages.foreach(_.unpersist(false))
+        finally stages.foreach(graft.operators.Layouts.releaseCheckpoint)
       },
       Some("""WITH sos AS (
           SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),

@@ -153,7 +153,7 @@ class RetrievalSpec extends SparkSpec {
       "partitioned twin must not broadcast the rank table:\n" + p.take(3000))
     // the persisted edge layout is consumed as a cached scan, facts are
     // never rescanned by the step itself...
-    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
     assert(!p.contains(".parquet"),
       "iterations must not rescan the fact tables:\n" + p.take(4000))
     // ...and consumed DIRECTLY: an Exchange above the edge cache means

@@ -101,8 +101,8 @@ class Round15Spec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"),
       "partitioned round must not broadcast the label table:\n" + p.take(3000))
     // the edge side reads the persisted HashPartitioning(src, N) layout
-    assert(p.contains("InMemoryTableScan"),
-      "rounds must read the persisted partitioned edges:\n" + p.take(3000))
+    assert(p.contains("Scan ExistingRDD"),
+      "rounds must read the checkpointed partitioned edges:\n" + p.take(3000))
     // ... DIRECTLY: an Exchange above the edge cache means the edge side
     // re-shuffles every round (the pre-round-15 localCheckpoint bug —
     // AdaptiveSparkPlanExec reports UnknownPartitioning, so the
@@ -110,7 +110,7 @@ class Round15Spec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
         l.contains("Exchange hashpartitioning(src") && l.contains("ENSURE_REQUIREMENTS")),
       "edge side re-exchanged into the label join:\n" + p.take(3000))
-    edges.unpersist(false)
+    graft.operators.Layouts.releaseCheckpoint(edges)
   }
 
   test("pipe_ccnet_buckets_sketch: full bottom-k sample + cutoff + bucket replay") {

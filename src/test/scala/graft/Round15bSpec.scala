@@ -334,25 +334,30 @@ class Round15bSpec extends SparkSpec {
     val bcast = run("graph_triangles").collect().toSeq
     val part = run("graph_triangles_partitioned").collect().toSeq
     assert(part == bcast, "partitioned twin diverges from broadcast form")
-    // plan pin on the oriented-edge stage: the two degree joins must be
-    // shuffle-hash, not broadcast (the node table beyond-budget path)
-    val (o, e, _) = Round15bQueries.orientedCoOrderEdges(
-      spark, sf(), bcast = false)
-    try {
-      e.unpersist(false)
-      o.count()
-      val p = o.queryExecution.executedPlan.toString
-      // both hinted degree joins must be shuffle-hash (the upstream
-      // pair-generation self-join on ord is size-chosen by the planner
-      // and may legitimately broadcast at fixture scale — it is not a
-      // node-table join)
-      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
-        "both degree joins must shuffle-hash:\n" + p.take(3000))
-      assert(!p.contains("BroadcastHashJoin [a#") &&
-        !p.contains("BroadcastHashJoin [b#"),
-        "a degree join was broadcast in the partitioned twin:\n" +
-          p.take(3000))
-    } finally o.unpersist(false)
+    // plan pin on the UN-materialized oriented-edge build (the
+    // checkpointed layout is a LogicalRDD leaf — the degree joins are
+    // only visible here): the two degree joins must be shuffle-hash,
+    // not broadcast (the node table beyond-budget path)
+    val sos = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+      .distinct()
+    val pairs = sos.as("x").join(sos.as("y"),
+        col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+      .select(col("x.sp").as("a"), col("y.sp").as("b"))
+      .distinct()
+    val (o, _) = Round15bQueries.orientedFrom(pairs, bcast = false)
+    o.count()
+    val p = o.queryExecution.executedPlan.toString
+    // both hinted degree joins must be shuffle-hash (the upstream
+    // pair-generation self-join on ord is size-chosen by the planner
+    // and may legitimately broadcast at fixture scale — it is not a
+    // node-table join)
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      "both degree joins must shuffle-hash:\n" + p.take(3000))
+    assert(!p.contains("BroadcastHashJoin [a#") &&
+      !p.contains("BroadcastHashJoin [b#"),
+      "a degree join was broadcast in the partitioned twin:\n" +
+        p.take(3000))
   }
 
   test("graph_clustering_coeff: per-node LCC replay from the collected edge set") {
