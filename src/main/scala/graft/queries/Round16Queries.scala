@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.operators.Layouts
 import Round13bQueries.{KcoreK, KcorePeels, kcoreSql, nodeStr}
 
@@ -42,6 +44,16 @@ import Round13bQueries.{KcoreK, KcorePeels, kcoreSql, nodeStr}
 object Round16Queries {
 
   import org.apache.spark.sql.DataFrame
+
+  /** Per-node out-neighbor cap for graph_triangles_capped / ST26: the
+    * id-oriented out-degree is NOT √m-bounded (a low-id hub keeps its
+    * whole neighborhood — id orientation is what an online stream can
+    * compute BEFORE degrees are known), so the cap is the bound:
+    * wedge work ≤ C(cap,2) per node, node-linear at any hub degree. 32
+    * binds on every fixture (id-oriented out-degrees reach 44+ at
+    * sf0.001), so the cap path is genuinely exercised.
+    */
+  val TriCap = 32
 
   /** One co-partitioned peel: survivors `kPrev` (a `src` column)
     * shuffle-hash into the persisted edge layout, surviving-source
@@ -84,7 +96,7 @@ object Round16Queries {
             .select(expr(nodeStr).as("node"), col("deg"))
             .orderBy(col("node"))
             .localCheckpoint(true)
-        } finally ePart.unpersist(false)
+        } finally Layouts.releaseCheckpoint(ePart)
       },
       Some(kcoreSql),
       doc = s"k-core peeling (k=$KcoreK, $KcorePeels rounds), " +
@@ -94,5 +106,98 @@ object Round16Queries {
         "surviving-source count = surviving-neighbor count) — zero " +
         "edge-side re-exchanges, no node-sized broadcast; bit-identical " +
         "to graph_kcore (shared oracle)."),
+
+    // ── degree-capped triangle counting (the ST26 batch twin) ────────
+    // graph_triangles bounds hub work by DEGREE orientation — which
+    // needs the full degree table up front, something an online stream
+    // never has. The capped form uses ID orientation (src < dst, a pure
+    // per-edge function computable at arrival time) and bounds hub work
+    // with the R13b cap rule instead: per node keep the TriCap smallest
+    // out-neighbors. Deterministic ⇒ DuckDB replays the cap and the row
+    // is hash-green; the count is exact ON THE CAPPED GRAPH (a lower
+    // bound of graph_triangles — capped edges ⊆ edges). n_wedges comes
+    // off the out-degree rollup as Σ C(k,2), never the wedge stream
+    // (the 9b75d41 lesson); max_out reports the UNCAPPED id-oriented
+    // hub as the skew witness the cap defuses.
+    QueryDef(
+      "graph_triangles_capped",
+      (s, dir) => {
+        val sos = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+          .distinct()
+        // persisted: the capped rank, total-edge count, and max_out
+        // diagnostic all consume the pair set (the orientedCoOrderEdges
+        // discipline)
+        val e = sos.as("x").join(sos.as("y"),
+            col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+          .select(col("x.sp").as("src"), col("y.sp").as("dst"))
+          .distinct()
+          .persist()
+        e.count()
+        try {
+          val w = Window.partitionBy(col("src")).orderBy(col("dst").asc)
+          // WindowGroupLimit bounds the rank map-side; the capped set is
+          // materialized hash-partitioned on src so the wedge self-join
+          // reads both sides from the layout with zero exchanges
+          val capped = Layouts.partitioned(
+            e.withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= TriCap)
+              .select(col("src"), col("dst")),
+            Seq(col("src")))
+          try {
+            val wedges = capped.as("p").join(capped.as("q"),
+                col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+              .select(col("p.dst").as("v"), col("q.dst").as("t"))
+            val nTri = wedges
+              .join(capped.select(col("src").as("v"), col("dst").as("t"))
+                .hint("shuffle_hash"), Seq("v", "t"))
+              .agg(count(lit(1)).as("triangles"))
+            val nWedges = capped.groupBy(col("src"))
+              .agg(count(lit(1)).as("c"))
+              .agg(sum(expr("c * (c - 1) div 2")).as("n_wedges"))
+            val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+              .agg(max(col("c")).as("max_out"))
+            nTri
+              .crossJoin(broadcast(nWedges))
+              .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_edges_kept"))))
+              .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges_total"))))
+              .crossJoin(broadcast(maxOut))
+              .select(col("triangles"), col("n_wedges"),
+                col("n_edges_kept"), col("n_edges_total"), col("max_out"))
+              .localCheckpoint(true)
+          } finally Layouts.releaseCheckpoint(capped)
+        } finally e.unpersist(false)
+      },
+      Some(s"""WITH sos AS (
+          SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.sp AS src, y.sp AS dst
+          FROM sos x JOIN sos y ON x.ord = y.ord AND x.sp < y.sp),
+        capped AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY dst ASC) AS rn
+            FROM e) WHERE rn <= $TriCap),
+        wedges AS (
+          SELECT p.dst AS v, q.dst AS t
+          FROM capped p JOIN capped q ON p.src = q.src AND p.dst < q.dst),
+        closed AS (
+          SELECT CAST(count(c.src) AS BIGINT) AS triangles
+          FROM wedges LEFT JOIN capped c ON wedges.v = c.src AND wedges.t = c.dst)
+        SELECT triangles,
+          (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) FROM
+            (SELECT count(*) AS k FROM capped GROUP BY src)) AS n_wedges,
+          (SELECT count(*) FROM capped) AS n_edges_kept,
+          (SELECT count(*) FROM e) AS n_edges_total,
+          (SELECT CAST(max(c) AS BIGINT) FROM
+            (SELECT count(*) AS c FROM e GROUP BY src)) AS max_out
+        FROM closed"""),
+      doc = s"Degree-capped triangles (cap=$TriCap smallest out-neighbors " +
+        "per node under ID orientation — the orientation a stream can " +
+        "compute at arrival, no degree table needed): wedge work bounded " +
+        "at C(cap,2) per node (node-linear) where id orientation alone " +
+        "is hub-quadratic; exact integers on the capped graph, a lower " +
+        "bound of graph_triangles; the ST26 streaming state reconstructs " +
+        "exactly this capped adjacency."),
   )
 }

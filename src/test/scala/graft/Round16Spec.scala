@@ -67,8 +67,8 @@ class Round16Spec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(3000))
     assert(!p.contains("BroadcastHashJoin"),
       "partitioned peel must not broadcast the survivor set:\n" + p.take(3000))
-    assert(p.contains("InMemoryTableScan"),
-      "peels must read the persisted partitioned edges:\n" + p.take(3000))
+    assert(p.contains("Scan ExistingRDD"),
+      "peels must read the checkpointed partitioned edges:\n" + p.take(3000))
     // an Exchange above the edge cache means the edge side re-shuffles
     // every peel — the broadcast form's dst-join cost the twin exists
     // to avoid
@@ -76,6 +76,66 @@ class Round16Spec extends SparkSpec {
         l.contains("Exchange hashpartitioning(src") &&
           l.contains("ENSURE_REQUIREMENTS")),
       "edge side re-exchanged into the survivor join:\n" + p.take(3000))
-    edges.unpersist(false)
+    graft.operators.Layouts.releaseCheckpoint(edges)
+  }
+
+  /** The id-oriented part co-order pair set (src < dst), collected. */
+  private lazy val pairSet: Array[(Long, Long)] = {
+    val sos = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+      .distinct()
+    sos.as("x").join(sos.as("y"),
+        col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+      .select(col("x.sp"), col("y.sp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("graph_triangles_capped: cap-rule replay, cap binds, lower-bounds exact") {
+    val row = run("graph_triangles_capped").collect().head
+    val (tri, wedges, kept, total, maxOut) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+
+    val bysrc = pairSet.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val capped = bysrc.view.mapValues(_.take(Round16Queries.TriCap)).toMap
+    val cappedSets = capped.view.mapValues(_.toSet).toMap
+    var triExp = 0L
+    var wedgeExp = 0L
+    capped.values.foreach { dsts =>
+      wedgeExp += dsts.length.toLong * (dsts.length - 1) / 2
+      for (i <- dsts.indices; j <- (i + 1) until dsts.length)
+        if (cappedSets.getOrElse(dsts(i), Set.empty).contains(dsts(j)))
+          triExp += 1
+    }
+    assert(tri == triExp, "triangles")
+    assert(wedges == wedgeExp, "n_wedges")
+    assert(kept == capped.values.map(_.size.toLong).sum, "n_edges_kept")
+    assert(total == pairSet.length.toLong, "n_edges_total")
+    assert(maxOut == bysrc.values.map(_.length).max.toLong, "max_out")
+    // the cap must bind, and the capped count must lower-bound the
+    // exact degree-ordered count (capped edges are a subset)
+    assert(maxOut > Round16Queries.TriCap, "cap never binds — weak fixture")
+    val exact = run("graph_triangles").collect().head.getLong(3)
+    assert(tri <= exact, s"capped $tri must lower-bound exact $exact")
+    assert(tri > 0, "no capped triangles on the fixture")
+  }
+
+  test("capped adjacency rank prunes map-side: WindowGroupLimit in the plan") {
+    val sos = Tables.load(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+      .distinct()
+    val e = sos.as("x").join(sos.as("y"),
+        col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+      .select(col("x.sp").as("src"), col("y.sp").as("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst").asc)
+    val capped = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Round16Queries.TriCap)
+      .select(col("src"), col("dst"))
+    capped.collect()
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "rn <= cap must compile to WindowGroupLimit (each map task " +
+        "forwards at most cap rows per node):\n" + p.take(3000))
   }
 }
