@@ -102,12 +102,12 @@ object Round13Queries {
     """(SELECT doc_id, lang, source, unnest(string_split(lower(text), ' ')) AS tok
        FROM documents)"""
 
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  private[queries] def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
 
-  private val vectorsDuck =
+  private[queries] val vectorsDuck =
     """vecs AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),

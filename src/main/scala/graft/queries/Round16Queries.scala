@@ -55,6 +55,16 @@ object Round16Queries {
     */
   val TriCap = 32
 
+  /** Auto-width ANN signature bounds: bits = clamp(⌈log2 n⌉, min, max).
+    * Max 16 keeps the per-vector sign pass at 2×16 codegen'd dot
+    * products and covers corpora to ~65 k per bucket-load-1 (beyond,
+    * the mask rule extends by raising the constant — one line, not a
+    * per-dataset retune); min 8 floors tiny fixtures at the teaching
+    * width so the multiprobe join stays exercised.
+    */
+  val KnnAutoMaxBits = 16
+  val KnnAutoMinBits = 8
+
   /** One co-partitioned peel: survivors `kPrev` (a `src` column)
     * shuffle-hash into the persisted edge layout, surviving-source
     * counts roll up per dst, threshold filter. Exposed so Round16Spec
@@ -199,5 +209,137 @@ object Round16Queries {
         "is hub-quadratic; exact integers on the capped graph, a lower " +
         "bound of graph_triangles; the ST26 streaming state reconstructs " +
         "exactly this capped adjacency."),
+
+    // ── data-driven ANN width: bits = ⌈log2 n⌉ derived IN-PLAN ───────
+    // V11/V14 apply the bits ~ log2 n rule at DECLARATION time (8-bit
+    // fixture form, 12-bit probe form) — but at 100 TB the corpus size
+    // is a runtime fact, not a constant a human re-tunes per dataset.
+    // This form derives the signature width from the data: all
+    // KnnAutoMaxBits hyperplane signs are computed once per vector (a
+    // few extra codegen'd dot products — cheap next to the probe join),
+    // a 1-row broadcast scalar (the sim_mips_lsh_topk M pattern)
+    // carries bits = clamp(bitlen(n−1), min, max) and its low-bit mask,
+    // and the bucket is the signature's low `bits` bits — masking a
+    // MaxBits signature to width w IS the w-wide index (the first w
+    // hyperplanes), so the same declared query holds per-bucket load
+    // n/2^bits ~ 1 at ANY corpus size, and the oracle replays the
+    // count-derived width from the same parquet. bitlen via
+    // length(bin(n−1)) — bit-exact ⌈log2 n⌉ in BOTH engines where
+    // ln-based log2 sits on float edges (the graph_degree_hist lesson).
+    // Multiprobe flips are generated from a RUNTIME-length sequence
+    // (0..bits), so only active bits ever flip.
+    QueryDef(
+      "sim_knn_graph_auto",
+      (s, dir) => {
+        val tables = Round13Queries.knnTables(KnnAutoMaxBits)
+        def sigCol(t: Int) = (0 until KnnAutoMaxBits).map { b =>
+          when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
+            lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val base = Round13Queries.vectors(s, dir)
+        val width = base.agg(count(lit(1)).as("n"))
+          .select(
+            greatest(lit(KnnAutoMinBits), least(lit(KnnAutoMaxBits),
+              length(bin(col("n") - 1)))).cast("int").as("bits"))
+          .withColumn("mask", expr("shiftleft(1, bits) - 1"))
+        val all = base
+          .crossJoin(broadcast(width))
+          .withColumn("s0", sigCol(0))
+          .withColumn("s1", sigCol(1))
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
+        all.count()
+        try {
+          // per table: masked own bucket + the `bits` Hamming-1 flips of
+          // ACTIVE bits only (runtime-length sequence); the table index
+          // folds into the key as t·(mask+1) so tables never cross-match
+          def cand(t: Int) = {
+            val st = s"s$t"
+            val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
+              (col(st).bitwiseAND(col("mask")) +
+                lit(t) * (col("mask") + lit(1))).as("bucket"))
+            val probes = expr(
+              s"""transform(sequence(0, bits), i ->
+                 (CASE WHEN i = 0 THEN ($st & mask)
+                  ELSE ($st & mask) ^ shiftleft(1, i - 1) END)
+                 + $t * (mask + 1))""")
+            val q = all.select(col("vec_id").as("query_id"),
+              col("v").as("qv"), col("nrm").as("qn"),
+              explode(probes).as("bucket"))
+            // score in-bucket BEFORE the pair dedup (the knnGraphPlan
+            // shuffle-payload lesson: 8 bytes of cosine, never vectors)
+            corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
+              .filter(col("vec_id") =!= col("query_id"))
+              .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                round(VectorOps.cosine(col("v"), col("qv"),
+                  col("nrm"), col("qn")), 6).as("cosine"))
+          }
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)
+          cand(0).unionByName(cand(1))
+            .groupBy(col("query_id"), col("neighbor_id"))
+            .agg(max(col("cosine")).as("cosine"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= Round13Queries.KnnK)
+            .select(col("query_id").as("vec_id"), col("rank"),
+              col("neighbor_id"), col("cosine"))
+            .orderBy(col("vec_id"), col("rank"))
+            .localCheckpoint(true)
+        } finally all.unpersist(false)
+      },
+      Some {
+        val tables = Round13Queries.knnTables(KnnAutoMaxBits)
+        def sigSql(t: Int) = (0 until KnnAutoMaxBits).map { b =>
+          val lits = tables(t)(b).mkString("[", ", ", "]")
+          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        val bitsSql =
+          s"greatest($KnnAutoMinBits, least($KnnAutoMaxBits, length(bin(count(*) - 1))))"
+        def probesSql(st: String, t: Int) =
+          s"""list_transform(range(0, bits + 1), i ->
+              (CASE WHEN i = 0 THEN ($st & mask)
+               ELSE xor(($st & mask), (1 << (i - 1))) END) + $t * (mask + 1))"""
+        s"""WITH ${Round13Queries.vectorsDuck},
+          width AS (
+            SELECT $bitsSql AS bits, (1 << $bitsSql) - 1 AS mask FROM vecs),
+          bucketed AS (
+            SELECT vec_id, v, nrm, bits, mask,
+              ${sigSql(0)} AS s0, ${sigSql(1)} AS s1
+            FROM nvecs CROSS JOIN width),
+          corpus AS (
+            SELECT vec_id, (s0 & mask) AS bucket FROM bucketed
+            UNION ALL
+            SELECT vec_id, (s1 & mask) + (mask + 1) AS bucket FROM bucketed),
+          q AS (
+            SELECT vec_id AS query_id, unnest(${probesSql("s0", 0)}) AS bucket
+            FROM bucketed
+            UNION ALL
+            SELECT vec_id AS query_id, unnest(${probesSql("s1", 1)}) AS bucket
+            FROM bucketed),
+          cand AS (
+            SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+            FROM corpus a JOIN q ON a.bucket = q.bucket
+              AND a.vec_id <> q.query_id),
+          sims AS (
+            SELECT c.query_id, c.neighbor_id,
+              round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+            FROM cand c
+            JOIN nvecs b ON b.vec_id = c.query_id
+            JOIN nvecs a ON a.vec_id = c.neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""
+      },
+      doc = s"Auto-width kNN graph (k=${Round13Queries.KnnK}): bits = " +
+        s"clamp(ceil(log2 n), $KnnAutoMinBits, $KnnAutoMaxBits) derived " +
+        "IN-PLAN from a 1-row broadcast count scalar via length(bin(n-1)) " +
+        "(bit-exact in both engines); the bucket is a MaxBits signature " +
+        "masked to its low `bits` bits, multiprobe flips generated from a " +
+        "runtime-length sequence — per-bucket load stays ~1 at any corpus " +
+        "size with no per-dataset retuning."),
   )
 }

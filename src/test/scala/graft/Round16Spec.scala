@@ -120,6 +120,65 @@ class Round16Spec extends SparkSpec {
     assert(tri > 0, "no capped triangles on the fixture")
   }
 
+  test("sim_knn_graph_auto: in-plan width rule + full combinatorial replay") {
+    import graft.queries.Round13Queries
+    val out = run("sim_knn_graph_auto").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val vecs = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = vecs.length.toLong
+    // the width rule, independently: bits = clamp(bitlen(n-1), min, max)
+    val bits = math.max(Round16Queries.KnnAutoMinBits,
+      math.min(Round16Queries.KnnAutoMaxBits,
+        64 - java.lang.Long.numberOfLeadingZeros(n - 1L)))
+    assert(bits > Round16Queries.KnnAutoMinBits,
+      "fixture too small — the derived width never leaves the floor")
+    val mask = (1 << bits) - 1
+    // sequential-fold dot (the DotProduct expression's order), exactly
+    val tables = Round13Queries.knnTables(Round16Queries.KnnAutoMaxBits)
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < a.length) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sigs = vecs.map { case (id, v) =>
+      val s = (0 to 1).map { t =>
+        (0 until Round16Queries.KnnAutoMaxBits)
+          .map(b => if (dot(v, tables(t)(b)) >= 0.0) 1 << b else 0).sum
+      }
+      (id, v, math.sqrt(dot(v, v)), s)
+    }
+    // corpus buckets per table (masked signature + table offset)
+    val corpus = (0 to 1).flatMap { t =>
+      sigs.map { case (id, _, _, s) => ((s(t) & mask) + t * (mask + 1), id) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byId = sigs.map(x => (x._1, (x._2, x._3))).toMap
+    val expected = sigs.flatMap { case (qid, qv, qn, s) =>
+      val cands = (0 to 1).flatMap { t =>
+        val own = s(t) & mask
+        (own +: (0 until bits).map(b => own ^ (1 << b)))
+          .map(_ + t * (mask + 1))
+          .flatMap(b => corpus.getOrElse(b, Set.empty))
+      }.toSet - qid
+      cands.toSeq
+        .map { nid =>
+          val (nv, nn) = byId(nid)
+          (qid, nid, r6(dot(nv, qv) / (nn * qn)))
+        }
+        .sortBy { case (_, nid, cos) => (-cos, nid) }
+        .take(Round13Queries.KnnK)
+        .zipWithIndex
+        .map { case ((q, nid, cos), i) => (q, i + 1, nid, cos) }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    assert(out == expected,
+      s"auto kNN replay diverged (bits=$bits): got ${out.take(3)}... " +
+        s"want ${expected.take(3)}...")
+  }
+
   test("capped adjacency rank prunes map-side: WindowGroupLimit in the plan") {
     val sos = Tables.load(spark, sf(), "lineitem")
       .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
