@@ -46,7 +46,15 @@ object Plans {
     "graph_triangles", "pipe_priority_sample",
     "graph_triangles_partitioned", "graph_clustering_coeff",
     "pipe_distinct_kmv", "pipe_kmv_overlap",
-    "pipe_count_min", "pipe_f2_ams")
+    "pipe_count_min", "pipe_f2_ams",
+    // round 15b (carried) + round 16: the log2-binned hub diagnostic,
+    // one co-partitioned k-core peel (shuffle-hash survivor join into
+    // the checkpointed src layout), the ID-oriented degree-capped
+    // triangle pipeline (WindowGroupLimit cap, zero-exchange wedge
+    // join), and the auto-width kNN graph (broadcast width scalar,
+    // runtime-length multiprobe)
+    "graph_degree_hist", "graph_kcore_partitioned_peel",
+    "graph_triangles_capped", "sim_knn_graph_auto")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -92,14 +100,42 @@ object Plans {
         case "graph_clustering_coeff" =>
           val (res, stages) = graft.queries.Round15bQueries.lccPlan(spark, dir)
           (res, Some(stages))
+        // the declared row's final plan is a projection over the last
+        // peel's blocks; the novel shape is ONE co-partitioned peel over
+        // the checkpointed src-partitioned edge layout
+        case "graph_kcore_partitioned_peel" =>
+          val edges = graft.queries.RetrievalQueries
+            .transactionEdges(spark, dir, partitioned = true)
+          val e0 = edges.select(
+            org.apache.spark.sql.functions.col("src"),
+            org.apache.spark.sql.functions.col("dst"))
+          val k1 = e0
+            .groupBy(org.apache.spark.sql.functions.col("src"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("deg"))
+            .filter(org.apache.spark.sql.functions.col("deg") >=
+              graft.queries.Round13bQueries.KcoreK)
+            .select(org.apache.spark.sql.functions.col("src"))
+          (graft.queries.Round16Queries.peelRound(e0, k1), Some(Seq(edges)))
+        // the declared rows checkpoint; dump the un-materialized pipelines
+        case "graph_triangles_capped" =>
+          val (res, e, capped) =
+            graft.queries.Round16Queries.cappedTrianglesPlan(spark, dir)
+          (res, Some(Seq(e, capped)))
+        case "sim_knn_graph_auto" =>
+          val (res, all) =
+            graft.queries.Round16Queries.knnGraphAutoPlan(spark, dir)
+          (res, Some(Seq(all)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(8000))
       // release the pinned stages (persist-scoping discipline — the
-      // builders leave them cached for the caller to scope)
-      pinned.foreach(_.foreach(_.unpersist(false)))
+      // builders leave them cached for the caller to scope);
+      // releaseCheckpoint dispatches on the materialization, so it
+      // frees persisted AND checkpointed layouts alike
+      pinned.foreach(_.foreach(graft.operators.Layouts.releaseCheckpoint))
       spark.catalog.clearCache()
     }
     spark.stop()

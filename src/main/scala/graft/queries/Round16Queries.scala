@@ -56,13 +56,18 @@ object Round16Queries {
   val TriCap = 32
 
   /** Auto-width ANN signature bounds: bits = clamp(⌈log2 n⌉, min, max).
-    * Max 16 keeps the per-vector sign pass at 2×16 codegen'd dot
-    * products and covers corpora to ~65 k per bucket-load-1 (beyond,
-    * the mask rule extends by raising the constant — one line, not a
-    * per-dataset retune); min 8 floors tiny fixtures at the teaching
-    * width so the multiprobe join stays exercised.
+    * Max 18 keeps the per-vector sign pass at 2×18 codegen'd dot
+    * products and covers corpora to ~262 k at per-bucket load ≤ 1
+    * (beyond, raise the constant — one line, not a per-dataset retune;
+    * the first probe run at max=16 showed exactly the documented
+    * failure mode: flat to ×26, then the ×52 leg's 104 k vectors
+    * crossed 2¹⁶ and candidates resumed growing ∝ n²/2¹⁶ — 10.7 →
+    * 46.0 s; at max=18 the ×52 leg derives bits=17 and the trajectory
+    * stays near-linear, BASELINE.md round-16 table); min 8 floors tiny
+    * fixtures at the teaching width so the multiprobe join stays
+    * exercised.
     */
-  val KnnAutoMaxBits = 16
+  val KnnAutoMaxBits = 18
   val KnnAutoMinBits = 8
 
   /** One co-partitioned peel: survivors `kPrev` (a `src` column)
@@ -76,6 +81,122 @@ object Round16Queries {
       .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= KcoreK)
       .select(col("dst").as("src"))
+
+  /** Un-materialized capped-triangle pipeline plus its two pinned
+    * stages — (result, persisted pair set, checkpointed capped layout).
+    * The declared row checkpoints the result and releases both; Plans
+    * dumps this form (the checkpointed row's own executed plan is a
+    * bare RDD scan).
+    */
+  private[graft] def cappedTrianglesPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sos = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
+      .distinct()
+    // persisted: the capped rank, total-edge count, and max_out
+    // diagnostic all consume the pair set (the orientedCoOrderEdges
+    // discipline)
+    val e = sos.as("x").join(sos.as("y"),
+        col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
+      .select(col("x.sp").as("src"), col("y.sp").as("dst"))
+      .distinct()
+      .persist()
+    e.count()
+    val w = Window.partitionBy(col("src")).orderBy(col("dst").asc)
+    // WindowGroupLimit bounds the rank map-side; the capped set is
+    // materialized hash-partitioned on src so the wedge self-join
+    // reads both sides from the layout with zero exchanges
+    val capped = Layouts.partitioned(
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TriCap)
+        .select(col("src"), col("dst")),
+      Seq(col("src")))
+    val wedges = capped.as("p").join(capped.as("q"),
+        col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+      .select(col("p.dst").as("v"), col("q.dst").as("t"))
+    val nTri = wedges
+      .join(capped.select(col("src").as("v"), col("dst").as("t"))
+        .hint("shuffle_hash"), Seq("v", "t"))
+      .agg(count(lit(1)).as("triangles"))
+    val nWedges = capped.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_wedges"))
+    val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_out"))
+    val res = nTri
+      .crossJoin(broadcast(nWedges))
+      .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_edges_kept"))))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges_total"))))
+      .crossJoin(broadcast(maxOut))
+      .select(col("triangles"), col("n_wedges"),
+        col("n_edges_kept"), col("n_edges_total"), col("max_out"))
+    (res, e, capped)
+  }
+
+  /** Un-materialized auto-width kNN pipeline plus its persisted
+    * signature stage — (result, persisted corpus). The declared row
+    * checkpoints the result and releases the stage; Plans dumps this
+    * form (the checkpointed row's own executed plan is a bare RDD
+    * scan).
+    */
+  private[graft] def knnGraphAutoPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val tables = Round13Queries.knnTables(KnnAutoMaxBits)
+    def sigCol(t: Int) = (0 until KnnAutoMaxBits).map { b =>
+      when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val base = Round13Queries.vectors(s, dir)
+    val width = base.agg(count(lit(1)).as("n"))
+      .select(
+        greatest(lit(KnnAutoMinBits), least(lit(KnnAutoMaxBits),
+          length(bin(col("n") - 1)))).cast("int").as("bits"))
+      .withColumn("mask", expr("shiftleft(1, bits) - 1"))
+    val all = base
+      .crossJoin(broadcast(width))
+      .withColumn("s0", sigCol(0))
+      .withColumn("s1", sigCol(1))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    all.count()
+    // per table: masked own bucket + the `bits` Hamming-1 flips of
+    // ACTIVE bits only (runtime-length sequence); the table index
+    // folds into the key as t·(mask+1) so tables never cross-match
+    def cand(t: Int) = {
+      val st = s"s$t"
+      val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
+        (col(st).bitwiseAND(col("mask")) +
+          lit(t) * (col("mask") + lit(1))).as("bucket"))
+      val probes = expr(
+        s"""transform(sequence(0, bits), i ->
+           (CASE WHEN i = 0 THEN ($st & mask)
+            ELSE ($st & mask) ^ shiftleft(1, i - 1) END)
+           + $t * (mask + 1))""")
+      val q = all.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        explode(probes).as("bucket"))
+      // score in-bucket BEFORE the pair dedup (the knnGraphPlan
+      // shuffle-payload lesson: 8 bytes of cosine, never vectors)
+      corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(VectorOps.cosine(col("v"), col("qv"),
+            col("nrm"), col("qn")), 6).as("cosine"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val res = cand(0).unionByName(cand(1))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Round13Queries.KnnK)
+      .select(col("query_id").as("vec_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+    (res, all)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -132,51 +253,9 @@ object Round16Queries {
     QueryDef(
       "graph_triangles_capped",
       (s, dir) => {
-        val sos = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
-          .distinct()
-        // persisted: the capped rank, total-edge count, and max_out
-        // diagnostic all consume the pair set (the orientedCoOrderEdges
-        // discipline)
-        val e = sos.as("x").join(sos.as("y"),
-            col("x.ord") === col("y.ord") && col("x.sp") < col("y.sp"))
-          .select(col("x.sp").as("src"), col("y.sp").as("dst"))
-          .distinct()
-          .persist()
-        e.count()
-        try {
-          val w = Window.partitionBy(col("src")).orderBy(col("dst").asc)
-          // WindowGroupLimit bounds the rank map-side; the capped set is
-          // materialized hash-partitioned on src so the wedge self-join
-          // reads both sides from the layout with zero exchanges
-          val capped = Layouts.partitioned(
-            e.withColumn("rn", row_number().over(w))
-              .filter(col("rn") <= TriCap)
-              .select(col("src"), col("dst")),
-            Seq(col("src")))
-          try {
-            val wedges = capped.as("p").join(capped.as("q"),
-                col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
-              .select(col("p.dst").as("v"), col("q.dst").as("t"))
-            val nTri = wedges
-              .join(capped.select(col("src").as("v"), col("dst").as("t"))
-                .hint("shuffle_hash"), Seq("v", "t"))
-              .agg(count(lit(1)).as("triangles"))
-            val nWedges = capped.groupBy(col("src"))
-              .agg(count(lit(1)).as("c"))
-              .agg(sum(expr("c * (c - 1) div 2")).as("n_wedges"))
-            val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
-              .agg(max(col("c")).as("max_out"))
-            nTri
-              .crossJoin(broadcast(nWedges))
-              .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_edges_kept"))))
-              .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges_total"))))
-              .crossJoin(broadcast(maxOut))
-              .select(col("triangles"), col("n_wedges"),
-                col("n_edges_kept"), col("n_edges_total"), col("max_out"))
-              .localCheckpoint(true)
-          } finally Layouts.releaseCheckpoint(capped)
-        } finally e.unpersist(false)
+        val (res, e, capped) = cappedTrianglesPlan(s, dir)
+        try res.localCheckpoint(true)
+        finally { Layouts.releaseCheckpoint(capped); e.unpersist(false) }
       },
       Some(s"""WITH sos AS (
           SELECT DISTINCT l_orderkey AS ord, l_partkey AS sp FROM lineitem),
@@ -231,61 +310,8 @@ object Round16Queries {
     QueryDef(
       "sim_knn_graph_auto",
       (s, dir) => {
-        val tables = Round13Queries.knnTables(KnnAutoMaxBits)
-        def sigCol(t: Int) = (0 until KnnAutoMaxBits).map { b =>
-          when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
-            lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
-        val base = Round13Queries.vectors(s, dir)
-        val width = base.agg(count(lit(1)).as("n"))
-          .select(
-            greatest(lit(KnnAutoMinBits), least(lit(KnnAutoMaxBits),
-              length(bin(col("n") - 1)))).cast("int").as("bits"))
-          .withColumn("mask", expr("shiftleft(1, bits) - 1"))
-        val all = base
-          .crossJoin(broadcast(width))
-          .withColumn("s0", sigCol(0))
-          .withColumn("s1", sigCol(1))
-          .repartition(s.sparkContext.defaultParallelism)
-          .persist()
-        all.count()
-        try {
-          // per table: masked own bucket + the `bits` Hamming-1 flips of
-          // ACTIVE bits only (runtime-length sequence); the table index
-          // folds into the key as t·(mask+1) so tables never cross-match
-          def cand(t: Int) = {
-            val st = s"s$t"
-            val corpus = all.select(col("vec_id"), col("v"), col("nrm"),
-              (col(st).bitwiseAND(col("mask")) +
-                lit(t) * (col("mask") + lit(1))).as("bucket"))
-            val probes = expr(
-              s"""transform(sequence(0, bits), i ->
-                 (CASE WHEN i = 0 THEN ($st & mask)
-                  ELSE ($st & mask) ^ shiftleft(1, i - 1) END)
-                 + $t * (mask + 1))""")
-            val q = all.select(col("vec_id").as("query_id"),
-              col("v").as("qv"), col("nrm").as("qn"),
-              explode(probes).as("bucket"))
-            // score in-bucket BEFORE the pair dedup (the knnGraphPlan
-            // shuffle-payload lesson: 8 bytes of cosine, never vectors)
-            corpus.join(q.hint("shuffle_hash"), Seq("bucket"))
-              .filter(col("vec_id") =!= col("query_id"))
-              .select(col("query_id"), col("vec_id").as("neighbor_id"),
-                round(VectorOps.cosine(col("v"), col("qv"),
-                  col("nrm"), col("qn")), 6).as("cosine"))
-          }
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col("cosine").desc, col("neighbor_id").asc)
-          cand(0).unionByName(cand(1))
-            .groupBy(col("query_id"), col("neighbor_id"))
-            .agg(max(col("cosine")).as("cosine"))
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= Round13Queries.KnnK)
-            .select(col("query_id").as("vec_id"), col("rank"),
-              col("neighbor_id"), col("cosine"))
-            .orderBy(col("vec_id"), col("rank"))
-            .localCheckpoint(true)
-        } finally all.unpersist(false)
+        val (res, all) = knnGraphAutoPlan(s, dir)
+        try res.localCheckpoint(true) finally all.unpersist(false)
       },
       Some {
         val tables = Round13Queries.knnTables(KnnAutoMaxBits)

@@ -69,6 +69,25 @@ NEW_HEADERS = {
         "AMS F2 sketch: map-side partial_amssketchagg (60 signed "
         "counters per language per partition) next to the exact "
         "vocabulary rollup it estimates (round 15b)",
+    "graph_degree_hist":
+        "log2-binned degree profile: one degree rollup + a <=64-bucket "
+        "aggregate — the hub diagnostic ahead of every wedge/rank job "
+        "(round 15b)",
+    "graph_kcore_partitioned_peel":
+        "one co-partitioned k-core peel: survivors shuffle-hash into "
+        "the checkpointed HashPartitioning(src) edge layout (zero "
+        "edge-side re-exchange), surviving-source counts roll up "
+        "map-side per dst (round 16)",
+    "graph_triangles_capped":
+        "ID-oriented degree-capped triangles: the per-node rank "
+        "compiles to WindowGroupLimit (map tasks forward <= cap rows "
+        "per node), capped set checkpointed hash-partitioned on src "
+        "for the zero-exchange wedge self-join (round 16)",
+    "sim_knn_graph_auto":
+        "auto-width kNN: 1-row broadcast width scalar (bits = "
+        "clamp(bitlen(n-1), 8, 18)), masked-signature buckets, "
+        "runtime-length multiprobe explode, shuffle-hash candidate "
+        "join (round 16)",
 }
 
 # name -> existing "## name — comment" line
