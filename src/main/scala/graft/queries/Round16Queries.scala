@@ -198,6 +198,100 @@ object Round16Queries {
     (res, all)
   }
 
+  /** Auto-width ANN-dedup signature ceiling: Long bucket keys, so the
+    * rule runs far past the kNN row's Int range — 20 keeps the
+    * radius-2 probe ball at 1 + 20 + C(20,2) = 211 masks and covers
+    * corpora to ~1 M at per-bucket load ≤ 1 (beyond: raise the
+    * constant; the [1, 62] Long-wrap guard is the hard wall).
+    */
+  val AnnAutoMaxBits = 20
+
+  /** Un-materialized auto-width sign-LSH dedup pipeline plus its two
+    * persisted stages — (pairs, vectors, signatures). Same knobs as the
+    * declared dedup_embedding_ann_scaled row (radius 2, 4 tables,
+    * τ=0.45) with bits derived IN-PLAN: the signature is computed at
+    * AnnAutoMaxBits once per table and masked to the low
+    * clamp(bitlen(n−1), 8, 20) bits (masking IS the narrower index —
+    * its first `bits` hyperplanes), the radius-2 Hamming ball is
+    * generated from RUNTIME-length sequences (only active bits ever
+    * flip), and the first-matching-table dedup compares MASKED
+    * signatures so the union stays duplicate-free by construction at
+    * any derived width.
+    */
+  private[graft] def annAutoPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val radius = DedupQueries.AnnProbeRadius
+    val tables = DedupQueries.AnnTables
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val width = base.agg(count(lit(1)).as("n"))
+      .select(
+        greatest(lit(KnnAutoMinBits), least(lit(AnnAutoMaxBits),
+          length(bin(col("n") - 1)))).cast("int").as("bits"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), bits) - 1"))
+    val v = base
+      .crossJoin(broadcast(width))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    def sigCol(t: Int) = (0 until AnnAutoMaxBits).map { b =>
+      when(VectorOps.dot(col("v"),
+        typedLit(SimilarityQueries.hyperplaneSet(t, AnnAutoMaxBits)(b))) >= 0.0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // all tables' MASKED signatures in one corpus pass (the
+    // embeddingAnnPairs discipline); persisted because every table's
+    // candidate join reads it twice (probe + build side)
+    val sigs = v.select(
+      Seq(col("vec_id"), col("bits"), col("mask")) ++
+        (0 until tables).map(t =>
+          sigCol(t).bitwiseAND(col("mask")).as(s"sig_$t")): _*)
+      .persist()
+    // per-table probes: own masked bucket + the radius-1 flips + the
+    // radius-2 double flips, all over ACTIVE bits only (runtime-length
+    // sequences — the masked domain)
+    def probesCol(t: Int) = expr(
+      s"""concat(
+         array(sig_$t),
+         transform(sequence(0, bits - 1),
+           i -> sig_$t ^ shiftleft(CAST(1 AS BIGINT), i)),
+         flatten(transform(sequence(0, bits - 2),
+           i -> transform(sequence(i + 1, bits - 1),
+             j -> sig_$t ^ shiftleft(CAST(1 AS BIGINT), i)
+                        ^ shiftleft(CAST(1 AS BIGINT), j)))))""")
+    val aCols = (0 until tables).map(t => col(s"sig_$t").as(s"a_sig_$t"))
+    val bCols = (0 until tables).map(t => col(s"sig_$t").as(s"b_sig_$t"))
+    val cand = (0 until tables).map { t =>
+      // first-matching-table dedup over the MASKED signatures — a pair
+      // emits here iff every earlier table missed it (bit_count of the
+      // masked XOR > radius), so the union is duplicate-free without a
+      // distinct() shuffle (the embeddingAnnPairs trick)
+      val firstMatchHere = (0 until t)
+        .map(p => bit_count(col(s"a_sig_$p").bitwiseXOR(col(s"b_sig_$p"))) > radius)
+        .foldLeft(lit(true))(_ && _)
+      sigs.select(Seq(col("vec_id").as("vec_a"),
+          probesCol(t).as("probes")) ++ aCols: _*)
+        .withColumn("s", explode(col("probes")))
+        .drop("probes")
+        .join(sigs.select(col("vec_id").as("vec_b") +: bCols: _*)
+          .withColumn("s", col(s"b_sig_$t")), "s")
+        .filter(col("vec_a") < col("vec_b") && firstMatchHere)
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_ union _)
+    val pairs = cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= DedupQueries.CosineTau)
+      .orderBy(col("vec_a"), col("vec_b"))
+    (pairs, v, sigs)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── co-partitioned k-core peeling ────────────────────────────────
@@ -367,5 +461,77 @@ object Round16Queries {
         "masked to its low `bits` bits, multiprobe flips generated from a " +
         "runtime-length sequence — per-bucket load stays ~1 at any corpus " +
         "size with no per-dataset retuning."),
+
+    // ── auto-width ANN dedup (the D5c rule derived in-plan) ──────────
+    // dedup_embedding_ann_scaled fixes bits=12 at declaration time;
+    // this twin derives it from the corpus count — the same masking
+    // trick as sim_knn_graph_auto on Long keys, with the radius-2
+    // Hamming ball generated from runtime-length sequences and the
+    // first-matching-table dedup comparing masked signatures. Same
+    // radius/tables/τ as the scaled row, so the two declared queries
+    // differ in exactly the knob under test (constant vs derived
+    // width).
+    QueryDef(
+      "dedup_embedding_ann_auto",
+      (s, dir) => {
+        val (pairs, v, sigs) = annAutoPairs(s, dir)
+        try pairs.localCheckpoint(true)
+        finally { sigs.unpersist(false); v.unpersist(false) }
+      },
+      Some {
+        val radius = DedupQueries.AnnProbeRadius
+        val tables = DedupQueries.AnnTables
+        def sigSql(t: Int) = (0 until AnnAutoMaxBits).map { b =>
+          val lits = SimilarityQueries.hyperplaneSet(t, AnnAutoMaxBits)(b)
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        val bitsSql =
+          s"greatest($KnnAutoMinBits, least($AnnAutoMaxBits, length(bin(count(*) - 1))))"
+        def probesSql(t: Int) =
+          s"""list_concat(list_concat(
+              [sig_$t],
+              list_transform(range(0, bits),
+                i -> xor(sig_$t, CAST(1 AS BIGINT) << i))),
+              flatten(list_transform(range(0, bits - 1),
+                i -> list_transform(range(i + 1, bits),
+                  j -> xor(xor(sig_$t, CAST(1 AS BIGINT) << i),
+                           CAST(1 AS BIGINT) << j)))))"""
+        val perTable = (0 until tables).map { t =>
+          s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM (SELECT vec_id, unnest(${probesSql(t)}) AS s
+                    FROM sigs CROSS JOIN width) a
+              JOIN sigs b ON a.s = b.sig_$t AND a.vec_id < b.vec_id"""
+        }.mkString("\n        UNION\n        ")
+        s"""WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          nvecs AS (
+            SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
+          width AS (
+            SELECT $bitsSql AS bits,
+              (CAST(1 AS BIGINT) << $bitsSql) - 1 AS mask FROM vecs),
+          sigs AS (
+            SELECT vec_id, ${(0 until tables)
+              .map(t => s"(${sigSql(t)}) & mask AS sig_$t").mkString(", ")}
+            FROM nvecs CROSS JOIN width),
+          cand AS (
+            $perTable)
+          SELECT c.vec_a, c.vec_b,
+            round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+          FROM cand c
+          JOIN nvecs a ON a.vec_id = c.vec_a
+          JOIN nvecs b ON b.vec_id = c.vec_b
+          WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+            >= ${DedupQueries.CosineTau}
+          ORDER BY vec_a, vec_b"""
+      },
+      doc = s"Auto-width sign-LSH dedup: bits = clamp(ceil(log2 n), " +
+        s"$KnnAutoMinBits, $AnnAutoMaxBits) derived in-plan on LONG " +
+        "bucket keys (the rule runs to 62 bits); radius-2 Hamming ball " +
+        "from runtime-length sequences, masked-signature first-table " +
+        "dedup keeps the union duplicate-free at any derived width; " +
+        "same radius/tables/tau as dedup_embedding_ann_scaled — the " +
+        "two rows differ in exactly the width knob."),
   )
 }

@@ -179,6 +179,51 @@ class Round16Spec extends SparkSpec {
         s"want ${expected.take(3)}...")
   }
 
+  test("dedup_embedding_ann_auto: width rule + radius-2 ball replay") {
+    import graft.queries.{DedupQueries, Round16Queries, SimilarityQueries}
+    val out = run("dedup_embedding_ann_auto").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.nonEmpty, "no ANN pairs on the fixture")
+    val vecs = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = vecs.length.toLong
+    val bits = math.max(Round16Queries.KnnAutoMinBits,
+      math.min(Round16Queries.AnnAutoMaxBits,
+        64 - java.lang.Long.numberOfLeadingZeros(n - 1L)))
+    val maskL = (1L << bits) - 1L
+    val radius = DedupQueries.AnnProbeRadius
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < a.length) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val hp = (0 until DedupQueries.AnnTables).map(t =>
+      SimilarityQueries.hyperplaneSet(t, Round16Queries.AnnAutoMaxBits))
+    val sigs = vecs.map { case (id, v) =>
+      (id, v, math.sqrt(dot(v, v)),
+        hp.map(planes => (0 until Round16Queries.AnnAutoMaxBits)
+          .map(b => if (dot(v, planes(b)) >= 0.0) 1L << b else 0L)
+          .sum & maskL))
+    }
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (ia, va, na, sa) = sigs(i)
+      (ib, vb, nb, sb) = sigs(j)
+      (a, b) = if (ia < ib) (i, j) else (j, i)
+      if sa.indices.exists(t =>
+        java.lang.Long.bitCount(sigs(a)._4(t) ^ sigs(b)._4(t)) <= radius)
+      cos = r6(dot(sigs(a)._2, sigs(b)._2) / (sigs(a)._3 * sigs(b)._3))
+      if cos >= DedupQueries.CosineTau
+    } yield (sigs(a)._1, sigs(b)._1, cos))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(out == expected,
+      s"ANN-auto replay diverged (bits=$bits): got ${out.take(3)} " +
+        s"want ${expected.take(3)}")
+  }
+
   test("capped adjacency rank prunes map-side: WindowGroupLimit in the plan") {
     val sos = Tables.load(spark, sf(), "lineitem")
       .select(col("l_orderkey").as("ord"), col("l_partkey").as("sp"))
