@@ -456,6 +456,25 @@ object ScaleProbe {
       case "dedup_cluster_cc_ckpt" =>
         queries.DedupQueries.clusterCc(spark, dir,
           Some(s"/tmp/graft_cc_reliable_x$m"))
+      // pseudo-name: the auto-width ANN dedup at the PRODUCTION near-dup
+      // config (radius 1, 8 tables, τ=0.9) — the declared row's τ=0.45
+      // admits a quadratically-growing cross-replica pair set on probe
+      // corpora (the same fixture artifact the w<bits> pseudo-names
+      // exist for), so the width rule's trajectory is measured here
+      case "dedup_embedding_ann_auto_prod" =>
+        val (p, v, g) = queries.Round16Queries
+          .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9)
+        try p.localCheckpoint(true)
+        finally { g.unpersist(false); v.unpersist(false) }
+      // diagnostic twin: τ = -2 disables the verify filter, so `rows`
+      // IS the candidate-pair volume — the number the width rule is
+      // supposed to hold linear (candidates ≈ (1+bits)·n²/2^bits per
+      // table under uniform load)
+      case "dedup_embedding_ann_auto_cand" =>
+        val (p, v, g) = queries.Round16Queries
+          .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = -2.0)
+        try p.localCheckpoint(true)
+        finally { g.unpersist(false); v.unpersist(false) }
       // pseudo-name: convergence-driven co-partitioned PageRank
       // (eps = 1e8 picounits = 1e-4 rank). Emits a per-round JSON trace —
       // round seconds must stay FLAT as rounds accumulate (checkpoint

@@ -219,10 +219,11 @@ object Round16Queries {
     * any derived width.
     */
   private[graft] def annAutoPairs(
-      s: org.apache.spark.sql.SparkSession, dir: String)
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      radius: Int = DedupQueries.AnnProbeRadius,
+      tables: Int = DedupQueries.AnnTables,
+      tau: Double = DedupQueries.CosineTau)
       : (DataFrame, DataFrame, DataFrame) = {
-    val radius = DedupQueries.AnnProbeRadius
-    val tables = DedupQueries.AnnTables
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -248,18 +249,21 @@ object Round16Queries {
         (0 until tables).map(t =>
           sigCol(t).bitwiseAND(col("mask")).as(s"sig_$t")): _*)
       .persist()
-    // per-table probes: own masked bucket + the radius-1 flips + the
-    // radius-2 double flips, all over ACTIVE bits only (runtime-length
+    // per-table probes: own masked bucket + the radius-1 flips (+ the
+    // radius-2 double flips), all over ACTIVE bits only (runtime-length
     // sequences — the masked domain)
-    def probesCol(t: Int) = expr(
-      s"""concat(
-         array(sig_$t),
-         transform(sequence(0, bits - 1),
-           i -> sig_$t ^ shiftleft(CAST(1 AS BIGINT), i)),
-         flatten(transform(sequence(0, bits - 2),
-           i -> transform(sequence(i + 1, bits - 1),
-             j -> sig_$t ^ shiftleft(CAST(1 AS BIGINT), i)
-                        ^ shiftleft(CAST(1 AS BIGINT), j)))))""")
+    require(radius >= 0 && radius <= 2, s"probe radius $radius outside [0, 2]")
+    def probesCol(t: Int) = expr(Seq(
+      Some(s"array(sig_$t)"),
+      if (radius >= 1) Some(
+        s"""transform(sequence(0, bits - 1),
+            i -> sig_$t ^ shiftleft(CAST(1 AS BIGINT), i))""") else None,
+      if (radius >= 2) Some(
+        s"""flatten(transform(sequence(0, bits - 2),
+            i -> transform(sequence(i + 1, bits - 1),
+              j -> sig_$t ^ shiftleft(CAST(1 AS BIGINT), i)
+                         ^ shiftleft(CAST(1 AS BIGINT), j))))""") else None)
+      .flatten.mkString("concat(", ",\n", ")"))
     val aCols = (0 until tables).map(t => col(s"sig_$t").as(s"a_sig_$t"))
     val bCols = (0 until tables).map(t => col(s"sig_$t").as(s"b_sig_$t"))
     val cand = (0 until tables).map { t =>
@@ -287,7 +291,7 @@ object Round16Queries {
       .select(col("vec_a"), col("vec_b"),
         round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cosine"))
-      .filter(col("cosine") >= DedupQueries.CosineTau)
+      .filter(col("cosine") >= tau)
       .orderBy(col("vec_a"), col("vec_b"))
     (pairs, v, sigs)
   }
