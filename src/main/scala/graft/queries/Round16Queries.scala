@@ -7,9 +7,23 @@ import graft.Tables
 import graft.operators.Layouts
 import Round13bQueries.{KcoreK, KcorePeels, kcoreSql, nodeStr}
 
-/** Round-16 batch: the last graph operator whose scale story assumed a
-  * broadcastable node set, re-expressed in the co-partitioned
-  * discipline the rest of the family already follows (R10b/R14b) —
+/** Round-16 batch — the r15 verdict's remaining scale assumptions,
+  * closed:
+  *
+  *  - graph_kcore_partitioned (below): the last graph operator whose
+  *    per-round pruning assumed a broadcastable node set;
+  *  - graph_triangles_capped: the ONLINE-computable triangle form (ID
+  *    orientation + cap rule — no degree table needed), the batch twin
+  *    of the ST26 streaming adjacency (streaming/TriangleStream.scala);
+  *  - sim_knn_graph_auto / dedup_embedding_ann_auto: the bits ~ log2 n
+  *    ANN width rule derived IN-PLAN from a 1-row broadcast count
+  *    scalar (mask a MaxBits signature to the low clamp(bitlen(n−1),
+  *    min, max) bits; runtime-length multiprobe) instead of a
+  *    declaration-time constant — the same declared query holds
+  *    per-bucket load ~1 at any corpus size.
+  *
+  * The k-core twin in detail — the co-partitioned discipline the rest
+  * of the family already follows (R10b/R14b):
   *
   *  - graph_kcore_partitioned: k-core peeling with ZERO edge-side
   *    re-exchanges. The broadcast form's peel round is a degree rollup
