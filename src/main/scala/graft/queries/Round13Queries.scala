@@ -411,8 +411,17 @@ object Round13Queries {
     * whether candidate volume stays ~n·k as the corpus grows.
     */
   private[queries] def semanticClusters(s: SparkSession, dir: String,
-      bits: Int = NBits): DataFrame = {
-    val knn = knnGraph(s, dir, bits)
+      bits: Int = NBits): DataFrame =
+    clusterStage(s, dir, knnGraph(s, dir, bits))
+
+  /** τ-edges → shared CC → singleton fill over ANY materialized kNN
+    * graph (vec_id, rank, neighbor_id, cosine) — the stage every
+    * sim_semantic_clusters variant shares; only the kNN build feeding
+    * it changes (8-bit fixture, 12-bit scaled, round-16 auto width).
+    */
+  private[queries] def clusterStage(s: SparkSession, dir: String,
+      knnGraph: DataFrame): DataFrame = {
+    val knn = knnGraph
       .filter(col("cosine") >= SemClusterTau)
       .select(col("vec_id"), col("neighbor_id"))
     val labels = graft.operators.ConnectedComponents.run(knn)
@@ -430,7 +439,14 @@ object Round13Queries {
     * kNN CTE chain + recursive-CTE reachability + singleton fill.
     */
   private[queries] def semanticClustersSql(bits: Int = NBits): String =
-    s"""WITH RECURSIVE ${knnDuckCtes(bits)},
+    semanticClustersSqlOver(knnDuckCtes(bits))
+
+  /** The cluster oracle's recursive tail over ANY kNN CTE chain ending
+    * in `ranked` (with `nvecs` in scope) — shared with the round-16
+    * auto-width variant.
+    */
+  private[queries] def semanticClustersSqlOver(knnCtes: String): String =
+    s"""WITH RECURSIVE $knnCtes,
         knn AS (
           SELECT query_id, neighbor_id FROM ranked
           WHERE rank <= $KnnK AND cosine >= $SemClusterTau),

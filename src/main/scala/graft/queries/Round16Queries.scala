@@ -310,6 +310,57 @@ object Round16Queries {
     (pairs, v, sigs)
   }
 
+  /** The auto-width kNN oracle CTE chain, ending in `ranked` (query_id,
+    * neighbor_id, cosine, rank) with `nvecs` in scope — shared by
+    * sim_knn_graph_auto and sim_semantic_clusters_auto (the
+    * Round13Queries.knnDuckCtes convention at the derived width).
+    */
+  private[graft] lazy val knnAutoDuckCtes: String = {
+    val tables = Round13Queries.knnTables(KnnAutoMaxBits)
+    def sigSql(t: Int) = (0 until KnnAutoMaxBits).map { b =>
+      val lits = tables(t)(b).mkString("[", ", ", "]")
+      s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val bitsSql =
+      s"greatest($KnnAutoMinBits, least($KnnAutoMaxBits, length(bin(count(*) - 1))))"
+    def probesSql(st: String, t: Int) =
+      s"""list_transform(range(0, bits + 1), i ->
+          (CASE WHEN i = 0 THEN ($st & mask)
+           ELSE xor(($st & mask), (1 << (i - 1))) END) + $t * (mask + 1))"""
+    s"""${Round13Queries.vectorsDuck},
+      width AS (
+        SELECT $bitsSql AS bits, (1 << $bitsSql) - 1 AS mask FROM vecs),
+      bucketed AS (
+        SELECT vec_id, v, nrm, bits, mask,
+          ${sigSql(0)} AS s0, ${sigSql(1)} AS s1
+        FROM nvecs CROSS JOIN width),
+      corpus AS (
+        SELECT vec_id, (s0 & mask) AS bucket FROM bucketed
+        UNION ALL
+        SELECT vec_id, (s1 & mask) + (mask + 1) AS bucket FROM bucketed),
+      q AS (
+        SELECT vec_id AS query_id, unnest(${probesSql("s0", 0)}) AS bucket
+        FROM bucketed
+        UNION ALL
+        SELECT vec_id AS query_id, unnest(${probesSql("s1", 1)}) AS bucket
+        FROM bucketed),
+      cand AS (
+        SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        FROM corpus a JOIN q ON a.bucket = q.bucket
+          AND a.vec_id <> q.query_id),
+      sims AS (
+        SELECT c.query_id, c.neighbor_id,
+          round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+        FROM cand c
+        JOIN nvecs b ON b.vec_id = c.query_id
+        JOIN nvecs a ON a.vec_id = c.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── co-partitioned k-core peeling ────────────────────────────────
@@ -425,53 +476,9 @@ object Round16Queries {
         val (res, all) = knnGraphAutoPlan(s, dir)
         try res.localCheckpoint(true) finally all.unpersist(false)
       },
-      Some {
-        val tables = Round13Queries.knnTables(KnnAutoMaxBits)
-        def sigSql(t: Int) = (0 until KnnAutoMaxBits).map { b =>
-          val lits = tables(t)(b).mkString("[", ", ", "]")
-          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-        val bitsSql =
-          s"greatest($KnnAutoMinBits, least($KnnAutoMaxBits, length(bin(count(*) - 1))))"
-        def probesSql(st: String, t: Int) =
-          s"""list_transform(range(0, bits + 1), i ->
-              (CASE WHEN i = 0 THEN ($st & mask)
-               ELSE xor(($st & mask), (1 << (i - 1))) END) + $t * (mask + 1))"""
-        s"""WITH ${Round13Queries.vectorsDuck},
-          width AS (
-            SELECT $bitsSql AS bits, (1 << $bitsSql) - 1 AS mask FROM vecs),
-          bucketed AS (
-            SELECT vec_id, v, nrm, bits, mask,
-              ${sigSql(0)} AS s0, ${sigSql(1)} AS s1
-            FROM nvecs CROSS JOIN width),
-          corpus AS (
-            SELECT vec_id, (s0 & mask) AS bucket FROM bucketed
-            UNION ALL
-            SELECT vec_id, (s1 & mask) + (mask + 1) AS bucket FROM bucketed),
-          q AS (
-            SELECT vec_id AS query_id, unnest(${probesSql("s0", 0)}) AS bucket
-            FROM bucketed
-            UNION ALL
-            SELECT vec_id AS query_id, unnest(${probesSql("s1", 1)}) AS bucket
-            FROM bucketed),
-          cand AS (
-            SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
-            FROM corpus a JOIN q ON a.bucket = q.bucket
-              AND a.vec_id <> q.query_id),
-          sims AS (
-            SELECT c.query_id, c.neighbor_id,
-              round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
-            FROM cand c
-            JOIN nvecs b ON b.vec_id = c.query_id
-            JOIN nvecs a ON a.vec_id = c.neighbor_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM sims)
+      Some(s"""WITH $knnAutoDuckCtes
         SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""
-      },
+        WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""),
       doc = s"Auto-width kNN graph (k=${Round13Queries.KnnK}): bits = " +
         s"clamp(ceil(log2 n), $KnnAutoMinBits, $KnnAutoMaxBits) derived " +
         "IN-PLAN from a 1-row broadcast count scalar via length(bin(n-1)) " +
@@ -551,5 +558,29 @@ object Round16Queries {
         "dedup keeps the union duplicate-free at any derived width; " +
         "same radius/tables/tau as dedup_embedding_ann_scaled — the " +
         "two rows differ in exactly the width knob."),
+
+    // ── semantic clusters over the auto-width kNN build ──────────────
+    // Completes the V12 family onto the in-plan width rule: V12
+    // (fixture 8-bit) → V12b (declared 12-bit) → auto (derived). The
+    // cluster stage — τ-edges, the shared CC operator, singleton fill —
+    // is IDENTICAL (Round13Queries.clusterStage); only the kNN build
+    // feeding it changes, which is the whole point: the same declared
+    // clustering query keeps candidate volume ~n·k at any corpus size
+    // with no per-dataset width retune.
+    QueryDef(
+      "sim_semantic_clusters_auto",
+      (s, dir) => {
+        val knn = {
+          val (res, all) = knnGraphAutoPlan(s, dir)
+          try res.localCheckpoint(true) finally all.unpersist(false)
+        }
+        Round13Queries.clusterStage(s, dir, knn)
+      },
+      Some(Round13Queries.semanticClustersSqlOver(knnAutoDuckCtes)),
+      doc = "Semantic clusters over the auto-width kNN graph: the V12 " +
+        "composition with the in-plan bits = clamp(ceil(log2 n), 8, 18) " +
+        "index — same tau-edge -> shared-CC -> singleton-fill stage, " +
+        "same recursive-CTE oracle tail, only the kNN build (and with " +
+        "it the scale behavior) changes."),
   )
 }

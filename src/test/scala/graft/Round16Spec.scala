@@ -179,6 +179,39 @@ class Round16Spec extends SparkSpec {
         s"want ${expected.take(3)}...")
   }
 
+  test("sim_semantic_clusters_auto matches a union-find replay over auto tau-edges") {
+    import graft.queries.Round13Queries
+    // the auto kNN output is itself combinatorially replayed by the
+    // test above — here the CLUSTER stage over it is replayed with an
+    // independent union-find (the Round13Spec pattern)
+    val knn = run("sim_knn_graph_auto").collect()
+      .filter(_.getDouble(3) >= Round13Queries.SemClusterTau)
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(knn.nonEmpty, "fixture must yield some tau-edges")
+    val allIds = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    knn.foreach { case (a, b) => union(a, b) }
+    val expected = allIds.map(v => v -> find(v)).toMap
+    val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = run("sim_semantic_clusters_auto").collect()
+    assert(rows.length == allIds.length, "one row per vector")
+    rows.foreach { r =>
+      val (cid, vid, sz) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cid == expected(vid), s"vec $vid: got $cid want ${expected(vid)}")
+      assert(sz == sizes(expected(vid)), s"vec $vid cluster_size")
+    }
+    assert(sizes.values.max > 1, "no genuine merging on the fixture")
+  }
+
   test("dedup_embedding_ann_auto: width rule + radius-2 ball replay") {
     import graft.queries.{DedupQueries, Round16Queries, SimilarityQueries}
     val out = run("dedup_embedding_ann_auto").collect()
