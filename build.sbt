@@ -38,3 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Per-suite JUnit XMLs (sbt's JUnitXmlReportPlugin) survive suite
+// deletions — a deleted scratch spec's failing report made round 16's
+// XML dir aggregate to 738/1 instead of the true 737/0. Wipe the dir
+// before every test/testOnly run so it holds exactly the current run.
+val cleanTestReports = taskKey[Unit]("delete stale target/test-reports")
+cleanTestReports := sbt.IO.delete(target.value / "test-reports")
+Test / test := (Test / test).dependsOn(cleanTestReports).value
+Test / testOnly := (Test / testOnly).dependsOn(cleanTestReports).evaluated

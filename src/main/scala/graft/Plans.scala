@@ -109,13 +109,7 @@ object Plans {
           val e0 = edges.select(
             org.apache.spark.sql.functions.col("src"),
             org.apache.spark.sql.functions.col("dst"))
-          val k1 = e0
-            .groupBy(org.apache.spark.sql.functions.col("src"))
-            .agg(org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)).as("deg"))
-            .filter(org.apache.spark.sql.functions.col("deg") >=
-              graft.queries.Round13bQueries.KcoreK)
-            .select(org.apache.spark.sql.functions.col("src"))
+          val k1 = graft.queries.Round16Queries.firstSurvivors(e0)
           (graft.queries.Round16Queries.peelRound(e0, k1), Some(Seq(edges)))
         // the declared rows checkpoint; dump the un-materialized pipelines
         case "graph_triangles_capped" =>

@@ -74,6 +74,21 @@ object Layouts {
     * Callers own the release: `releaseCheckpoint` once the last
     * consumer has materialized (the CacheHygieneSpec policy —
     * `Dataset.unpersist` cannot find checkpoint blocks, fact 3).
+    *
+    * SESSION-SCOPE CONTRACT: the AQE flag is toggled on `df`'s OWN
+    * session for the duration of the one checkpoint job (set/restore
+    * in try/finally on this thread). A batch query COMPILED on the
+    * same session concurrently with that job would plan AQE-off; a
+    * narrower scope is not reachable from public API — a `Dataset` is
+    * bound to its session at creation, so cloned-session or
+    * thread-local-conf tricks don't affect its planning, and rebinding
+    * the plan to a cloned session (`Dataset.ofRows`) is private[sql].
+    * This is safe in every harness entry point: Verify/Bench/specs
+    * compile queries sequentially per session, and Structured
+    * Streaming is immune by construction (`StreamExecution` plans
+    * every microbatch on its own cloned session + conf snapshot).
+    * Callers that introduce intra-session query parallelism must
+    * serialize calls into this helper.
     */
   def partitioned(df: DataFrame, cols: Seq[Column],
       rowsPerPartition: Long = 0L): DataFrame = {

@@ -723,6 +723,35 @@ object DedupQueries {
     embeddingAnnPairs(s, dir, SimilarityQueries.NBits, AnnProbeRadius,
       AnnTables, CosineTau)
 
+  /** Table-`t` sign-LSH signature of the `v` column at the given width —
+    * ONE definition shared by the batch ANN dedup pipelines and the
+    * streaming index (graft.streaming.AnnDedupStream), so the stream's
+    * bucket keys are bit-identical to the batch twin's by construction.
+    */
+  private[graft] def annSigCol(t: Int, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(VectorOps.dot(col("v"),
+        typedLit(SimilarityQueries.hyperplaneSet(t, bits)(b))) >= 0.0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ST27 batch-twin oracle (st_incremental_ann): per vector, the
+    * smallest earlier (by vec_id) sign-LSH ball-mate with exact cosine
+    * ≥ τ — the scaled-width pair SQL reduced to the arrival-order
+    * verdict the streaming index emits.
+    */
+  private[graft] def annIncrementalDuckSql: String =
+    s"""WITH pairs AS (
+        ${annDuckSql(AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)}),
+      verdict AS (
+        SELECT vec_b AS vec_id, min(vec_a) AS dup_of,
+          arg_min(cosine, vec_a) AS cosine
+        FROM pairs GROUP BY vec_b)
+      SELECT e.vec_id, v.dup_of, v.cosine,
+        CASE WHEN v.dup_of IS NULL THEN 'uniq' ELSE 'dup' END AS status
+      FROM embeddings e LEFT JOIN verdict v ON e.vec_id = v.vec_id
+      ORDER BY e.vec_id"""
+
   /** Generalized over (bits, radius, tables, tau) — the three knobs that
     * keep sign-LSH dedup linear as the corpus grows. Candidate volume is
     * n · probes · tables · load where load = n / 2^bits: hold load ~1 by
@@ -746,11 +775,7 @@ object DedupQueries {
       .withColumn("nrm", VectorOps.norm(col("v")))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
-    def sigCol(t: Int): Column = (0 until bits).map { b =>
-      when(VectorOps.dot(col("v"),
-        typedLit(SimilarityQueries.hyperplaneSet(t, bits)(b))) >= 0.0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    def sigCol(t: Int): Column = annSigCol(t, bits)
     // all tables' signatures in ONE corpus pass; persisted because the
     // per-table candidate join references the table twice (probe +
     // build side) and CollapseProject would otherwise inline the

@@ -113,7 +113,7 @@ object Round11bQueries {
     * ship-partial-sums shape a hand-written treeAggregate would have.
     * Means are exact: round(val,9) → DECIMAL(28,9) sums (order-free),
     * ONE double division at the end. */
-  private def update(assigned: DataFrame): DataFrame =
+  private[queries] def update(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("idx", "val")))
       .groupBy(col("cluster"), col("idx"))
@@ -155,20 +155,35 @@ object Round11bQueries {
   private[queries] def kmeansTrain(
       s: SparkSession, dir: String, iters: Int): (DataFrame, DataFrame) = {
     val (vecs, c0) = kmeansInit(s, dir)
+    (vecs, kmeansTrainFrom(vecs, c0, iters))
+  }
+
+  /** The Lloyd loop from an ARBITRARY init centroid table — the rounds
+    * themselves are k-agnostic (the centroid set is data, not a
+    * literal), which is what lets sim_ivf_kmeans_topk_auto derive K
+    * from the runtime corpus count (round 17). */
+  private[queries] def kmeansTrainFrom(
+      vecs: DataFrame, c0: DataFrame, iters: Int): DataFrame = {
     var cents = c0
     for (_ <- 1 to iters)
       cents = update(assign(vecs, cents)).localCheckpoint()
-    (vecs, cents)
+    cents
   }
 
   /** Oracle WITH-fragment: vecs + c0..c{iters} (the trained centroid
     * CTE chain) — shared between the k-means oracle and downstream
     * consumers of the trained quantizer. */
   private[queries] def kmDuckPrefix(iters: Int): String =
+    kmDuckPrefixFrom(
+      s"""SELECT CAST(vec_id AS INT) AS pos, v AS cv FROM vecs
+          WHERE vec_id < $KmK""", iters)
+
+  /** Same oracle chain over an ARBITRARY c0 SELECT (must yield (pos,
+    * cv) rows over `vecs`) — the auto-K consumer passes a
+    * count-derived threshold as a scalar subquery. */
+  private[queries] def kmDuckPrefixFrom(c0Sql: String, iters: Int): String =
     s"""$vectorsDuck,
-        c0 AS (
-          SELECT CAST(vec_id AS INT) AS pos, v AS cv FROM vecs
-          WHERE vec_id < $KmK),
+        c0 AS ($c0Sql),
         ${(1 to iters).map(kmDuckIter).mkString(",\n")}"""
 
   /** Convergence-driven Lloyd loop (the pagerankUntil posture): stop

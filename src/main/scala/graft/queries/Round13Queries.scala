@@ -435,34 +435,44 @@ object Round13Queries {
       .orderBy(col("cluster_id"), col("vec_id"))
   }
 
-  /** The semantic-cluster oracle at a given signature width: the full
-    * kNN CTE chain + recursive-CTE reachability + singleton fill.
+  /** Canonical undirected τ-edge projection of a materialized kNN graph
+    * (vec_id, rank, neighbor_id, cosine): exactly the edge set
+    * `clusterStage` resolves with CC, as (least, greatest) pairs. The
+    * cosine is direction-independent (same rounded expression both
+    * ways), so the max() is a dedup, not a choice. These edge rows are
+    * the HASH-GREEN half of the semantic-cluster oracle split (SURVEY
+    * §5 note 14): the closure itself is replayed by a Scala union-find
+    * in the specs, because DuckDB's recursive-CTE reachability is
+    * quadratic in cluster size (measured 117–351 s PER VARIANT at
+    * sf0.01 — it was the round-16 gate's timeout).
     */
-  private[queries] def semanticClustersSql(bits: Int = NBits): String =
-    semanticClustersSqlOver(knnDuckCtes(bits))
+  private[queries] def tauEdges(knnGraph: DataFrame): DataFrame =
+    knnGraph
+      .filter(col("cosine") >= SemClusterTau)
+      .select(least(col("vec_id"), col("neighbor_id")).as("vec_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("vec_b"),
+        col("cosine"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
 
-  /** The cluster oracle's recursive tail over ANY kNN CTE chain ending
-    * in `ranked` (with `nvecs` in scope) — shared with the round-16
-    * auto-width variant.
+  /** τ-edge oracle over ANY kNN CTE chain ending in `ranked` — the
+    * non-recursive replacement for the retired reachability-closure
+    * oracle (shared by the fixture, scaled, and auto-width variants).
     */
-  private[queries] def semanticClustersSqlOver(knnCtes: String): String =
-    s"""WITH RECURSIVE $knnCtes,
+  private[graft] def tauEdgesSqlOver(knnCtes: String): String =
+    s"""WITH $knnCtes,
         knn AS (
-          SELECT query_id, neighbor_id FROM ranked
-          WHERE rank <= $KnnK AND cosine >= $SemClusterTau),
-        und AS (
-          SELECT query_id AS u, neighbor_id AS v FROM knn
-          UNION SELECT neighbor_id, query_id FROM knn),
-        reach AS (
-          SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
-          UNION
-          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
-        lbl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
-      SELECT coalesce(l.cluster_id, n.vec_id) AS cluster_id,
-        n.vec_id AS vec_id,
-        count(*) OVER (PARTITION BY coalesce(l.cluster_id, n.vec_id)) AS cluster_size
-      FROM nvecs n LEFT JOIN lbl l ON n.vec_id = l.vec_id
-      ORDER BY cluster_id, n.vec_id"""
+          SELECT query_id, neighbor_id, cosine FROM ranked
+          WHERE rank <= $KnnK AND cosine >= $SemClusterTau)
+      SELECT least(query_id, neighbor_id) AS vec_a,
+        greatest(query_id, neighbor_id) AS vec_b,
+        max(cosine) AS cosine
+      FROM knn GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** The τ-edge oracle at a given signature width. */
+  private[queries] def tauEdgesSql(bits: Int = NBits): String =
+    tauEdgesSqlOver(knnDuckCtes(bits))
 
   /** The kNN-graph oracle CTE chain, ending in `ranked` (query_id,
     * neighbor_id, cosine, rank) — shared by both consumers.
@@ -929,13 +939,32 @@ object Round13Queries {
     QueryDef(
       "sim_semantic_clusters",
       (s, dir) => semanticClusters(s, dir),
-      Some(semanticClustersSql()),
+      None,
       doc = s"Semantic clusters: kNN-graph edges at cosine >= $SemClusterTau " +
         "resolved with the shared CC operator (min-label), singleton " +
         "fill; CC input is node-x-k-bounded, never all-pairs. " +
         "TEACHING/verify form — the fixture 8-bit index grows candidates " +
         "~n^2/256; past fixture scale use sim_semantic_clusters_scaled " +
-        "(the declared width-scaled twin, the D4->D4b pattern)."),
+        "(the declared width-scaled twin, the D4->D4b pattern). " +
+        "Oracle split (SURVEY §5 note 14): rows-only here; the exact " +
+        "edge set is hash-green via sim_semantic_edges and the closure " +
+        "is replayed by Round13Spec's union-find."),
+
+    // ── canonical τ-edges of the semantic-cluster graph ──────────────
+    // The hash-green half of the cluster oracle split: everything the
+    // cluster query computes UP TO the CC closure — signature, buckets,
+    // multiprobe, cosine, top-k rank, τ-filter — projected to canonical
+    // undirected pairs that DuckDB verifies value-exact without the
+    // quadratic recursive-CTE reachability (117 s at sf0.01 for THIS
+    // variant alone; the closure is replayed by the spec union-find).
+    QueryDef(
+      "sim_semantic_edges",
+      (s, dir) => tauEdges(knnGraph(s, dir)),
+      Some(tauEdgesSql()),
+      doc = s"Canonical undirected tau-edges (cosine >= $SemClusterTau) of " +
+        "the fixture-width kNN graph — the exact CC input of " +
+        "sim_semantic_clusters as (least, greatest) pairs; hash-green " +
+        "replacement for the retired recursive-closure oracle."),
 
     // ── Heaps-law fit over doc-id-prefix vocabulary growth ───────────
     // V(n) ≈ K·n^β (Heaps 1978): vocabulary size vs token count over 10

@@ -211,11 +211,29 @@ object Round15Queries {
       "sim_semantic_clusters_scaled",
       (s, dir) => Round13Queries.semanticClusters(
         s, dir, Round13Queries.KnnScaledBits),
-      Some(Round13Queries.semanticClustersSql(Round13Queries.KnnScaledBits)),
+      None,
       doc = s"Semantic clusters over the width-scaled kNN graph " +
         s"(bits=${Round13Queries.KnnScaledBits} ~ log2 n): candidate " +
         "volume stays ~n·k as the corpus grows; same τ-edge + shared-CC " +
-        "cluster stage as sim_semantic_clusters."),
+        "cluster stage as sim_semantic_clusters. Oracle split (SURVEY " +
+        "§5 note 14): rows-only here; sim_semantic_edges_scaled is the " +
+        "hash-green edge half, Round15Spec union-finds the closure."),
+
+    // ── canonical τ-edges, width-scaled ──────────────────────────────
+    // Hash-green half of the scaled cluster oracle split: this
+    // variant's recursive-closure oracle was the gate's single most
+    // expensive line (351 s at sf0.01, ~793 s at sf0.1, judge-measured)
+    // — the edge projection keeps the full signature/bucket/cosine/
+    // rank parity in DuckDB at kNN-oracle cost.
+    QueryDef(
+      "sim_semantic_edges_scaled",
+      (s, dir) => Round13Queries.tauEdges(
+        Round13Queries.knnGraph(s, dir, Round13Queries.KnnScaledBits)),
+      Some(Round13Queries.tauEdgesSql(Round13Queries.KnnScaledBits)),
+      doc = s"Canonical undirected tau-edges of the width-scaled " +
+        s"(bits=${Round13Queries.KnnScaledBits}) kNN graph — the exact " +
+        "CC input of sim_semantic_clusters_scaled; hash-green " +
+        "replacement for the retired recursive-closure oracle."),
 
     // ── CCNet bucketing through a mergeable quantile sketch ──────────
     // The 100 TB form of P16/P16b: per-language tercile cutoffs from a

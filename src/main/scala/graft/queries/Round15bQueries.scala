@@ -758,12 +758,20 @@ object Round15bQueries {
         // Long: counters/frequencies are bounded by group size N, so a
         // Long square-sum silently overflows past N ~ 3e9 rows — the
         // scale this sketch targets. Display stays BIGINT (lossless at
-        // fixture scale; the displayable-F2 bound is Long.MaxValue).
+        // fixture scale; the displayable-F2 bound is Long.MaxValue) —
+        // guarded by raise_error so an over-Long F2 fails LOUDLY like
+        // DuckDB's erroring HUGEINT->BIGINT cast, instead of non-ANSI
+        // Spark's silent NULL (divergent failure modes otherwise).
         val exact = toks.groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("f"))
           .groupBy(col("lang"))
-          .agg(expr("CAST(sum(CAST(f AS DECIMAL(19,0)) * " +
-            "CAST(f AS DECIMAL(19,0))) AS BIGINT)").as("f2_exact"))
+          .agg(expr("sum(CAST(f AS DECIMAL(19,0)) * " +
+            "CAST(f AS DECIMAL(19,0)))").as("s2"))
+          .select(col("lang"), expr(
+            "CAST(CASE WHEN s2 <= 9223372036854775807 THEN s2 ELSE " +
+              "CAST(raise_error('pipe_f2_ams: f2_exact exceeds the " +
+              "BIGINT display bound') AS DECIMAL(38,0)) END AS BIGINT)")
+            .as("f2_exact"))
         exact.join(sketch, "lang")
           .select(col("lang"), col("f2_exact"),
             expr("round(CAST(aggregate(counters, " +

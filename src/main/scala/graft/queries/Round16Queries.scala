@@ -96,6 +96,18 @@ object Round16Queries {
       .filter(col("deg") >= KcoreK)
       .select(col("dst").as("src"))
 
+  /** Round-1 survivor set (full-graph degree >= k) over the
+    * co-partitioned layout: the grouping key IS the persisted
+    * partitioning key, so this rollup aggregates in place with no
+    * exchange. One definition shared by the declared query, Plans'
+    * single-peel dump, and Round16Spec's replay (they drifted as three
+    * inline copies before round 17).
+    */
+  private[graft] def firstSurvivors(e0: DataFrame): DataFrame =
+    e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= KcoreK)
+      .select(col("src"))
+
   /** Un-materialized capped-triangle pipeline plus its two pinned
     * stages — (result, persisted pair set, checkpointed capped layout).
     * The declared row checkpoints the result and releases both; Plans
@@ -370,12 +382,9 @@ object Round16Queries {
         val ePart = RetrievalQueries.transactionEdges(s, dir, partitioned = true)
         val e0 = ePart.select(col("src"), col("dst")) // narrow: keeps the layout
         try {
-          // round 1: the full-graph degree rollup — the grouping key IS
-          // the persisted partitioning key, so this aggregates in place
-          // (no exchange at all)
-          val k1 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= KcoreK)
-            .select(col("src"))
+          // round 1: the full-graph degree rollup — aggregates in place
+          // (no exchange at all; see firstSurvivors)
+          val k1 = firstSurvivors(e0)
           // rounds 2..KcorePeels: count surviving SOURCES per dst
           val kN = (2 to KcorePeels).foldLeft(k1) { (kPrev, _) =>
             peelRound(e0, kPrev)
@@ -576,11 +585,31 @@ object Round16Queries {
         }
         Round13Queries.clusterStage(s, dir, knn)
       },
-      Some(Round13Queries.semanticClustersSqlOver(knnAutoDuckCtes)),
+      None,
       doc = "Semantic clusters over the auto-width kNN graph: the V12 " +
         "composition with the in-plan bits = clamp(ceil(log2 n), 8, 18) " +
         "index — same tau-edge -> shared-CC -> singleton-fill stage, " +
-        "same recursive-CTE oracle tail, only the kNN build (and with " +
-        "it the scale behavior) changes."),
+        "only the kNN build (and with it the scale behavior) changes. " +
+        "Oracle split (SURVEY §5 note 14): rows-only here; " +
+        "sim_semantic_edges_auto is the hash-green edge half, " +
+        "Round16Spec union-finds the closure."),
+
+    // ── canonical τ-edges over the auto-width kNN build ──────────────
+    // Hash-green half of the auto cluster oracle split: the derived-
+    // width signature/probe/cosine/rank chain stays value-exact in
+    // DuckDB (the knnAutoDuckCtes replay) while the CC closure — the
+    // recursive-CTE line that timed the round-16 gate out — moves to
+    // the spec union-find.
+    QueryDef(
+      "sim_semantic_edges_auto",
+      (s, dir) => Round13Queries.tauEdges {
+        val (res, all) = knnGraphAutoPlan(s, dir)
+        try res.localCheckpoint(true) finally all.unpersist(false)
+      },
+      Some(Round13Queries.tauEdgesSqlOver(knnAutoDuckCtes)),
+      doc = "Canonical undirected tau-edges of the auto-width kNN graph " +
+        "(bits = clamp(ceil(log2 n), 8, 18) derived in-plan) — the " +
+        "exact CC input of sim_semantic_clusters_auto; hash-green " +
+        "replacement for the retired recursive-closure oracle."),
   )
 }

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-17 batch rows:
+  *
+  *  - ST27 batch twin `st_incremental_ann`: the declared, oracle-checked
+  *    semantics of the streaming sign-LSH embedding-ANN dedup index
+  *    (graft.streaming.AnnDedupStream) — per vector, the smallest
+  *    earlier-arrived (arrival order := vec_id order) sign-LSH ball-mate
+  *    with exact cosine ≥ τ, at the dedup_embedding_ann_scaled config;
+  *  - the IVF family onto the round-16 in-plan width discipline:
+  *    `sim_ivf_topk_auto` (sampled-point centroids, K = clamp(⌈√n⌉, 4,
+  *    4096) — the FAISS sizing rule — and nprobe = ⌈√K⌉ derived from
+  *    the same 1-row broadcast count) and `sim_ivf_kmeans_topk_auto`
+  *    (the Lloyd-trained quantizer at the derived K — the training
+  *    rounds were always k-agnostic; only the init set was a literal).
+  *
+  * Reference scope note: alxmancilla/parquet-demo's streaming surface is
+  * a thread-pooled Mongo ingest (examples/ingest_parquet_to_mongo_stream
+  * .py:130-160) with no similarity machinery; all rows here are [EXT]
+  * like SURVEY §2.7.
+  */
+object Round17Queries {
+
+  /** IVF auto-width bounds: K = clamp(⌈√n⌉, min, max) — the FAISS
+    * K ~ √n sizing rule with a floor that keeps tiny fixtures
+    * exercising a real multi-cell index and a cap that bounds the
+    * broadcast centroid table (4096 × 64 doubles ≈ 2 MB). The kmeans
+    * variant caps at 1024: its flat training argmin is O(n·K) per
+    * Lloyd round, and past that scale the hierarchical routing rule
+    * (pipe_semdedup_scaled's two-level assignment) is the declared
+    * 100 TB path.
+    */
+  val IvfAutoMinK = 4L
+  val IvfAutoMaxK = 4096L
+  val IvfKmeansAutoMaxK = 1024L
+
+  /** 1-row width table (n, kk, stride, npr) derived from the corpus
+    * count — the round-16 dedup_embedding_ann_auto pattern applied to
+    * IVF: corpus size is a runtime fact, not a constant a human
+    * re-tunes. Integer math is floor/ceil-explicit so DuckDB replays
+    * it bit-for-bit (both engines' `/` is true division; DuckDB's
+    * CAST rounds where Spark's truncates, so floor() is spelled out).
+    */
+  private def ivfAutoWidth(vecs: DataFrame, maxK: Long): DataFrame =
+    vecs.agg(count(lit(1)).as("n"))
+      .withColumn("kk",
+        greatest(lit(IvfAutoMinK), least(lit(maxK), ceil(sqrt(col("n")))))
+          .cast("int"))
+      .withColumn("stride",
+        greatest(lit(1L), floor(col("n") / col("kk")).cast("long")))
+      .withColumn("npr", ceil(sqrt(col("kk"))).cast("int"))
+
+  /** The matching DuckDB width CTE body (over `nvecs`/`vecs`). */
+  private def ivfAutoWidthSql(src: String, maxK: Long): String =
+    s"""SELECT n, kk,
+        greatest(1, CAST(floor(CAST(n AS DOUBLE) / kk) AS BIGINT)) AS stride,
+        CAST(ceil(sqrt(kk)) AS INT) AS npr
+      FROM (
+        SELECT count(*) AS n,
+          CAST(greatest($IvfAutoMinK, least($maxK,
+            CAST(ceil(sqrt(count(*))) AS BIGINT))) AS INT) AS kk
+        FROM $src)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── ST27 batch twin: incremental ANN dedup vs arrival order ──────
+    // Reuses the scaled-width pair pipeline VERBATIM (same signatures,
+    // ball, τ-verify as dedup_embedding_ann_scaled) and reduces the
+    // canonical pair set to the arrival-order verdict the online index
+    // emits: dup_of = min earlier τ-passing ball-mate. The state the
+    // stream holds is (bucket → vectors), so this twin compares exactly
+    // what the online index can compute; StreamingAnnDedupSpec pins
+    // stream ≡ this query across multi-file replays and a restart.
+    QueryDef(
+      "st_incremental_ann",
+      (s, dir) => {
+        import DedupQueries.{AnnProbeRadius, AnnScaledBits, AnnTables, CosineTau}
+        val (pairs, v, sigs) = DedupQueries.embeddingAnnPairs(
+          s, dir, AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)
+        val verdict = pairs
+          .groupBy(col("vec_b"))
+          .agg(min(struct(col("vec_a"), col("cosine"))).as("m"))
+          .select(col("vec_b").as("vec_id"), col("m.vec_a").as("dup_of"),
+            col("m.cosine").as("cosine"))
+        val out = v.select(col("vec_id"))
+          .join(verdict, Seq("vec_id"), "left")
+          .withColumn("status",
+            when(col("dup_of").isNull, "uniq").otherwise("dup"))
+          .orderBy(col("vec_id"))
+        try out.localCheckpoint(true)
+        finally { v.unpersist(false); sigs.unpersist(false) }
+      },
+      Some(DedupQueries.annIncrementalDuckSql),
+      doc = "ST27 batch twin: per vector the smallest earlier sign-LSH " +
+        "ball-mate (scaled width, radius-2, 4 tables) with exact cosine " +
+        ">= tau — arrival order := vec_id order; the streaming index's " +
+        "declared semantics (AnnDedupStream), spec-pinned bit-for-bit."),
+
+    // ── IVF top-k with count-derived K and nprobe ────────────────────
+    // sim_ivf_topk's serving pipeline with every width a runtime fact:
+    // K = clamp(ceil(sqrt(n)), 4, 4096) (FAISS sizing), centroids =
+    // every floor(n/K)-th vector id up to K of them (the fixture row's
+    // sampled-point rule at the derived stride), nprobe = ceil(sqrt(K)).
+    // Same plan shape: broadcast centroid table, one-pass argmin
+    // assignment, per-query in-ball probe list, equi-join candidate
+    // restriction, ONE top-k rollup shuffle (literal IvfTopK keeps the
+    // WindowGroupLimit prune).
+    QueryDef(
+      "sim_ivf_topk_auto",
+      (s, dir) => {
+        import SimilarityQueries.{IvfTopK, NQueries}
+        val width = ivfAutoWidth(SimilarityQueries.vectors(s, dir), IvfAutoMaxK)
+        val all = SimilarityQueries.vectors(s, dir)
+          .crossJoin(broadcast(width))
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist()
+        try {
+          val cents = all
+            .filter(col("vec_id") % col("stride") === 0 &&
+              col("vec_id") < col("stride") * col("kk"))
+            .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+          val wAssign = Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("cent_id").asc)
+          val assign = all.select(col("vec_id"), col("v"), col("nrm"))
+            .join(broadcast(cents), lit(true))
+            .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+              graft.queries.VectorOps.dist2(col("v"), col("cv")).as("d2"))
+            .withColumn("rn", row_number().over(wAssign))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+          val q = all.filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn"), col("npr"))
+          val wProbe = Window.partitionBy(col("query_id"))
+            .orderBy(col("d2").asc, col("cent_id").asc)
+          val probes = q.join(broadcast(cents), lit(true))
+            .select(col("query_id"), col("qv"), col("qn"), col("npr"),
+              col("cent_id"),
+              graft.queries.VectorOps.dist2(col("qv"), col("cv")).as("d2"))
+            .withColumn("rn", row_number().over(wProbe))
+            .filter(col("rn") <= col("npr"))
+            .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+          val wTop = Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)
+          probes.join(assign, Seq("cent_id"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(graft.queries.VectorOps.cosine(
+                col("v"), col("qv"), col("nrm"), col("qn")), 6).as("cosine"))
+            .withColumn("rank", row_number().over(wTop))
+            .filter(col("rank") <= IvfTopK)
+            .select(col("query_id"), col("rank"), col("neighbor_id"),
+              col("cosine"))
+            .orderBy(col("query_id"), col("rank"))
+            .localCheckpoint(true)
+        } finally all.unpersist(false)
+      },
+      Some {
+        import SimilarityQueries.{IvfTopK, NQueries}
+        s"""WITH ${SimilarityQueries.vectorsDuck},
+          width AS (${ivfAutoWidthSql("nvecs", IvfAutoMaxK)}),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS cv
+            FROM nvecs CROSS JOIN width
+            WHERE vec_id % stride = 0 AND vec_id < stride * kk),
+          assign AS (
+            SELECT vec_id, v, nrm, cent_id FROM (
+              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM nvecs a CROSS JOIN cents c)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                FROM nvecs WHERE vec_id < $NQueries),
+          probes AS (
+            SELECT query_id, qv, qn, cent_id FROM (
+              SELECT q.query_id, q.qv, q.qn, c.cent_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM q CROSS JOIN cents c)
+            WHERE rn <= (SELECT npr FROM width)),
+          sims AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6) AS cosine
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+      },
+      doc = "IVF top-k with K = clamp(ceil(sqrt(n)), 4, 4096) and " +
+        "nprobe = ceil(sqrt(K)) derived from a 1-row broadcast count " +
+        "(the FAISS sizing rule, in-plan): sim_ivf_topk's serving " +
+        "pipeline with zero per-dataset width retuning."),
+
+    // ── Lloyd-trained IVF with count-derived K and nprobe ────────────
+    // The sim_ivf_kmeans_topk composition at the derived K: the Lloyd
+    // rounds were always k-agnostic (the centroid table is data); only
+    // the INIT set was a declaration-time literal. Init = first K
+    // vector ids (the kmeansInit rule at runtime K), training via the
+    // shared kmeansTrainFrom, serving identical with nprobe a column.
+    // Flat training argmin is O(n·K) per round — fine to the 1024 cap;
+    // past it the two-level routing rule (pipe_semdedup_scaled) is the
+    // declared assignment path.
+    QueryDef(
+      "sim_ivf_kmeans_topk_auto",
+      (s, dir) => {
+        import Round11cQueries.{IvfNQueries, IvfTopK}
+        graft.functions.GraftFunctions.register(s)
+        val width = ivfAutoWidth(Round11bQueries.vectors(s, dir),
+          IvfKmeansAutoMaxK)
+        val vecs = Round11bQueries.vectors(s, dir)
+          .crossJoin(broadcast(width))
+        val c0 = vecs.filter(col("vec_id") < col("kk"))
+          .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        val cents = Round11bQueries.kmeansTrainFrom(
+          vecs.select(col("vec_id"), col("v")), c0, Round11bQueries.KmIters)
+        val ca = Round11bQueries.centArray(cents)
+        val codes = Round11bQueries
+          .assign(vecs.select(col("vec_id"), col("v")), cents)
+          .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+        val qprobes = vecs.filter(col("vec_id") < IvfNQueries)
+          .crossJoin(broadcast(ca))
+          .select(
+            col("vec_id").as("query_id"),
+            col("v").as("qv"),
+            sqrt(VectorOps.dot(col("v"), col("v"))).as("qn"),
+            explode(expr(
+              """transform(
+                    slice(array_sort(transform(cents,
+                      (c, i) -> struct(vec_dist2(v, c) AS d2, i AS pos))), 1, npr),
+                    x -> x.pos)""")).as("probe"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        codes
+          .join(broadcast(qprobes), col("cluster") === col("probe"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= IvfTopK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        import Round11cQueries.{IvfNQueries, IvfTopK}
+        val enc = VectorOps.duckDist2("a.v", "c.cv")
+        val qd = VectorOps.duckDist2("q.v", "c.cv")
+        val cos = s"round(${VectorOps.duckDot("co.v", "p.qv")} / (co.nrm * p.qn), 6)"
+        val c0Sql =
+          s"""SELECT CAST(vec_id AS INT) AS pos, v AS cv FROM vecs
+            WHERE vec_id < (SELECT greatest($IvfAutoMinK,
+              least($IvfKmeansAutoMaxK, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+              FROM vecs)"""
+        s"""WITH ${Round11bQueries.kmDuckPrefixFrom(c0Sql, Round11bQueries.KmIters)},
+          kwidth AS (
+            SELECT kk, CAST(ceil(sqrt(kk)) AS INT) AS npr FROM (
+              SELECT CAST(greatest($IvfAutoMinK, least($IvfKmeansAutoMaxK,
+                CAST(ceil(sqrt(count(*))) AS BIGINT))) AS INT) AS kk
+              FROM vecs)),
+          codes AS (
+            SELECT vec_id, v, nrm, cluster FROM (
+              SELECT a.vec_id, a.v, ${VectorOps.duckNorm("a.v")} AS nrm, c.pos AS cluster,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY $enc ASC, c.pos ASC) AS rn
+              FROM vecs a CROSS JOIN c${Round11bQueries.KmIters} c) WHERE rn = 1),
+          qp AS (
+            SELECT query_id, qv, qn, probe FROM (
+              SELECT q.vec_id AS query_id, q.v AS qv, ${VectorOps.duckNorm("q.v")} AS qn,
+                c.pos AS probe,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY $qd ASC, c.pos ASC) AS rn
+              FROM vecs q CROSS JOIN c${Round11bQueries.KmIters} c
+              WHERE q.vec_id < $IvfNQueries)
+            WHERE rn <= (SELECT npr FROM kwidth)),
+          cand AS (
+            SELECT p.query_id, co.vec_id AS neighbor_id, $cos AS cosine
+            FROM codes co JOIN qp p ON co.cluster = p.probe
+            WHERE co.vec_id <> p.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM cand)
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+      },
+      doc = "Lloyd-trained IVF (FAISS IndexIVFFlat recipe) at K = " +
+        "clamp(ceil(sqrt(n)), 4, 1024), nprobe = ceil(sqrt(K)), both " +
+        "derived in-plan: the k-agnostic Lloyd rounds over a " +
+        "count-thresholded init set; serving identical to " +
+        "sim_ivf_kmeans_topk with nprobe a column."),
+  )
+}

@@ -59,12 +59,12 @@ object SimilarityQueries {
 
   val Hyperplanes: Seq[Seq[Double]] = hyperplaneSet(0)
 
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  private[queries] def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
 
-  private val vectorsDuck =
+  private[queries] val vectorsDuck =
     """vecs AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),

@@ -341,25 +341,24 @@ class Round13Spec extends SparkSpec {
   // ── semantic clusters ──────────────────────────────────────────────
 
   test("sim_semantic_clusters matches a union-find replay over tau-edges") {
-    val knn = q("sim_knn_graph")(spark, sf()).collect()
+    // evidence chain of the oracle split (SURVEY §5 note 14): the edge
+    // row is the hash-green DuckDB half; here it must (a) equal the
+    // canonical tau-projection of the kNN row and (b) union-find to the
+    // exact cluster rows
+    val edgeRows = q("sim_semantic_edges")(spark, sf()).collect()
+    val edges = edgeRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must yield some tau-edges")
+    val fromKnn = q("sim_knn_graph")(spark, sf()).collect()
       .filter(_.getDouble(3) >= Round13Queries.SemClusterTau)
-      .map(r => (r.getLong(0), r.getLong(2)))
-    assert(knn.nonEmpty, "fixture must yield some tau-edges")
+      .map(r => (math.min(r.getLong(0), r.getLong(2)),
+        math.max(r.getLong(0), r.getLong(2)), r.getDouble(3))).toSet
+    assert(edgeRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet == fromKnn,
+      "sim_semantic_edges != canonical tau-projection of sim_knn_graph")
     val allIds = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id")).collect().map(_.getLong(0))
-
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    knn.foreach { case (a, b) => union(a, b) }
-    val expected = allIds.map(v => v -> find(v)).toMap
-    val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = CcReplay.labels(edges, allIds)
+    val sizes = CcReplay.sizes(expected)
 
     val rows = q("sim_semantic_clusters")(spark, sf()).collect()
     assert(rows.length == allIds.length, "one row per vector")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.operators.QuantileSketchAgg
 import graft.queries.{RetrievalQueries, Round12Queries, Round13Queries, Round15Queries}
 
@@ -151,15 +152,33 @@ class Round15Spec extends SparkSpec {
     }
   }
 
-  test("sim_semantic_clusters_scaled declares the wide-bits path") {
+  test("sim_semantic_clusters_scaled matches a union-find replay over scaled tau-edges") {
+    import graft.queries.Round13Queries
+    // oracle-split evidence chain (SURVEY §5 note 14): the hash-green
+    // sim_semantic_edges_scaled row must equal the canonical
+    // tau-projection of the scaled kNN row and union-find to the exact
+    // cluster rows (the Round13Spec pattern at bits = KnnScaledBits)
+    val edgeRows = run("sim_semantic_edges_scaled").collect()
+    val edges = edgeRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must yield some tau-edges")
+    val fromKnn = run("sim_knn_graph_scaled").collect()
+      .filter(_.getDouble(3) >= Round13Queries.SemClusterTau)
+      .map(r => (math.min(r.getLong(0), r.getLong(2)),
+        math.max(r.getLong(0), r.getLong(2)), r.getDouble(3))).toSet
+    assert(edgeRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet == fromKnn,
+      "sim_semantic_edges_scaled != canonical tau-projection of sim_knn_graph_scaled")
+    val allIds = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val expected = CcReplay.labels(edges, allIds)
+    val sizes = CcReplay.sizes(expected)
     val rows = run("sim_semantic_clusters_scaled").collect()
-    assert(rows.nonEmpty)
-    // every vector appears exactly once
-    val ids = rows.map(_.getLong(1))
-    assert(ids.distinct.length == ids.length)
-    // cluster sizes consistent
-    rows.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
-      assert(rs.forall(_.getLong(2) == rs.length), s"cluster $cid size")
+    assert(rows.length == allIds.length, "one row per vector")
+    rows.foreach { r =>
+      val (cid, vid, sz) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cid == expected(vid), s"vec $vid: got $cid want ${expected(vid)}")
+      assert(sz == sizes(expected(vid)), s"vec $vid cluster_size")
     }
+    assert(sizes.values.max > 1, "no genuine merging on the fixture")
   }
 }

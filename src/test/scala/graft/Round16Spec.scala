@@ -58,9 +58,7 @@ class Round16Spec extends SparkSpec {
   test("co-partitioned peel round: shuffled-hash survivor join, edge side never re-exchanges") {
     val edges = RetrievalQueries.transactionEdges(spark, sf(), partitioned = true)
     val e0 = edges.select(col("src"), col("dst"))
-    val k1 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= Round13bQueries.KcoreK)
-      .select(col("src"))
+    val k1 = Round16Queries.firstSurvivors(e0)
     val df = Round16Queries.peelRound(e0, k1)
     df.collect()
     val p = outerPlan(df)
@@ -182,26 +180,23 @@ class Round16Spec extends SparkSpec {
   test("sim_semantic_clusters_auto matches a union-find replay over auto tau-edges") {
     import graft.queries.Round13Queries
     // the auto kNN output is itself combinatorially replayed by the
-    // test above — here the CLUSTER stage over it is replayed with an
-    // independent union-find (the Round13Spec pattern)
-    val knn = run("sim_knn_graph_auto").collect()
+    // test above — here the oracle-split evidence chain (SURVEY §5
+    // note 14): the hash-green edge row must equal the canonical
+    // tau-projection of the kNN row AND union-find to the cluster rows
+    val edgeRows = run("sim_semantic_edges_auto").collect()
+    val edges = edgeRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must yield some tau-edges")
+    val fromKnn = run("sim_knn_graph_auto").collect()
       .filter(_.getDouble(3) >= Round13Queries.SemClusterTau)
-      .map(r => (r.getLong(0), r.getLong(2)))
-    assert(knn.nonEmpty, "fixture must yield some tau-edges")
+      .map(r => (math.min(r.getLong(0), r.getLong(2)),
+        math.max(r.getLong(0), r.getLong(2)), r.getDouble(3))).toSet
+    assert(edgeRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet == fromKnn,
+      "sim_semantic_edges_auto != canonical tau-projection of sim_knn_graph_auto")
     val allIds = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id")).collect().map(_.getLong(0))
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    knn.foreach { case (a, b) => union(a, b) }
-    val expected = allIds.map(v => v -> find(v)).toMap
-    val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = CcReplay.labels(edges, allIds)
+    val sizes = CcReplay.sizes(expected)
     val rows = run("sim_semantic_clusters_auto").collect()
     assert(rows.length == allIds.length, "one row per vector")
     rows.foreach { r =>
