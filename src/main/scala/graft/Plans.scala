@@ -54,7 +54,12 @@ object Plans {
     // join), and the auto-width kNN graph (broadcast width scalar,
     // runtime-length multiprobe)
     "graph_degree_hist", "graph_kcore_partitioned_peel",
-    "graph_triangles_capped", "sim_knn_graph_auto")
+    "graph_triangles_capped", "sim_knn_graph_auto",
+    // round 17: the ST27 batch twin (scaled-width pair join reduced to
+    // arrival-order verdicts) and the two count-derived-width IVF
+    // serving paths (1-row broadcast width scalar; probe restriction
+    // stays an equi-join)
+    "st_incremental_ann", "sim_ivf_topk_auto", "sim_ivf_kmeans_topk_auto")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -119,6 +124,14 @@ object Plans {
         case "sim_knn_graph_auto" =>
           val (res, all) =
             graft.queries.Round16Queries.knnGraphAutoPlan(spark, dir)
+          (res, Some(Seq(all)))
+        case "st_incremental_ann" =>
+          val (res, stages) =
+            graft.queries.Round17Queries.annIncrementalPlan(spark, dir)
+          (res, Some(stages))
+        case "sim_ivf_topk_auto" =>
+          val (res, all) =
+            graft.queries.Round17Queries.ivfTopkAutoPlan(spark, dir)
           (res, Some(Seq(all)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }

@@ -56,6 +56,29 @@ object Round17Queries {
         greatest(lit(1L), floor(col("n") / col("kk")).cast("long")))
       .withColumn("npr", ceil(sqrt(col("kk"))).cast("int"))
 
+  /** Un-materialized ST27 batch-twin pipeline plus its persisted
+    * stages — the declared row checkpoints and releases; Plans dumps
+    * this form (a checkpointed row's own plan is a bare RDD scan).
+    */
+  private[graft] def annIncrementalPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    import DedupQueries.{AnnProbeRadius, AnnScaledBits, AnnTables, CosineTau}
+    val (pairs, v, sigs) = DedupQueries.embeddingAnnPairs(
+      s, dir, AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)
+    val verdict = pairs
+      .groupBy(col("vec_b"))
+      .agg(min(struct(col("vec_a"), col("cosine"))).as("m"))
+      .select(col("vec_b").as("vec_id"), col("m.vec_a").as("dup_of"),
+        col("m.cosine").as("cosine"))
+    val out = v.select(col("vec_id"))
+      .join(verdict, Seq("vec_id"), "left")
+      .withColumn("status",
+        when(col("dup_of").isNull, "uniq").otherwise("dup"))
+      .orderBy(col("vec_id"))
+    (out, Seq(v, sigs))
+  }
+
   /** The matching DuckDB width CTE body (over `nvecs`/`vecs`). */
   private def ivfAutoWidthSql(src: String, maxK: Long): String =
     s"""SELECT n, kk,
@@ -66,6 +89,59 @@ object Round17Queries {
           CAST(greatest($IvfAutoMinK, least($maxK,
             CAST(ceil(sqrt(count(*))) AS BIGINT))) AS INT) AS kk
         FROM $src)"""
+
+  /** Un-materialized count-derived IVF serving pipeline plus its
+    * persisted vector stage — the declared row checkpoints and
+    * releases; Plans dumps this form.
+    */
+  private[graft] def ivfTopkAutoPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import SimilarityQueries.{IvfTopK, NQueries}
+    val width = ivfAutoWidth(SimilarityQueries.vectors(s, dir), IvfAutoMaxK)
+    val all = SimilarityQueries.vectors(s, dir)
+      .crossJoin(broadcast(width))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    val cents = all
+      .filter(col("vec_id") % col("stride") === 0 &&
+        col("vec_id") < col("stride") * col("kk"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val assign = all.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        VectorOps.dist2(col("v"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("npr"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("qn"), col("npr"),
+        col("cent_id"),
+        VectorOps.dist2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= col("npr"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val out = probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(
+          col("v"), col("qv"), col("nrm"), col("qn")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+    (out, all)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -80,21 +156,9 @@ object Round17Queries {
     QueryDef(
       "st_incremental_ann",
       (s, dir) => {
-        import DedupQueries.{AnnProbeRadius, AnnScaledBits, AnnTables, CosineTau}
-        val (pairs, v, sigs) = DedupQueries.embeddingAnnPairs(
-          s, dir, AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)
-        val verdict = pairs
-          .groupBy(col("vec_b"))
-          .agg(min(struct(col("vec_a"), col("cosine"))).as("m"))
-          .select(col("vec_b").as("vec_id"), col("m.vec_a").as("dup_of"),
-            col("m.cosine").as("cosine"))
-        val out = v.select(col("vec_id"))
-          .join(verdict, Seq("vec_id"), "left")
-          .withColumn("status",
-            when(col("dup_of").isNull, "uniq").otherwise("dup"))
-          .orderBy(col("vec_id"))
+        val (out, stages) = annIncrementalPlan(s, dir)
         try out.localCheckpoint(true)
-        finally { v.unpersist(false); sigs.unpersist(false) }
+        finally stages.foreach(_.unpersist(false))
       },
       Some(DedupQueries.annIncrementalDuckSql),
       doc = "ST27 batch twin: per vector the smallest earlier sign-LSH " +
@@ -114,52 +178,9 @@ object Round17Queries {
     QueryDef(
       "sim_ivf_topk_auto",
       (s, dir) => {
-        import SimilarityQueries.{IvfTopK, NQueries}
-        val width = ivfAutoWidth(SimilarityQueries.vectors(s, dir), IvfAutoMaxK)
-        val all = SimilarityQueries.vectors(s, dir)
-          .crossJoin(broadcast(width))
-          .repartition(s.sparkContext.defaultParallelism)
-          .persist()
-        try {
-          val cents = all
-            .filter(col("vec_id") % col("stride") === 0 &&
-              col("vec_id") < col("stride") * col("kk"))
-            .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-          val wAssign = Window.partitionBy(col("vec_id"))
-            .orderBy(col("d2").asc, col("cent_id").asc)
-          val assign = all.select(col("vec_id"), col("v"), col("nrm"))
-            .join(broadcast(cents), lit(true))
-            .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-              graft.queries.VectorOps.dist2(col("v"), col("cv")).as("d2"))
-            .withColumn("rn", row_number().over(wAssign))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-          val q = all.filter(col("vec_id") < NQueries)
-            .select(col("vec_id").as("query_id"), col("v").as("qv"),
-              col("nrm").as("qn"), col("npr"))
-          val wProbe = Window.partitionBy(col("query_id"))
-            .orderBy(col("d2").asc, col("cent_id").asc)
-          val probes = q.join(broadcast(cents), lit(true))
-            .select(col("query_id"), col("qv"), col("qn"), col("npr"),
-              col("cent_id"),
-              graft.queries.VectorOps.dist2(col("qv"), col("cv")).as("d2"))
-            .withColumn("rn", row_number().over(wProbe))
-            .filter(col("rn") <= col("npr"))
-            .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
-          val wTop = Window.partitionBy(col("query_id"))
-            .orderBy(col("cosine").desc, col("neighbor_id").asc)
-          probes.join(assign, Seq("cent_id"))
-            .filter(col("vec_id") =!= col("query_id"))
-            .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              round(graft.queries.VectorOps.cosine(
-                col("v"), col("qv"), col("nrm"), col("qn")), 6).as("cosine"))
-            .withColumn("rank", row_number().over(wTop))
-            .filter(col("rank") <= IvfTopK)
-            .select(col("query_id"), col("rank"), col("neighbor_id"),
-              col("cosine"))
-            .orderBy(col("query_id"), col("rank"))
-            .localCheckpoint(true)
-        } finally all.unpersist(false)
+        val (out, all) = ivfTopkAutoPlan(s, dir)
+        try out.localCheckpoint(true)
+        finally all.unpersist(false)
       },
       Some {
         import SimilarityQueries.{IvfTopK, NQueries}

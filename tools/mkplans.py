@@ -13,6 +13,19 @@ RAW = sys.argv[1]
 OLD = "PLANS.md"
 
 NEW_HEADERS = {
+    "st_incremental_ann":
+        "ST27 batch twin: the scaled-width sign-LSH pair join reduced "
+        "to arrival-order verdicts (min earlier ball-mate per vector), "
+        "left-joined over the corpus (round 17)",
+    "sim_ivf_topk_auto":
+        "count-derived IVF serving: 1-row broadcast width scalar "
+        "(K=ceil(sqrt n), nprobe=ceil(sqrt K)), broadcast centroid "
+        "argmin, equi-join candidate restriction, one "
+        "WindowGroupLimit-pruned top-k rollup (round 17)",
+    "sim_ivf_kmeans_topk_auto":
+        "Lloyd-trained IVF at the count-derived K: k-agnostic training "
+        "rounds over a count-thresholded init set, serving identical "
+        "to the fixed-K row with nprobe a column (round 17)",
     "sim_kmeans":
         "Lloyd iterations with broadcast centroids: assignment is a "
         "zero-shuffle narrow pass, ONE (cluster) rollup per iteration "
