@@ -97,50 +97,20 @@ object Round17Queries {
   private[graft] def ivfTopkAutoPlan(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    import SimilarityQueries.{IvfTopK, NQueries}
     val width = ivfAutoWidth(SimilarityQueries.vectors(s, dir), IvfAutoMaxK)
     val all = SimilarityQueries.vectors(s, dir)
       .crossJoin(broadcast(width))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
+    // the V2 sampled-point rule at the derived stride; serving is the
+    // SHARED SimilarityQueries.ivfServe pipeline (review finding: the
+    // first draft duplicated it verbatim — the drift trap this round's
+    // firstSurvivors refactor exists to prevent)
     val cents = all
       .filter(col("vec_id") % col("stride") === 0 &&
         col("vec_id") < col("stride") * col("kk"))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    val assign = all.select(col("vec_id"), col("v"), col("nrm"))
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        VectorOps.dist2(col("v"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-    val q = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("npr"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    val probes = q.join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qv"), col("qn"), col("npr"),
-        col("cent_id"),
-        VectorOps.dist2(col("qv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= col("npr"))
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val out = probes.join(assign, Seq("cent_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(VectorOps.cosine(
-          col("v"), col("qv"), col("nrm"), col("qn")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= IvfTopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
-    (out, all)
+    (SimilarityQueries.ivfServe(all, cents, col("npr")), all)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -182,43 +152,14 @@ object Round17Queries {
         try out.localCheckpoint(true)
         finally all.unpersist(false)
       },
-      Some {
-        import SimilarityQueries.{IvfTopK, NQueries}
-        s"""WITH ${SimilarityQueries.vectorsDuck},
+      Some(SimilarityQueries.ivfServeDuckSql(
+        s"""${SimilarityQueries.vectorsDuck},
           width AS (${ivfAutoWidthSql("nvecs", IvfAutoMaxK)}),
           cents AS (
             SELECT vec_id AS cent_id, v AS cv
             FROM nvecs CROSS JOIN width
-            WHERE vec_id % stride = 0 AND vec_id < stride * kk),
-          assign AS (
-            SELECT vec_id, v, nrm, cent_id FROM (
-              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM nvecs a CROSS JOIN cents c)
-            WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-                FROM nvecs WHERE vec_id < $NQueries),
-          probes AS (
-            SELECT query_id, qv, qn, cent_id FROM (
-              SELECT q.query_id, q.qv, q.qn, c.cent_id,
-                row_number() OVER (PARTITION BY q.query_id
-                  ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM q CROSS JOIN cents c)
-            WHERE rn <= (SELECT npr FROM width)),
-          sims AS (
-            SELECT p.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6) AS cosine
-            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
-            WHERE a.vec_id <> p.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM sims)
-        SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
-      },
+            WHERE vec_id % stride = 0 AND vec_id < stride * kk)""",
+        "(SELECT npr FROM width)")),
       doc = "IVF top-k with K = clamp(ceil(sqrt(n)), 4, 4096) and " +
         "nprobe = ceil(sqrt(K)) derived from a 1-row broadcast count " +
         "(the FAISS sizing rule, in-plan): sim_ivf_topk's serving " +
@@ -240,8 +181,14 @@ object Round17Queries {
         graft.functions.GraftFunctions.register(s)
         val width = ivfAutoWidth(Round11bQueries.vectors(s, dir),
           IvfKmeansAutoMaxK)
+        // persisted: the width crossJoin feeds c0, every Lloyd round's
+        // assignment, the cell-posting pass AND the query probes — each
+        // would otherwise re-run the corpus count (review finding; the
+        // plan/stages pattern of ivfTopkAutoPlan)
         val vecs = Round11bQueries.vectors(s, dir)
           .crossJoin(broadcast(width))
+          .persist()
+        try {
         val c0 = vecs.filter(col("vec_id") < col("kk"))
           .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
         val cents = Round11bQueries.kmeansTrainFrom(
@@ -275,22 +222,28 @@ object Round17Queries {
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             col("cosine"))
           .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+        } finally vecs.unpersist(false)
       },
       Some {
         import Round11cQueries.{IvfNQueries, IvfTopK}
         val enc = VectorOps.duckDist2("a.v", "c.cv")
         val qd = VectorOps.duckDist2("q.v", "c.cv")
         val cos = s"round(${VectorOps.duckDot("co.v", "p.qv")} / (co.nrm * p.qn), 6)"
+        // ONE definition of the K clamp, referenced by both the init
+        // threshold and the serving width (review finding: two
+        // hand-spelled copies could drift into an internally
+        // inconsistent oracle)
+        val kClampSql =
+          s"""greatest($IvfAutoMinK, least($IvfKmeansAutoMaxK,
+              CAST(ceil(sqrt(count(*))) AS BIGINT)))"""
         val c0Sql =
           s"""SELECT CAST(vec_id AS INT) AS pos, v AS cv FROM vecs
-            WHERE vec_id < (SELECT greatest($IvfAutoMinK,
-              least($IvfKmeansAutoMaxK, CAST(ceil(sqrt(count(*))) AS BIGINT)))
-              FROM vecs)"""
+            WHERE vec_id < (SELECT $kClampSql FROM vecs)"""
         s"""WITH ${Round11bQueries.kmDuckPrefixFrom(c0Sql, Round11bQueries.KmIters)},
           kwidth AS (
             SELECT kk, CAST(ceil(sqrt(kk)) AS INT) AS npr FROM (
-              SELECT CAST(greatest($IvfAutoMinK, least($IvfKmeansAutoMaxK,
-                CAST(ceil(sqrt(count(*))) AS BIGINT))) AS INT) AS kk
+              SELECT CAST($kClampSql AS INT) AS kk
               FROM vecs)),
           codes AS (
             SELECT vec_id, v, nrm, cluster FROM (

@@ -71,6 +71,93 @@ object SimilarityQueries {
        nvecs AS (
          SELECT vec_id, v, %s AS nrm FROM vecs)""".format(VectorOps.duckNorm("v"))
 
+  /** Shared IVF serving pipeline (one definition for the fixed-knob
+    * sim_ivf_topk and the round-17 count-derived sim_ivf_topk_auto —
+    * the firstSurvivors anti-drift discipline): exact-L2 argmin
+    * assignment over a broadcast centroid table (deterministic
+    * (d2, cent_id) tiebreak), per-query `nprobe` nearest cells, plain
+    * equi-join candidate restriction, one WindowGroupLimit-pruned
+    * top-IvfTopK rollup. `all` must carry (vec_id, v, nrm) plus
+    * whatever column `nprobe` references; `cents` is (cent_id, cv).
+    */
+  private[queries] def ivfServe(all: DataFrame, cents: DataFrame,
+      nprobe: org.apache.spark.sql.Column): DataFrame = {
+    // inverted file: every vector → nearest centroid (exact L2,
+    // deterministic tiebreak on cent_id). Centroids broadcast.
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val assign = all.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        VectorOps.dist2(col("v"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+
+    // probe: each query searches only its nprobe nearest centroids.
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), nprobe.as("npr_"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("qn"), col("npr_"),
+        col("cent_id"),
+        VectorOps.dist2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= col("npr_"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assign, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The matching DuckDB serving tail over a prepared `cents` CTE
+    * (cent_id, cv) with `nvecs` in scope — `nprobeSql` is a literal for
+    * the fixed row, a scalar subquery for the auto row.
+    */
+  private[queries] def ivfServeDuckSql(prefixCtes: String,
+      nprobeSql: String): String =
+    s"""WITH $prefixCtes,
+      assign AS (
+        SELECT vec_id, v, nrm, cent_id FROM (
+          SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
+          FROM nvecs a CROSS JOIN cents c)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+            FROM nvecs WHERE vec_id < $NQueries),
+      probes AS (
+        SELECT query_id, qv, qn, cent_id FROM (
+          SELECT q.query_id, q.qv, q.qn, c.cent_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
+          FROM q CROSS JOIN cents c)
+        WHERE rn <= $nprobeSql),
+      sims AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6) AS cosine
+        FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact brute-force cosine top-k ───────────────────────────────
@@ -180,77 +267,22 @@ object SimilarityQueries {
       "sim_ivf_topk",
       (s, dir) => {
         val all = vectors(s, dir)
+        // inverted file over sampled-point centroids (fixed stride/cap);
+        // serving runs through the shared ivfServe builder — the
+        // round-17 auto-width twin is the identical pipeline with
+        // count-derived knobs, so the two rows cannot drift
         val cents = all.filter(col("vec_id") % CentroidEvery === 0 &&
             col("vec_id") < CentroidEvery * CentroidCap)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-
-        // inverted file: every vector → nearest centroid (exact L2,
-        // deterministic tiebreak on cent_id). Centroids broadcast.
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("cent_id").asc)
-        val assign = all.join(broadcast(cents), lit(true))
-          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-            VectorOps.dist2(col("v"), col("cv")).as("d2"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-
-        // probe: each query searches only its NProbe nearest centroids.
-        val q = all.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("d2").asc, col("cent_id").asc)
-        val probes = q.join(broadcast(cents), lit(true))
-          .select(col("query_id"), col("qv"), col("qn"), col("cent_id"),
-            VectorOps.dist2(col("qv"), col("cv")).as("d2"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= NProbe)
-          .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
-
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)
-        probes.join(assign, Seq("cent_id"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(
-            col("query_id"), col("vec_id").as("neighbor_id"),
-            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= IvfTopK)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-          .orderBy(col("query_id"), col("rank"))
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        ivfServe(all, cents, lit(NProbe))
       },
-      Some(s"""WITH $vectorsDuck,
+      Some(ivfServeDuckSql(
+        s"""$vectorsDuck,
           cents AS (
-            SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nvecs
+            SELECT vec_id AS cent_id, v AS cv FROM nvecs
             WHERE vec_id % $CentroidEvery = 0
-              AND vec_id < ${CentroidEvery * CentroidCap}),
-          assign AS (
-            SELECT vec_id, v, nrm, cent_id FROM (
-              SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM nvecs a CROSS JOIN cents c)
-            WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nvecs WHERE vec_id < $NQueries),
-          probes AS (
-            SELECT query_id, qv, qn, cent_id FROM (
-              SELECT q.query_id, q.qv, q.qn, c.cent_id,
-                row_number() OVER (PARTITION BY q.query_id
-                  ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM q CROSS JOIN cents c)
-            WHERE rn <= $NProbe),
-          sims AS (
-            SELECT p.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6) AS cosine
-            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
-            WHERE a.vec_id <> p.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM sims)
-        SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank""")),
+              AND vec_id < ${CentroidEvery * CentroidCap})""",
+        NProbe.toString))),
 
     // ── int8 vector quantization (compression for ANN at scale) ──────
     // Normalize to unit length, scale to [-127, 127], round to integers —
