@@ -59,7 +59,11 @@ object Plans {
     // arrival-order verdicts) and the two count-derived-width IVF
     // serving paths (1-row broadcast width scalar; probe restriction
     // stays an equi-join)
-    "st_incremental_ann", "sim_ivf_topk_auto", "sim_ivf_kmeans_topk_auto")
+    "st_incremental_ann", "sim_ivf_topk_auto", "sim_ivf_kmeans_topk_auto",
+    // round 17b: the recall audit (tiny truth set left-semi joined
+    // against each index's own top-k; serving pipelines shared) and
+    // the zero-shuffle letterbox geometry pass
+    "sim_index_recall", "mm_resize_plan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

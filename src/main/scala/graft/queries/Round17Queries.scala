@@ -113,6 +113,19 @@ object Round17Queries {
     (SimilarityQueries.ivfServe(all, cents, col("npr")), all)
   }
 
+  /** The auto-width IVF oracle as a named val — the round-17b recall
+    * row nests this IDENTICAL statement (one definition, no drift).
+    */
+  private[queries] val ivfTopkAutoDuckSql: String =
+    SimilarityQueries.ivfServeDuckSql(
+      s"""${SimilarityQueries.vectorsDuck},
+        width AS (${ivfAutoWidthSql("nvecs", IvfAutoMaxK)}),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cv
+          FROM nvecs CROSS JOIN width
+          WHERE vec_id % stride = 0 AND vec_id < stride * kk)""",
+      "(SELECT npr FROM width)")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── ST27 batch twin: incremental ANN dedup vs arrival order ──────
@@ -152,14 +165,7 @@ object Round17Queries {
         try out.localCheckpoint(true)
         finally all.unpersist(false)
       },
-      Some(SimilarityQueries.ivfServeDuckSql(
-        s"""${SimilarityQueries.vectorsDuck},
-          width AS (${ivfAutoWidthSql("nvecs", IvfAutoMaxK)}),
-          cents AS (
-            SELECT vec_id AS cent_id, v AS cv
-            FROM nvecs CROSS JOIN width
-            WHERE vec_id % stride = 0 AND vec_id < stride * kk)""",
-        "(SELECT npr FROM width)")),
+      Some(ivfTopkAutoDuckSql),
       doc = "IVF top-k with K = clamp(ceil(sqrt(n)), 4, 4096) and " +
         "nprobe = ceil(sqrt(K)) derived from a 1-row broadcast count " +
         "(the FAISS sizing rule, in-plan): sim_ivf_topk's serving " +

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
+
+import graft.Tables
+
+/** Round-17b rows — the two capability gaps left after the round-17
+  * close:
+  *
+  *  - V18 `sim_index_recall`: measured recall@k of the two IVF serving
+  *    indexes (fixed-knob and count-derived) against the exact
+  *    brute-force truth — the index-quality metric an ANN deployment
+  *    watches. The whole auto-width program (rounds 16–17) argues
+  *    widths from corpus size; this row closes the loop by MEASURING
+  *    what the derived index gives up vs exact search, per query, as a
+  *    declared oracle-checked number instead of a code comment.
+  *  - M5 `mm_resize_plan`: the resize stage of the multimodal decode
+  *    pipeline (decode → RESIZE → feature-extract) — aspect-preserving
+  *    letterbox math to a 224×224 canvas over the stub-decoded
+  *    dimensions. Like mm_decode_stub, the pixel work is stubbed by
+  *    design (no codecs in this environment); the geometry every
+  *    vision preprocessor computes (scale, output dims, centering
+  *    pads) is real, deterministic, and oracle-checked.
+  *
+  * Reference scope note: alxmancilla/parquet-demo has no similarity or
+  * image machinery (its compute surface is schema-driven Parquet I/O,
+  * src/parquet_demo/io.py:7-80); both rows are [EXT] per SURVEY §2.7.
+  */
+object Round17bQueries {
+
+  /** Exact top-IvfTopK cosine neighbors per query — the ground truth
+    * the recall row scores against. Same tiebreak (cosine desc,
+    * neighbor_id asc) as every serving pipeline, so recall@k is
+    * well-defined even through cosine ties.
+    */
+  private def truthTopk(all: DataFrame, q: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SimilarityQueries.IvfTopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── V18: recall@k of the IVF indexes vs brute-force truth ────────
+    // Truth is one broadcast-query corpus scan (the sim_brute_topk
+    // shape, cut at IvfTopK); each index's hit count is a left-semi
+    // join of the 25-row truth set against the index's own top-k — the
+    // expensive parts are the serving pipelines themselves, both of
+    // which reuse the SHARED builders (ivfServe / ivfTopkAutoPlan), so
+    // this row can never drift from the rows it measures. At 100 TB
+    // recall evaluation runs exactly this way: a fixed query panel,
+    // exact scores for the panel only (never all-pairs), set
+    // intersection against the index output.
+    QueryDef(
+      "sim_index_recall",
+      (s, dir) => {
+        import SimilarityQueries._
+        val all = vectors(s, dir)
+        val q = all.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        // 25 rows, consumed by both index joins — materialize once
+        val truth = truthTopk(all, q).localCheckpoint(true)
+        val fixedCents = all
+          .filter(col("vec_id") % CentroidEvery === 0 &&
+            col("vec_id") < CentroidEvery * CentroidCap)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val fixed = ivfServe(all, fixedCents, lit(NProbe))
+        val (auto, autoAll) = Round17Queries.ivfTopkAutoPlan(s, dir)
+        def recallOf(idx: String, approx: DataFrame): DataFrame = {
+          val hit = truth
+            .join(approx.select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+          q.select(col("query_id"))
+            .join(hit, Seq("query_id"), "left")
+            .select(lit(idx).as("idx"), col("query_id"),
+              coalesce(col("h"), lit(0L)).as("hits"))
+            .withColumn("recall",
+              col("hits").cast("double") / lit(IvfTopK))
+        }
+        try recallOf("ivf_fixed", fixed)
+          .unionByName(recallOf("ivf_auto", auto))
+          .orderBy(col("idx"), col("query_id"))
+          .localCheckpoint(true)
+        finally autoAll.unpersist(false)
+      },
+      Some {
+        import SimilarityQueries.{IvfTopK, NQueries}
+        s"""WITH ${SimilarityQueries.vectorsDuck},
+          tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                 FROM nvecs WHERE vec_id < $NQueries),
+          tsims AS (
+            SELECT tq.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "tq.qv")} / (a.nrm * tq.qn), 6) AS cosine
+            FROM nvecs a JOIN tq ON a.vec_id <> tq.query_id),
+          truth AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM tsims)
+            WHERE rank <= $IvfTopK),
+          ivf_fixed AS (${SimilarityQueries.ivfTopkDuckSql}),
+          ivf_auto AS (${Round17Queries.ivfTopkAutoDuckSql}),
+          approx AS (
+            SELECT 'ivf_fixed' AS idx, query_id, neighbor_id FROM ivf_fixed
+            UNION ALL
+            SELECT 'ivf_auto' AS idx, query_id, neighbor_id FROM ivf_auto),
+          hit AS (
+            SELECT x.idx, x.query_id, CAST(count(*) AS BIGINT) AS h
+            FROM approx x JOIN truth t
+              ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+            GROUP BY x.idx, x.query_id),
+          scaffold AS (
+            SELECT i.idx, q.query_id
+            FROM (SELECT 'ivf_fixed' AS idx UNION ALL SELECT 'ivf_auto') i
+            CROSS JOIN (SELECT vec_id AS query_id FROM nvecs
+                        WHERE vec_id < $NQueries) q)
+        SELECT s.idx, s.query_id,
+          CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+          CAST(coalesce(h.h, 0) AS DOUBLE) / $IvfTopK AS recall
+        FROM scaffold s LEFT JOIN hit h
+          ON s.idx = h.idx AND s.query_id = h.query_id
+        ORDER BY s.idx, s.query_id"""
+      },
+      doc = "Recall@k of the fixed-knob and count-derived IVF indexes " +
+        "vs exact brute-force truth (same tiebreak): the measured " +
+        "index-quality number the auto-width rules are accountable " +
+        "to — fixed query panel, exact scores for the panel only, " +
+        "set intersection against each index's top-k."),
+
+    // ── M5: aspect-preserving letterbox resize plan (stub decode) ────
+    // The geometry stage every vision preprocessor runs before the
+    // (stubbed) pixel kernel: major axis → 224, minor axis scaled by
+    // the same ratio (floored, min 1px), centering pads on the minor
+    // axis. Zero-shuffle narrow pass — at 100 TB this is a map-only
+    // stage pipelined into the decode scan; the pixel resample would
+    // drop into the mapPartitions seam mm_decode_stub already proves.
+    // Degenerate assets guard: the stub's width rule (n_bytes % 640)
+    // admits 0, which clamps to 1px here instead of dividing by zero.
+    QueryDef(
+      "mm_resize_plan",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("payload", col("text").cast(BinaryType))
+          .withColumn("n_bytes", length(col("payload")))
+          .select(col("doc_id"),
+            greatest(col("n_bytes") % 640, lit(1)).cast(IntegerType)
+              .as("src_w"),
+            (col("n_bytes") / 640 % 480 + 1).cast(IntegerType).as("src_h"))
+          .withColumn("out_w",
+            when(col("src_w") >= col("src_h"), lit(224))
+              .otherwise(greatest(lit(1),
+                floor(col("src_w") * lit(224.0) / col("src_h")))
+                .cast(IntegerType)))
+          .withColumn("out_h",
+            when(col("src_w") >= col("src_h"),
+              greatest(lit(1),
+                floor(col("src_h") * lit(224.0) / col("src_w")))
+                .cast(IntegerType))
+              .otherwise(lit(224)))
+          .select(col("doc_id"), col("src_w"), col("src_h"),
+            col("out_w"), col("out_h"),
+            expr("cast((224 - out_w) div 2 as int)").as("pad_x"),
+            expr("cast((224 - out_h) div 2 as int)").as("pad_y"))
+          .orderBy(col("doc_id")),
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CAST(greatest(octet_length(encode(text)) % 640, 1) AS INTEGER) AS src_w,
+            CAST(octet_length(encode(text)) // 640 % 480 + 1 AS INTEGER) AS src_h
+          FROM documents),
+        r AS (
+          SELECT doc_id, src_w, src_h,
+            CASE WHEN src_w >= src_h THEN 224
+                 ELSE CAST(greatest(1, floor(CAST(src_w AS DOUBLE) * 224.0 / src_h)) AS INTEGER)
+            END AS out_w,
+            CASE WHEN src_w >= src_h
+                 THEN CAST(greatest(1, floor(CAST(src_h AS DOUBLE) * 224.0 / src_w)) AS INTEGER)
+                 ELSE 224
+            END AS out_h
+          FROM m)
+        SELECT doc_id, src_w, src_h, out_w, out_h,
+          CAST((224 - out_w) // 2 AS INTEGER) AS pad_x,
+          CAST((224 - out_h) // 2 AS INTEGER) AS pad_y
+        FROM r ORDER BY doc_id"""),
+      doc = "Letterbox resize plan to a 224x224 canvas over the stub-" +
+        "decoded dims: major axis pinned to 224, minor floored from " +
+        "the same IEEE ratio (min 1px), centering pads; the map-only " +
+        "geometry stage between decode and the (stubbed) pixel kernel.")
+  )
+}

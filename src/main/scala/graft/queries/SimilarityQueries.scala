@@ -158,6 +158,17 @@ object SimilarityQueries {
     SELECT query_id, rank, neighbor_id, cosine FROM ranked
     WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
 
+  /** The fixed-knob IVF oracle, a named val so the round-17b recall row
+    * nests the IDENTICAL statement (anti-drift: one definition).
+    */
+  private[queries] val ivfTopkDuckSql: String = ivfServeDuckSql(
+    s"""$vectorsDuck,
+      cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM nvecs
+        WHERE vec_id % $CentroidEvery = 0
+          AND vec_id < ${CentroidEvery * CentroidCap})""",
+    NProbe.toString)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact brute-force cosine top-k ───────────────────────────────
@@ -276,13 +287,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
         ivfServe(all, cents, lit(NProbe))
       },
-      Some(ivfServeDuckSql(
-        s"""$vectorsDuck,
-          cents AS (
-            SELECT vec_id AS cent_id, v AS cv FROM nvecs
-            WHERE vec_id % $CentroidEvery = 0
-              AND vec_id < ${CentroidEvery * CentroidCap})""",
-        NProbe.toString))),
+      Some(ivfTopkDuckSql)),
 
     // ── int8 vector quantization (compression for ANN at scale) ──────
     // Normalize to unit length, scale to [-127, 127], round to integers —

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-17b operator invariants:
+  *
+  *  - sim_index_recall replays exactly from the declared rows it
+  *    scores: truth = the brute-force row cut at IvfTopK, index top-k =
+  *    the declared sim_ivf_topk / sim_ivf_topk_auto outputs; hits must
+  *    equal the set intersection and recall = hits / IvfTopK, with a
+  *    full (index × query) scaffold even at zero hits;
+  *  - mm_resize_plan's geometry replays row-for-row from its own src
+  *    dims (major axis pinned to 224, minor floored from the same
+  *    ratio, min 1px, centered pads), and the src dims agree with the
+  *    oracle-green mm_binary_meta decode (width clamped to >= 1).
+  */
+class Round17bSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("sim_index_recall: hits/recall replay from the declared truth and index rows") {
+    val k = queries.SimilarityQueries.IvfTopK
+    // truth: the brute-force row (TopK=10, same tiebreak) cut at k
+    val truth = run("sim_brute_topk").collect()
+      .filter(_.getAs[Int]("rank") <= k)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def topk(name: String): Map[Long, Set[Long]] =
+      run(name).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byIdx = Map(
+      "ivf_fixed" -> topk("sim_ivf_topk"),
+      "ivf_auto" -> topk("sim_ivf_topk_auto"))
+
+    val got = run("sim_index_recall").collect()
+    assert(got.length == 2 * queries.SimilarityQueries.NQueries,
+      "scaffold must cover every (index, query) pair")
+    got.foreach { r =>
+      val idx = r.getAs[String]("idx")
+      val qid = r.getAs[Long]("query_id")
+      val expected = byIdx(idx).getOrElse(qid, Set.empty)
+        .count(n => truth((qid, n)))
+      assert(r.getAs[Long]("hits") == expected.toLong,
+        s"$idx q$qid: hits ${r.getAs[Long]("hits")} != replayed $expected")
+      assert(r.getAs[Double]("recall") == expected.toDouble / k,
+        s"$idx q$qid: recall mismatch")
+    }
+    // the row must measure something: the fixture indexes find at
+    // least one true neighbor overall (recall > 0 somewhere)
+    assert(got.map(_.getAs[Long]("hits")).sum > 0, "all-zero recall")
+  }
+
+  test("mm_resize_plan: geometry replays row-for-row; src dims match mm_binary_meta") {
+    val rows = run("mm_resize_plan").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("src_w"), r.getAs[Int]("src_h"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      val (expW, expH) =
+        if (w >= h) (224, math.max(1, math.floor(h * 224.0 / w).toInt))
+        else (math.max(1, math.floor(w * 224.0 / h).toInt), 224)
+      assert((ow, oh) == (expW, expH), s"doc ${r.getAs[Long]("doc_id")}: " +
+        s"($ow,$oh) != replayed ($expW,$expH) from src ($w,$h)")
+      assert(ow >= 1 && ow <= 224 && oh >= 1 && oh <= 224)
+      assert(r.getAs[Int]("pad_x") == (224 - ow) / 2 &&
+        r.getAs[Int]("pad_y") == (224 - oh) / 2)
+    }
+    // src dims = the mm_binary_meta decode with width clamped to >= 1
+    val meta = run("mm_binary_meta").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (math.max(1, r.getAs[Int]("width")), r.getAs[Int]("height"))).toMap
+    rows.foreach { r =>
+      assert(meta(r.getAs[Long]("doc_id")) ==
+        ((r.getAs[Int]("src_w"), r.getAs[Int]("src_h"))),
+        s"doc ${r.getAs[Long]("doc_id")}: src dims diverge from decode")
+    }
+  }
+}

@@ -26,6 +26,14 @@ NEW_HEADERS = {
         "Lloyd-trained IVF at the count-derived K: k-agnostic training "
         "rounds over a count-thresholded init set, serving identical "
         "to the fixed-K row with nprobe a column (round 17)",
+    "sim_index_recall":
+        "recall@k audit: exact truth for the 5-query panel only (one "
+        "broadcast-query corpus scan), left-semi hit join against each "
+        "IVF index's own top-k, full scaffold left join (round 17b)",
+    "mm_resize_plan":
+        "letterbox resize geometry: zero-shuffle narrow pass over the "
+        "stub-decoded dims (major axis pinned to 224, minor floored, "
+        "centered pads) pipelined into the documents scan (round 17b)",
     "sim_kmeans":
         "Lloyd iterations with broadcast centroids: assignment is a "
         "zero-shuffle narrow pass, ONE (cluster) rollup per iteration "
