@@ -137,6 +137,12 @@ object Plans {
           val (res, all) =
             graft.queries.Round17Queries.ivfTopkAutoPlan(spark, dir)
           (res, Some(Seq(all)))
+        // the declared row checkpoints; dump with the truth pipeline
+        // left un-materialized so the whole shape prints
+        case "sim_index_recall" =>
+          val (res, stages) = graft.queries.Round17bQueries
+            .indexRecallPlan(spark, dir, eagerTruth = false)
+          (res, Some(stages))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

@@ -10,10 +10,10 @@ import graft.Tables
 /** Round-17b rows — the two capability gaps left after the round-17
   * close:
   *
-  *  - V18 `sim_index_recall`: measured recall@k of the two IVF serving
-  *    indexes (fixed-knob and count-derived) against the exact
-  *    brute-force truth — the index-quality metric an ANN deployment
-  *    watches. The whole auto-width program (rounds 16–17) argues
+  *  - V18 `sim_index_recall`: measured recall@k of every declared
+  *    top-k ANN serving index (fixed-knob IVF, count-derived IVF,
+  *    sign-LSH) against the exact brute-force truth — the
+  *    index-quality metric an ANN deployment watches. The whole auto-width program (rounds 16–17) argues
   *    widths from corpus size; this row closes the loop by MEASURING
   *    what the derived index gives up vs exact search, per query, as a
   *    declared oracle-checked number instead of a code comment.
@@ -48,6 +48,49 @@ object Round17bQueries {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Un-materialized recall pipeline plus its pinned stages (truth is
+    * a 25-row localCheckpoint consumed by all three hit joins; the
+    * auto-IVF and LSH builders leave their corpus stages persisted).
+    * The declared row checkpoints the output and releases the stages;
+    * Plans dumps this form with `eagerTruth = false` so the truth
+    * pipeline stays visible in the printed plan.
+    */
+  private[graft] def indexRecallPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      eagerTruth: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    import SimilarityQueries._
+    val all = vectors(s, dir)
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val truthRaw = truthTopk(all, q)
+    val truth = if (eagerTruth) truthRaw.localCheckpoint(true) else truthRaw
+    val fixedCents = all
+      .filter(col("vec_id") % CentroidEvery === 0 &&
+        col("vec_id") < CentroidEvery * CentroidCap)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val fixed = ivfServe(all, fixedCents, lit(NProbe))
+    val (auto, autoAll) = Round17Queries.ivfTopkAutoPlan(s, dir)
+    val (lsh, lshAll) = lshTopkPlan(s, dir)
+    def recallOf(idx: String, approx: DataFrame): DataFrame = {
+      val hit = truth
+        .join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      q.select(col("query_id"))
+        .join(hit, Seq("query_id"), "left")
+        .select(lit(idx).as("idx"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall",
+          col("hits").cast("double") / lit(IvfTopK))
+    }
+    val out = recallOf("ivf_fixed", fixed)
+      .unionByName(recallOf("ivf_auto", auto))
+      .unionByName(recallOf("lsh", lsh))
+      .orderBy(col("idx"), col("query_id"))
+    (out, Seq(autoAll, lshAll) ++ (if (eagerTruth) Seq(truth) else Nil))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── V18: recall@k of the IVF indexes vs brute-force truth ────────
@@ -63,36 +106,9 @@ object Round17bQueries {
     QueryDef(
       "sim_index_recall",
       (s, dir) => {
-        import SimilarityQueries._
-        val all = vectors(s, dir)
-        val q = all.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        // 25 rows, consumed by both index joins — materialize once
-        val truth = truthTopk(all, q).localCheckpoint(true)
-        val fixedCents = all
-          .filter(col("vec_id") % CentroidEvery === 0 &&
-            col("vec_id") < CentroidEvery * CentroidCap)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val fixed = ivfServe(all, fixedCents, lit(NProbe))
-        val (auto, autoAll) = Round17Queries.ivfTopkAutoPlan(s, dir)
-        def recallOf(idx: String, approx: DataFrame): DataFrame = {
-          val hit = truth
-            .join(approx.select(col("query_id"), col("neighbor_id")),
-              Seq("query_id", "neighbor_id"), "left_semi")
-            .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-          q.select(col("query_id"))
-            .join(hit, Seq("query_id"), "left")
-            .select(lit(idx).as("idx"), col("query_id"),
-              coalesce(col("h"), lit(0L)).as("hits"))
-            .withColumn("recall",
-              col("hits").cast("double") / lit(IvfTopK))
-        }
-        try recallOf("ivf_fixed", fixed)
-          .unionByName(recallOf("ivf_auto", auto))
-          .orderBy(col("idx"), col("query_id"))
-          .localCheckpoint(true)
-        finally autoAll.unpersist(false)
+        val (out, stages) = indexRecallPlan(s, dir)
+        try out.localCheckpoint(true)
+        finally stages.foreach(graft.operators.Layouts.releaseCheckpoint)
       },
       Some {
         import SimilarityQueries.{IvfTopK, NQueries}
@@ -112,10 +128,13 @@ object Round17bQueries {
             WHERE rank <= $IvfTopK),
           ivf_fixed AS (${SimilarityQueries.ivfTopkDuckSql}),
           ivf_auto AS (${Round17Queries.ivfTopkAutoDuckSql}),
+          lsh AS (${SimilarityQueries.lshTopkDuckSql}),
           approx AS (
             SELECT 'ivf_fixed' AS idx, query_id, neighbor_id FROM ivf_fixed
             UNION ALL
-            SELECT 'ivf_auto' AS idx, query_id, neighbor_id FROM ivf_auto),
+            SELECT 'ivf_auto' AS idx, query_id, neighbor_id FROM ivf_auto
+            UNION ALL
+            SELECT 'lsh' AS idx, query_id, neighbor_id FROM lsh),
           hit AS (
             SELECT x.idx, x.query_id, CAST(count(*) AS BIGINT) AS h
             FROM approx x JOIN truth t
@@ -123,7 +142,8 @@ object Round17bQueries {
             GROUP BY x.idx, x.query_id),
           scaffold AS (
             SELECT i.idx, q.query_id
-            FROM (SELECT 'ivf_fixed' AS idx UNION ALL SELECT 'ivf_auto') i
+            FROM (SELECT 'ivf_fixed' AS idx UNION ALL SELECT 'ivf_auto'
+                  UNION ALL SELECT 'lsh') i
             CROSS JOIN (SELECT vec_id AS query_id FROM nvecs
                         WHERE vec_id < $NQueries) q)
         SELECT s.idx, s.query_id,
@@ -133,11 +153,12 @@ object Round17bQueries {
           ON s.idx = h.idx AND s.query_id = h.query_id
         ORDER BY s.idx, s.query_id"""
       },
-      doc = "Recall@k of the fixed-knob and count-derived IVF indexes " +
-        "vs exact brute-force truth (same tiebreak): the measured " +
-        "index-quality number the auto-width rules are accountable " +
-        "to — fixed query panel, exact scores for the panel only, " +
-        "set intersection against each index's top-k."),
+      doc = "Recall@k of every declared top-k ANN index (fixed-knob " +
+        "IVF, count-derived IVF, sign-LSH) vs exact brute-force truth " +
+        "(same tiebreak): the measured index-quality number the " +
+        "auto-width rules are accountable to — fixed query panel, " +
+        "exact scores for the panel only, set intersection against " +
+        "each index's top-k."),
 
     // ── M5: aspect-preserving letterbox resize plan (stub decode) ────
     // The geometry stage every vision preprocessor runs before the

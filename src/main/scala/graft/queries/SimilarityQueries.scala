@@ -158,6 +158,80 @@ object SimilarityQueries {
     SELECT query_id, rank, neighbor_id, cosine FROM ranked
     WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
 
+  /** Sign-LSH top-k pipeline (one definition for the declared
+    * sim_lsh_topk and the round-17b recall audit). bucket =
+    * Σ 2^b · [dot(v, h_b) ≥ 0]: one narrow pass over the corpus
+    * (native vec_dot against literal hyperplanes), then the probe is
+    * an equi-join on the bucket — the same partition-pruning shape as
+    * IVF but with a data-independent index (no clustering job), which
+    * is what you want when the corpus churns faster than you can
+    * recluster. Multi-probe: each query also probes the NBits buckets
+    * at Hamming distance 1 (one sign bit flipped) — the standard fix
+    * for sign-LSH's near-empty-bucket recall collapse when
+    * 2^NBits ≫ corpus/bucket density. Probe count (1 + NBits) is
+    * independent of corpus size, so the scan stays pruned.
+    *
+    * Returns (pipeline, persisted bucketed corpus); the declared row
+    * returns the pipeline directly (Verify/Bench clear the cache per
+    * query), the recall row checkpoints and unpersists.
+    */
+  private[queries] def lshTopkPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val bucketCol = (0 until NBits).map { b =>
+      when(VectorOps.dot(col("v"), typedLit(Hyperplanes(b))) >= 0.0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val all = vectors(s, dir).withColumn("bucket", bucketCol)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    val probeCol = array(
+      (col("bucket") +: (0 until NBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b)))): _*)
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(probeCol).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val out = all.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+    (out, all)
+  }
+
+  /** The sign-LSH oracle, a named val for the same anti-drift reuse. */
+  private[queries] val lshTopkDuckSql: String = {
+    val bucketSql = (0 until NBits).map { b =>
+      val lits = Hyperplanes(b).mkString("[", ", ", "]")
+      s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $vectorsDuck,
+      bucketed AS (
+        SELECT vec_id, v, nrm, $bucketSql AS bucket FROM nvecs),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+              unnest(${(0 to NBits).map {
+                case 0 => "bucket"
+                case b => s"xor(bucket, ${1 << (b - 1)})"
+              }.mkString("[", ", ", "]")}) AS bucket
+            FROM bucketed WHERE vec_id < $NQueries),
+      sims AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+          round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6) AS cosine
+        FROM bucketed a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+  }
+
   /** The fixed-knob IVF oracle, a named val so the round-17b recall row
     * nests the IDENTICAL statement (anti-drift: one definition).
     */
@@ -207,69 +281,8 @@ object SimilarityQueries {
     // ── LSH-bucketed approximate top-k (random hyperplane signs) ─────
     QueryDef(
       "sim_lsh_topk",
-      (s, dir) => {
-        // bucket = Σ 2^b · [dot(v, h_b) ≥ 0]: one narrow pass over the
-        // corpus (native vec_dot against literal hyperplanes), then the
-        // probe is an equi-join on the bucket — the same
-        // partition-pruning shape as IVF but with a data-independent
-        // index (no clustering job), which is what you want when the
-        // corpus churns faster than you can recluster.
-        val bucketCol = (0 until NBits).map { b =>
-          when(VectorOps.dot(col("v"), typedLit(Hyperplanes(b))) >= 0.0,
-            lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
-        val all = vectors(s, dir).withColumn("bucket", bucketCol)
-          .repartition(s.sparkContext.defaultParallelism)
-          .persist()
-        // Multi-probe: each query also probes the NBits buckets at
-        // Hamming distance 1 (one sign bit flipped) — the standard fix
-        // for sign-LSH's near-empty-bucket recall collapse when
-        // 2^NBits ≫ corpus/bucket density. Probe count (1 + NBits) is
-        // independent of corpus size, so the scan stays pruned.
-        val probeCol = array(
-          (col("bucket") +: (0 until NBits).map(b =>
-            col("bucket").bitwiseXOR(lit(1 << b)))): _*)
-        val q = all.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn"), explode(probeCol).as("bucket"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)
-        all.join(broadcast(q), Seq("bucket"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(
-            col("query_id"), col("vec_id").as("neighbor_id"),
-            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= IvfTopK)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some {
-        val bucketSql = (0 until NBits).map { b =>
-          val lits = Hyperplanes(b).mkString("[", ", ", "]")
-          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH $vectorsDuck,
-          bucketed AS (
-            SELECT vec_id, v, nrm, $bucketSql AS bucket FROM nvecs),
-          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
-                  unnest(${(0 to NBits).map {
-                    case 0 => "bucket"
-                    case b => s"xor(bucket, ${1 << (b - 1)})"
-                  }.mkString("[", ", ", "]")}) AS bucket
-                FROM bucketed WHERE vec_id < $NQueries),
-          sims AS (
-            SELECT q.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6) AS cosine
-            FROM bucketed a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM sims)
-        SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
-      },
+      (s, dir) => lshTopkPlan(s, dir)._1,
+      Some(lshTopkDuckSql),
       doc = "Sign-LSH bucketing: data-independent ANN index; identical " +
         "hyperplane literals in both engines ⇒ identical buckets."),
 

@@ -31,10 +31,11 @@ class Round17bSpec extends SparkSpec {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val byIdx = Map(
       "ivf_fixed" -> topk("sim_ivf_topk"),
-      "ivf_auto" -> topk("sim_ivf_topk_auto"))
+      "ivf_auto" -> topk("sim_ivf_topk_auto"),
+      "lsh" -> topk("sim_lsh_topk"))
 
     val got = run("sim_index_recall").collect()
-    assert(got.length == 2 * queries.SimilarityQueries.NQueries,
+    assert(got.length == 3 * queries.SimilarityQueries.NQueries,
       "scaffold must cover every (index, query) pair")
     got.foreach { r =>
       val idx = r.getAs[String]("idx")
