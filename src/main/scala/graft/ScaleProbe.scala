@@ -484,6 +484,22 @@ object ScaleProbe {
       // count over scan→explode→project never evaluates the math), so
       // the plain names under-measure. These wrap the query in a sum
       // over its computed column — same scan, math forced.
+      // pseudo-name: the declared recall audit plus a printed JSON line
+      // of its VALUES (mean recall@5 / total hits per index) — the
+      // quality counterpart of the timing probes: how each index's
+      // recall holds as the corpus grows m× in distractors. The means
+      // agg runs over the 15-row checkpointed audit output; the collect
+      // is a bounded panel×index read (the documented scalar pattern).
+      case "sim_index_recall_means" =>
+        val df = SparkEntry.queries("sim_index_recall")(spark, dir)
+        val parts = df.groupBy(col("idx"))
+          .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h"))
+          .orderBy(col("idx"))
+          .collect().map { r =>
+            s""""${r.getString(0)}":{"mean_recall":${r.getDouble(1)},"hits":${r.getLong(2)}}"""
+          }.mkString(",")
+        println(s"""{"metric":"index_recall_means","multiplier":$m,$parts}""")
+        df
       case "sim_rp_project_sum" =>
         SparkEntry.queries("sim_rp_project")(spark, dir)
           .agg(sum(abs(col("proj"))))
