@@ -466,6 +466,16 @@ object ScaleProbe {
           .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9)
         try p.localCheckpoint(true)
         finally { g.unpersist(false); v.unpersist(false) }
+      // pseudo-name: the ST27 arrival-order verdict reduction over the
+      // PRODUCTION auto-width pair pipeline (radius 1, 8 tables, τ=0.9,
+      // bits derived) — separates the verdict shape's own scale cost
+      // from the declared twin's fixture substrate (fixed 12 bits,
+      // whose n²/2¹² candidate wall the auto rule exists to remove)
+      case "st_incremental_ann_auto_prod" =>
+        val (p, v, g) = queries.Round16Queries
+          .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9)
+        try queries.Round17Queries.annVerdict(p, v).localCheckpoint(true)
+        finally { g.unpersist(false); v.unpersist(false) }
       // diagnostic twin: τ = -2 disables the verify filter, so `rows`
       // IS the candidate-pair volume — the number the width rule is
       // supposed to hold linear (candidates ≈ (1+bits)·n²/2^bits per

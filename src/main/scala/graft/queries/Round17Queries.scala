@@ -56,6 +56,24 @@ object Round17Queries {
         greatest(lit(1L), floor(col("n") / col("kk")).cast("long")))
       .withColumn("npr", ceil(sqrt(col("kk"))).cast("int"))
 
+  /** Arrival-order verdict reduction over a canonical pair set — the
+    * ST27 semantics (dup_of = min earlier τ-passing ball-mate) as a
+    * pure function of (pairs, corpus): one definition for the declared
+    * batch twin and the ScaleProbe production-config pseudo-name.
+    */
+  private[graft] def annVerdict(pairs: DataFrame, v: DataFrame): DataFrame = {
+    val verdict = pairs
+      .groupBy(col("vec_b"))
+      .agg(min(struct(col("vec_a"), col("cosine"))).as("m"))
+      .select(col("vec_b").as("vec_id"), col("m.vec_a").as("dup_of"),
+        col("m.cosine").as("cosine"))
+    v.select(col("vec_id"))
+      .join(verdict, Seq("vec_id"), "left")
+      .withColumn("status",
+        when(col("dup_of").isNull, "uniq").otherwise("dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Un-materialized ST27 batch-twin pipeline plus its persisted
     * stages — the declared row checkpoints and releases; Plans dumps
     * this form (a checkpointed row's own plan is a bare RDD scan).
@@ -66,17 +84,7 @@ object Round17Queries {
     import DedupQueries.{AnnProbeRadius, AnnScaledBits, AnnTables, CosineTau}
     val (pairs, v, sigs) = DedupQueries.embeddingAnnPairs(
       s, dir, AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)
-    val verdict = pairs
-      .groupBy(col("vec_b"))
-      .agg(min(struct(col("vec_a"), col("cosine"))).as("m"))
-      .select(col("vec_b").as("vec_id"), col("m.vec_a").as("dup_of"),
-        col("m.cosine").as("cosine"))
-    val out = v.select(col("vec_id"))
-      .join(verdict, Seq("vec_id"), "left")
-      .withColumn("status",
-        when(col("dup_of").isNull, "uniq").otherwise("dup"))
-      .orderBy(col("vec_id"))
-    (out, Seq(v, sigs))
+    (annVerdict(pairs, v), Seq(v, sigs))
   }
 
   /** The matching DuckDB width CTE body (over `nvecs`/`vecs`). */

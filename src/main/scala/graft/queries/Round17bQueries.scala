@@ -10,10 +10,13 @@ import graft.Tables
 /** Round-17b rows — the two capability gaps left after the round-17
   * close:
   *
-  *  - V18 `sim_index_recall`: measured recall@k of every declared
-  *    top-k ANN serving index (fixed-knob IVF, count-derived IVF,
-  *    sign-LSH) against the exact brute-force truth — the
-  *    index-quality metric an ANN deployment watches. The whole auto-width program (rounds 16–17) argues
+  *  - V18 `sim_index_recall`: measured recall@k of the three cosine
+  *    top-k ANN serving indexes sharing the IvfTopK=5 contract
+  *    (fixed-knob IVF, count-derived IVF, sign-LSH) against the exact
+  *    brute-force truth — the index-quality metric an ANN deployment
+  *    watches. (The Lloyd-IVF/PQ rows carry their own spec-pinned
+  *    recall floors at their k=10 contract; MIPS truth is
+  *    inner-product, a different metric.) The whole auto-width program (rounds 16–17) argues
   *    widths from corpus size; this row closes the loop by MEASURING
   *    what the derived index gives up vs exact search, per query, as a
   *    declared oracle-checked number instead of a code comment.
@@ -31,40 +34,30 @@ import graft.Tables
   */
 object Round17bQueries {
 
-  /** Exact top-IvfTopK cosine neighbors per query — the ground truth
-    * the recall row scores against. Same tiebreak (cosine desc,
-    * neighbor_id asc) as every serving pipeline, so recall@k is
-    * well-defined even through cosine ties.
-    */
-  private def truthTopk(all: DataFrame, q: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= SimilarityQueries.IvfTopK)
-      .select(col("query_id"), col("neighbor_id"))
-  }
-
-  /** Un-materialized recall pipeline plus its pinned stages (truth is
-    * a 25-row localCheckpoint consumed by all three hit joins; the
-    * auto-IVF and LSH builders leave their corpus stages persisted).
-    * The declared row checkpoints the output and releases the stages;
-    * Plans dumps this form with `eagerTruth = false` so the truth
-    * pipeline stays visible in the printed plan.
+  /** Un-materialized recall pipeline plus its pinned stages. Truth is
+    * the SHARED brute-force builder cut at IvfTopK (one definition
+    * with sim_brute_topk, both engines) — a 25-row localCheckpoint
+    * consumed by all three hit joins AND as the query scaffold (every
+    * query has a full truth list whenever the corpus has > IvfTopK
+    * vectors, so deriving the scaffold from truth loses nothing and
+    * saves a corpus scan per index). The fixed-IVF corpus stage is
+    * persisted like the auto/LSH builders persist theirs (it feeds the
+    * assign AND query branches of the same job). The declared row
+    * checkpoints the output and releases the stages; Plans dumps this
+    * form with `eagerTruth = false` so the truth pipeline stays
+    * visible in the printed plan.
     */
   private[graft] def indexRecallPlan(
       s: org.apache.spark.sql.SparkSession, dir: String,
       eagerTruth: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     import SimilarityQueries._
     val all = vectors(s, dir)
-    val q = all.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val truthRaw = truthTopk(all, q)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    val truthRaw = bruteTopk(all, IvfTopK)
+      .select(col("query_id"), col("neighbor_id"))
     val truth = if (eagerTruth) truthRaw.localCheckpoint(true) else truthRaw
+    val qs = truth.select(col("query_id")).distinct()
     val fixedCents = all
       .filter(col("vec_id") % CentroidEvery === 0 &&
         col("vec_id") < CentroidEvery * CentroidCap)
@@ -77,8 +70,7 @@ object Round17bQueries {
         .join(approx.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-      q.select(col("query_id"))
-        .join(hit, Seq("query_id"), "left")
+      qs.join(hit, Seq("query_id"), "left")
         .select(lit(idx).as("idx"), col("query_id"),
           coalesce(col("h"), lit(0L)).as("hits"))
         .withColumn("recall",
@@ -88,7 +80,7 @@ object Round17bQueries {
       .unionByName(recallOf("ivf_auto", auto))
       .unionByName(recallOf("lsh", lsh))
       .orderBy(col("idx"), col("query_id"))
-    (out, Seq(autoAll, lshAll) ++ (if (eagerTruth) Seq(truth) else Nil))
+    (out, Seq(all, autoAll, lshAll) ++ (if (eagerTruth) Seq(truth) else Nil))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -111,21 +103,9 @@ object Round17bQueries {
         finally stages.foreach(graft.operators.Layouts.releaseCheckpoint)
       },
       Some {
-        import SimilarityQueries.{IvfTopK, NQueries}
-        s"""WITH ${SimilarityQueries.vectorsDuck},
-          tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-                 FROM nvecs WHERE vec_id < $NQueries),
-          tsims AS (
-            SELECT tq.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "tq.qv")} / (a.nrm * tq.qn), 6) AS cosine
-            FROM nvecs a JOIN tq ON a.vec_id <> tq.query_id),
-          truth AS (
-            SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
-              FROM tsims)
-            WHERE rank <= $IvfTopK),
+        import SimilarityQueries.IvfTopK
+        s"""WITH truth_full AS (${SimilarityQueries.bruteTopkDuckSql(IvfTopK)}),
+          truth AS (SELECT query_id, neighbor_id FROM truth_full),
           ivf_fixed AS (${SimilarityQueries.ivfTopkDuckSql}),
           ivf_auto AS (${Round17Queries.ivfTopkAutoDuckSql}),
           lsh AS (${SimilarityQueries.lshTopkDuckSql}),
@@ -144,8 +124,7 @@ object Round17bQueries {
             SELECT i.idx, q.query_id
             FROM (SELECT 'ivf_fixed' AS idx UNION ALL SELECT 'ivf_auto'
                   UNION ALL SELECT 'lsh') i
-            CROSS JOIN (SELECT vec_id AS query_id FROM nvecs
-                        WHERE vec_id < $NQueries) q)
+            CROSS JOIN (SELECT DISTINCT query_id FROM truth) q)
         SELECT s.idx, s.query_id,
           CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
           CAST(coalesce(h.h, 0) AS DOUBLE) / $IvfTopK AS recall
@@ -153,8 +132,8 @@ object Round17bQueries {
           ON s.idx = h.idx AND s.query_id = h.query_id
         ORDER BY s.idx, s.query_id"""
       },
-      doc = "Recall@k of every declared top-k ANN index (fixed-knob " +
-        "IVF, count-derived IVF, sign-LSH) vs exact brute-force truth " +
+      doc = "Recall@k of the three IvfTopK-contract ANN indexes " +
+        "(fixed-knob IVF, count-derived IVF, sign-LSH) vs exact truth " +
         "(same tiebreak): the measured index-quality number the " +
         "auto-width rules are accountable to — fixed query panel, " +
         "exact scores for the panel only, set intersection against " +

@@ -243,40 +243,50 @@ object SimilarityQueries {
           AND vec_id < ${CentroidEvery * CentroidCap})""",
     NProbe.toString)
 
+  /** Exact brute-force cosine top-k over a prepared corpus — ONE
+    * definition for the declared sim_brute_topk (k = TopK) and the
+    * round-17b recall audit's truth (k = IvfTopK): query side is tiny
+    * → broadcast; corpus side is one scan; (cosine desc, id asc)
+    * tiebreak so ties can't blur downstream set comparisons.
+    */
+  private[queries] def bruteTopk(all: DataFrame, k: Int): DataFrame = {
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The matching parameterized oracle (same single definition rule). */
+  private[queries] def bruteTopkDuckSql(k: Int): String =
+    s"""WITH $vectorsDuck,
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nvecs WHERE vec_id < $NQueries),
+        sims AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+            round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6) AS cosine
+          FROM nvecs a JOIN q ON a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM sims)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= $k ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact brute-force cosine top-k ───────────────────────────────
     QueryDef(
       "sim_brute_topk",
-      (s, dir) => {
-        val all = vectors(s, dir)
-        val q = all.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)
-        // query side is tiny → broadcast; corpus side is one scan.
-        all.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .select(
-            col("query_id"), col("vec_id").as("neighbor_id"),
-            round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= TopK)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""WITH $vectorsDuck,
-          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nvecs WHERE vec_id < $NQueries),
-          sims AS (
-            SELECT q.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6) AS cosine
-            FROM nvecs a JOIN q ON a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM sims)
-        SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $TopK ORDER BY query_id, rank""")),
+      (s, dir) => bruteTopk(vectors(s, dir), TopK),
+      Some(bruteTopkDuckSql(TopK))),
 
     // ── LSH-bucketed approximate top-k (random hyperplane signs) ─────
     QueryDef(

@@ -28,8 +28,9 @@ NEW_HEADERS = {
         "to the fixed-K row with nprobe a column (round 17)",
     "sim_index_recall":
         "recall@k audit: exact truth for the 5-query panel only (one "
-        "broadcast-query corpus scan), left-semi hit join against each "
-        "IVF index's own top-k, full scaffold left join (round 17b)",
+        "broadcast-query corpus scan, the shared brute-force builder), "
+        "left-semi hit join against each index's own top-k (fixed IVF, "
+        "auto IVF, sign-LSH), full scaffold left join (round 17b)",
     "mm_resize_plan":
         "letterbox resize geometry: zero-shuffle narrow pass over the "
         "stub-decoded dims (major axis pinned to 224, minor floored, "
