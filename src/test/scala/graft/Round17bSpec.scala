@@ -77,4 +77,30 @@ class Round17bSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")}: src dims diverge from decode")
     }
   }
+
+  test("mm_resize_plan: portrait and zero-width-clamp branches on a planted micro-corpus") {
+    // The fixture draw is all-landscape (every doc's n%640 >= n/640%480+1
+    // at sf0.001/0.01), so the portrait arm and the w=0 clamp would be
+    // fixture-dead without planted byte lengths: 640 (w=0 -> clamp 1,
+    // h=2, portrait), 3202 (w=2, h=6, portrait), 1000 (w=360, h=2,
+    // landscape with a floored minor axis), 1283 (w=3, h=3, exact
+    // square -> 224x224, zero pads).
+    import spark.implicits._
+    val dir = tmpDir("resize_micro")
+    Seq(640, 3202, 1000, 1283).zipWithIndex
+      .map { case (n, i) =>
+        (i.toLong, "a" * n, "en", "planted", n.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_resize_plan")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("src_w"), r.getAs[Int]("src_h"),
+          r.getAs[Int]("out_w"), r.getAs[Int]("out_h"),
+          r.getAs[Int]("pad_x"), r.getAs[Int]("pad_y"))).toMap
+    assert(got(0L) == ((1, 2, 112, 224, 56, 0)), s"w=0 clamp: ${got(0L)}")
+    assert(got(1L) == ((2, 6, 74, 224, 75, 0)), s"portrait: ${got(1L)}")
+    assert(got(2L) == ((360, 2, 224, 1, 0, 111)), s"landscape floor: ${got(2L)}")
+    assert(got(3L) == ((3, 3, 224, 224, 0, 0)), s"square: ${got(3L)}")
+  }
 }

@@ -154,7 +154,9 @@ out = [
     "",
 ]
 for qname, lines in sections:
-    hdr = old_headers.get(qname) or NEW_HEADERS.get(qname)
+    # NEW_HEADERS wins: an updated entry must override the stale
+    # header carried in the existing PLANS.md
+    hdr = NEW_HEADERS.get(qname) or old_headers.get(qname)
     if hdr is None:
         sys.exit(f"no header comment known for {qname} — add to NEW_HEADERS")
     # trim trailing blank lines
