@@ -34,6 +34,13 @@ import graft.Tables
   */
 object Round17bQueries {
 
+  /** t-closeness threshold (Li et al., ICDE 2007, the paper's running
+    * example value): a QI cell passes when the total-variation
+    * distance between its sensitive-attribute distribution and the
+    * global one is ≤ t.
+    */
+  val TCloseness = 0.2
+
   /** Un-materialized recall pipeline plus its pinned stages. Truth is
     * the SHARED brute-force builder cut at IvfTopK (one definition
     * with sim_brute_topk, both engines) — a 25-row localCheckpoint
@@ -196,6 +203,79 @@ object Round17bQueries {
       doc = "Letterbox resize plan to a 224x224 canvas over the stub-" +
         "decoded dims: major axis pinned to 224, minor floored from " +
         "the same IEEE ratio (min 1px), centering pads; the map-only " +
-        "geometry stage between decode and the (stubbed) pixel kernel.")
+        "geometry stage between decode and the (stubbed) pixel kernel."),
+
+    // ── P36: t-closeness release audit (Li et al., ICDE 2007) ────────
+    // Completes the classic privacy-release trio next to the declared
+    // k-anonymity and l-diversity rows: a QI cell (lang) passes when
+    // the total-variation distance between its sensitive-attribute
+    // (source) distribution and the GLOBAL one is <= t — the attack
+    // k-anon/l-div miss is a cell whose value MIX leaks (skewed toward
+    // one source) even with enough distinct values.
+    //
+    // Exactness discipline: TVD = 1/2 Σ_s |c/n_c − g/n_g| is computed
+    // as Σ_s |c·n_g − g·n_c| over a full QI×S grid (absent cells join
+    // as c=0), with the products in DECIMAL(19,0)×DECIMAL(19,0) →
+    // DECIMAL(38,0) (exact 128-bit; HUGEINT in DuckDB) and ONE IEEE
+    // division per cell at the very end — partition-order-independent
+    // and bit-identical in both engines (the pipe_f2_ams recipe).
+    //
+    // Shape at scale: one map-side-combinable (QI, S) rollup is the
+    // only corpus-sized shuffle; everything after runs on the
+    // |QI|×|S|-row grid (broadcast-sized by construction).
+    QueryDef(
+      "pipe_t_closeness",
+      (s, dir) => {
+        val cell = Tables.load(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("c"))
+        val perLang = cell.groupBy(col("lang")).agg(sum(col("c")).as("n_c"))
+        val global = cell.groupBy(col("source")).agg(sum(col("c")).as("g"))
+        val total = global.agg(sum(col("g")).as("n_g"))
+        perLang
+          .crossJoin(broadcast(global))
+          .crossJoin(broadcast(total))
+          .join(cell, Seq("lang", "source"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("term", expr(
+            "abs(CAST(c AS DECIMAL(19,0)) * CAST(n_g AS DECIMAL(19,0)) - " +
+              "CAST(g AS DECIMAL(19,0)) * CAST(n_c AS DECIMAL(19,0)))"))
+          .groupBy(col("lang"), col("n_c"), col("n_g"))
+          .agg(sum(col("term")).as("num"))
+          .select(col("lang"), col("n_c").as("n_docs"),
+            round(expr("CAST(num AS DOUBLE)") /
+              (lit(2.0) * col("n_c").cast("double") * col("n_g").cast("double")),
+              6).as("tvd"))
+          .withColumn("t_close", col("tvd") <= TCloseness)
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH cell AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        per_lang AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_c FROM cell GROUP BY 1),
+        gsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS g FROM cell GROUP BY 1),
+        total AS (SELECT CAST(sum(g) AS BIGINT) AS n_g FROM gsrc),
+        grid AS (
+          SELECT p.lang, p.n_c, gl.source, gl.g, t.n_g,
+            coalesce(ce.c, 0) AS c
+          FROM per_lang p CROSS JOIN gsrc gl CROSS JOIN total t
+          LEFT JOIN cell ce ON ce.lang = p.lang AND ce.source = gl.source),
+        num AS (
+          SELECT lang, n_c, n_g,
+            sum(abs(CAST(c AS HUGEINT) * n_g - CAST(g AS HUGEINT) * n_c)) AS num
+          FROM grid GROUP BY 1, 2, 3)
+        SELECT lang, n_c AS n_docs,
+          round(CAST(num AS DOUBLE) /
+            (2.0 * CAST(n_c AS DOUBLE) * CAST(n_g AS DOUBLE)), 6) AS tvd,
+          round(CAST(num AS DOUBLE) /
+            (2.0 * CAST(n_c AS DOUBLE) * CAST(n_g AS DOUBLE)), 6) <= $TCloseness
+            AS t_close
+        FROM num ORDER BY lang"""),
+      doc = s"t-closeness audit (t=$TCloseness, Li et al. ICDE 2007) " +
+        "over lang QI cells with source as the sensitive attribute: " +
+        "TVD to the global distribution via exact 128-bit integer " +
+        "cross-products over a full QI x S grid, one IEEE division " +
+        "per cell at the end; completes the k-anonymity / l-diversity " +
+        "/ t-closeness release-audit trio.")
   )
 }

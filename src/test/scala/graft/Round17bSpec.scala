@@ -103,4 +103,53 @@ class Round17bSpec extends SparkSpec {
     assert(got(2L) == ((360, 2, 224, 1, 0, 111)), s"landscape floor: ${got(2L)}")
     assert(got(3L) == ((3, 3, 224, 224, 0, 0)), s"square: ${got(3L)}")
   }
+
+  test("pipe_t_closeness: BigInt TVD replay, [0,1] bound, identical-distribution zero law") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // ground counts straight off the fixture
+    val cells = graft.Tables.load(spark, sf(), "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("c")).toMap
+    val langs = cells.keySet.map(_._1)
+    val sources = cells.keySet.map(_._2)
+    val nC = langs.map(l => l -> cells.collect {
+      case ((`l`, _), c) => c }.sum).toMap
+    val g = sources.map(sr => sr -> cells.collect {
+      case ((_, `sr`), c) => c }.sum).toMap
+    val nG = g.values.sum
+
+    val got = run("pipe_t_closeness").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("tvd"),
+          r.getAs[Boolean]("t_close"))).toMap
+    assert(got.keySet == langs)
+    langs.foreach { l =>
+      val num = sources.toSeq.map { sr =>
+        (BigInt(cells.getOrElse((l, sr), 0L)) * nG -
+          BigInt(g(sr)) * nC(l)).abs
+      }.sum
+      val tvd = BigDecimal(
+        num.toDouble / (2.0 * nC(l).toDouble * nG.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nDocs, gotTvd, tClose) = got(l)
+      assert(nDocs == nC(l), s"$l: n_docs")
+      assert(math.abs(gotTvd - tvd) < 1e-9, s"$l: tvd $gotTvd != replayed $tvd")
+      assert(gotTvd >= 0.0 && gotTvd <= 1.0, s"$l: tvd out of [0,1]")
+      assert(tClose == (gotTvd <= queries.Round17bQueries.TCloseness))
+    }
+    // zero law: a corpus where every QI cell matches the global mix
+    import spark.implicits._
+    val dir = tmpDir("tclose_zero")
+    (for { l <- Seq("aa", "bb"); sr <- Seq("s1", "s2", "s2") } yield
+      (l, sr))
+      .zipWithIndex
+      .map { case ((l, sr), i) => (i.toLong, "x", l, sr, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("pipe_t_closeness")(spark, dir).collect()
+      .foreach(r => assert(r.getAs[Double]("tvd") == 0.0,
+        s"identical per-cell mix must give tvd 0, got $r"))
+  }
 }
