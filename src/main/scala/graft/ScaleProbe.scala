@@ -79,6 +79,56 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Signed-permutation vector replication (`rotate` mode corpora) —
+    * the follow-up to the round-16 finding that sign-flip-only
+    * perturbation leaves cross-replica sign-LSH projections
+    * 0.5-correlated (two replicas of one base vector share half the
+    * flip pattern), which manufactures C(m,2)·(2/3)^bits candidate
+    * mass and buried the width rule's ×52 trajectory under a fixture
+    * artifact. Each replica i applies v'_j = s(i,j) · v[p_i(j)] with
+    * p_i(j) = (a_i·j + b_i) mod Dim (a_i odd ⇒ bijective) and s = ±1
+    * from the same hash family:
+    *  - WITHIN a replica this is one orthogonal transform — all dot
+    *    products, norms, and cosines are preserved EXACTLY (same
+    *    permutation and signs on both sides of every pair), so the
+    *    true near-dup structure replicates bit-for-bit;
+    *  - ACROSS replicas a hyperplane h sees (P_sᵀh)·v vs h·v —
+    *    correlation (hᵀP_s h)/|h|² ≈ 0 for a random signed
+    *    permutation, so bucket collisions decay at the ideal 1/2 per
+    *    bit instead of 2/3 — the probe measures the OPERATOR, not the
+    *    harness.
+    */
+  private def replicateVecsRotated(spark: SparkSession, src: String,
+      out: String, m: Int): Unit = {
+    val vecs = Tables.load(spark, src, "embeddings")
+    val d = queries.SimilarityQueries.Dim
+    (0 until m).map { i =>
+      val a = 2 * (math.floorMod(i * 2654435761L, d / 2).toInt) + 1
+      val b = math.floorMod(i * 40503L, d).toInt
+      vecs.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(
+           s"""transform(sequence(0, ${d - 1}), j ->
+                CAST(CASE WHEN pmod(hash($i * $d + j), 2) = 0
+                          THEN -1.0 ELSE 1.0 END AS FLOAT)
+                * embedding[pmod($a * j + $b, $d)])"""))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .repartition(math.max(4, m))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def scaleRotate(spark: SparkSession, src: String, out: String, m: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    replicateVecsRotated(spark, src, out, m)
+    new java.io.File(fs, "_DONE").createNewFile()
+    ()
+  }
+
   /** events ×m with disjoint event_id/user_id key spaces per replica and
     * UNCHANGED event time: volume grows m× while the time horizon (what
     * watermarks and windows key on) stays fixed — a busier topic, not a
@@ -357,6 +407,7 @@ object ScaleProbe {
       case Some("tpch") => "tpch"
       case Some("suite") => "suite"
       case Some("cooccur") => "cooccur"
+      case Some("rotate") => "rotate"
       case Some("annrecall") => "annrecall"
       case Some("bm25") => "bm25"
       case Some("containment") => "containment"
@@ -411,6 +462,9 @@ object ScaleProbe {
         // whole-inventory scaling sweep (VERDICT r7 item 4)
         case "suite" => SparkEntry.queries.keys.toSeq.sorted
         case "cooccur" => Seq("graph_triangles")
+        // rotate: the ANN width-rule probes on the artifact-free corpus
+        case "rotate" => Seq("dedup_embedding_ann_auto_prod",
+          "dedup_embedding_ann_auto_cand")
         case _ => if (m <= 3) scalePath ++ allPairs else scalePath
       }
     val spark = SparkSession.builder()
@@ -426,12 +480,14 @@ object ScaleProbe {
       case "tpch" => s"/tmp/graft_tpch_x$m"
       case "suite" => s"/tmp/graft_suite_x$m"
       case "cooccur" => s"/tmp/graft_cooccur_x$m"
+      case "rotate" => s"/tmp/graft_rot_x$m"
       case _ => s"/tmp/graft_scale_x$m"
     }
     mode match {
       case "tpch" => scaleTpch(spark, "/root/testdata/sf0.1", dir, m)
       case "suite" => scaleSuite(spark, "/root/testdata/sf0.1", dir, m)
       case "cooccur" => scaleCooccur(spark, "/root/testdata/sf0.1", dir, m)
+      case "rotate" => scaleRotate(spark, "/root/testdata/sf0.1", dir, m)
       case _ => scaleCorpus(spark, "/root/testdata/sf0.1", dir, m)
     }
 
@@ -439,6 +495,7 @@ object ScaleProbe {
     try SparkEntry.queries(mode match {
       case "tpch" => "q_tpch03"
       case "cooccur" => "graph_triangles"
+      case "rotate" => "sim_brute_topk"
       case _ => "dedup_exact"
     })(spark, dir).count()
     catch { case _: Throwable => () }

@@ -92,4 +92,41 @@ class ScaleProbeSpec extends SparkSpec {
       s"planted cosine floor violated: min = ${stats.getDouble(0)}")
     assert(stats.getDouble(1) <= 1.0 + 1e-9)
   }
+
+  test("rotate corpus: signed permutation preserves within-replica dot products exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.VectorOps
+    val out = tmpDir("rot-scale")
+    ScaleProbe.scaleRotate(spark, sf(), out, 3)
+    val vecs = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = Tables.load(spark, sf(), "embeddings").count()
+    assert(vecs.count() == 3 * base, "x3 replication")
+    // within-replica invariance: dot(Pv, Pw) == dot(v, w) EXACTLY (the
+    // same signed permutation applies to both sides — an orthogonal
+    // transform; float elements are merely re-ordered and sign-flipped,
+    // so even the IEEE sums match after the shared seq-fold order only
+    // if we compare via sorted absolute element multisets; dot products
+    // are compared with an exact-multiset argument instead: each
+    // product term s_j v[p(j)] * s_j w[p(j)] = v_k w_k term-for-term,
+    // so the DOUBLE seq-fold over j visits the same multiset — allow
+    // 1 ulp-scale tolerance for the fold-order difference)
+    val d = vecs.filter(col("vec_id") >= 10000000L && col("vec_id") < 10000005L)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val b = Tables.load(spark, sf(), "embeddings")
+      .filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (a2, b2) => a2.toDouble * b2.toDouble }.sum
+    for (i <- b.indices; j <- b.indices if i < j) {
+      val orig = dot(b(i)._2, b(j)._2)
+      // replica-1 pair: same permutation/sign on both sides
+      val rot = dot(d(i)._2, d(j)._2)
+      assert(math.abs(rot - orig) <= math.abs(orig).max(1.0) * 1e-9,
+        s"pair ($i,$j): rotated dot $rot != base $orig")
+      // element multisets match up to sign (bijectivity witness)
+      assert(d(i)._2.map(math.abs(_)).sorted.toSeq ==
+        b(i)._2.map(math.abs(_)).sorted.toSeq, s"vec $i: not a signed permutation")
+    }
+  }
 }
