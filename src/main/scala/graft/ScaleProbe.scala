@@ -523,6 +523,46 @@ object ScaleProbe {
           .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9)
         try p.localCheckpoint(true)
         finally { g.unpersist(false); v.unpersist(false) }
+      // the prod config through the round-17b hot-bucket grid guard —
+      // same pair set; measures the guard's wall-time effect where the
+      // load profile says the skew lives
+      case "dedup_embedding_ann_auto_prod_grd" =>
+        val (p, v, g) = queries.Round16Queries
+          .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9,
+            gridHotLoad = queries.Round17bQueries.AnnGuardHotLoad)
+        try p.localCheckpoint(true)
+        finally { g.unpersist(false); v.unpersist(false) }
+      // pseudo-name: home-bucket load profile of the auto-width ANN
+      // index (table 0, the production config's widths) — the DIRECT
+      // witness for the candidate-volume model: candidates per table
+      // ≈ Σ_b load_b² (probe side ~ (1+bits)·home side), so the ratio
+      // Σ load² / (n²/2^bits) IS the skew factor by which the measured
+      // candidate volume overshoots the uniform-load model. Prints a
+      // JSON line; the returned 1-row frame is just the count anchor.
+      case "dedup_embedding_ann_auto_load" =>
+        val (_, v, sigs) = queries.Round16Queries
+          .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9)
+        try {
+          val bits = sigs.select(col("bits")).head.getInt(0)
+          val st = sigs.groupBy(col("sig_0"))
+            .agg(count(lit(1)).as("load"))
+            .agg(
+              count(lit(1)).as("buckets"),
+              sum(col("load")).as("n"),
+              max(col("load")).as("max_load"),
+              expr("CAST(percentile(load, 0.99) AS DOUBLE)").as("p99_load"),
+              expr("CAST(sum(CAST(load AS DECIMAL(38,0)) * " +
+                "CAST(load AS DECIMAL(38,0))) AS DOUBLE)").as("s2"))
+            .head
+          val n = st.getLong(1)
+          val uniform = n.toDouble * n.toDouble / math.pow(2.0, bits.toDouble)
+          println(s"""{"metric":"ann_bucket_load","multiplier":$m,""" +
+            s""""bits":$bits,"buckets":${st.getLong(0)},"n":$n,""" +
+            s""""max_load":${st.getLong(2)},"p99_load":${st.getDouble(3)},""" +
+            s""""sum_load2":${st.getDouble(4)},"uniform_load2":$uniform,""" +
+            s""""skew_ratio":${st.getDouble(4) / uniform}}""")
+          spark.range(1).toDF("ok")
+        } finally { sigs.unpersist(false); v.unpersist(false) }
       // pseudo-name: the ST27 arrival-order verdict reduction over the
       // PRODUCTION auto-width pair pipeline (radius 1, 8 tables, τ=0.9,
       // bits derived) — separates the verdict shape's own scale cost

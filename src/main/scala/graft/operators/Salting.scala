@@ -106,6 +106,47 @@ object Salting {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** Load-aware grid split of a TWO-SIDED bucket equi-join (probes ⋈
+    * homes on `key`) — the ANN-candidate-join counterpart of
+    * [[gridSelfPairs]], motivated by the round-17b bucket-load
+    * profile: the hottest sign-LSH buckets are genuinely-similar
+    * clusters that NO signature width can split (they are exactly the
+    * near-neighbors the verify step must see), and their load grows
+    * with the corpus — at cluster scale one such bucket pins a whole
+    * task at probes_into_bucket × homes_in_bucket candidate work.
+    *
+    * Home-side buckets whose load exceeds `hotLoad` assign each home
+    * row ONE salt cell (hash(homeId) % grid); probe rows into a hot
+    * bucket replicate across ALL `grid` cells; cold buckets join
+    * exactly as before (no overhead beyond one tiny broadcast tag).
+    * Every (probe, home) pair therefore meets EXACTLY once — the
+    * join output is verbatim-identical to the plain equi-join — while
+    * any single task's home block shrinks ×grid. Extra cost: one
+    * map-side-combinable load rollup (one row per distinct hot
+    * bucket, broadcast) plus grid× replication of the hot buckets'
+    * PROBE rows only (narrow rows; candidate volume is unchanged).
+    */
+  def gridJoinPairs(probes: DataFrame, homes: DataFrame, key: String,
+      homeId: String, grid: Int, hotLoad: Long): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    require(hotLoad > 0, "hotLoad must be positive")
+    val hot = homes.groupBy(col(key)).agg(count(lit(1)).as("__load"))
+      .filter(col("__load") > hotLoad)
+      .select(col(key)).withColumn("__hot", lit(true))
+    val hTag = homes.join(broadcast(hot), Seq(key), "left")
+    val pTag = probes.join(broadcast(hot), Seq(key), "left")
+    val cold = pTag.filter(col("__hot").isNull).drop("__hot")
+      .join(hTag.filter(col("__hot").isNull).drop("__hot"), Seq(key))
+    val hotJ = pTag.filter(col("__hot") === true).drop("__hot")
+      .withColumn(SaltCol, explode(sequence(lit(0L), lit((grid - 1).toLong))))
+      .join(
+        hTag.filter(col("__hot") === true).drop("__hot")
+          .withColumn(SaltCol, pmod(xxhash64(col(homeId)), lit(grid.toLong))),
+        Seq(key, SaltCol))
+      .drop(SaltCol)
+    cold.unionByName(hotJ)
+  }
+
   /** Two-phase aggregation for a skewed groupBy key: partial-aggregate on
     * (key, salt), then final-aggregate on key. `sum`/`count` compose as
     * sum-of-sums; pass the partial and final expressions explicitly.

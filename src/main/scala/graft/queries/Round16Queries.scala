@@ -232,6 +232,12 @@ object Round16Queries {
     */
   val AnnAutoMaxBits = 20
 
+  /** Grid fan-out of the two-sided hot-bucket guard: a hot bucket's
+    * home block shrinks ×8 per task (its probe rows replicate ×8 —
+    * narrow rows, candidate volume unchanged).
+    */
+  val AnnGridWays = 8
+
   /** Un-materialized auto-width sign-LSH dedup pipeline plus its two
     * persisted stages — (pairs, vectors, signatures). Same knobs as the
     * declared dedup_embedding_ann_scaled row (radius 2, 4 tables,
@@ -248,7 +254,13 @@ object Round16Queries {
       s: org.apache.spark.sql.SparkSession, dir: String,
       radius: Int = DedupQueries.AnnProbeRadius,
       tables: Int = DedupQueries.AnnTables,
-      tau: Double = DedupQueries.CosineTau)
+      tau: Double = DedupQueries.CosineTau,
+      // > 0 routes each table's candidate join through the two-sided
+      // hot-bucket grid guard (Salting.gridJoinPairs, hotLoad = this,
+      // grid = AnnGridWays) — pair set verbatim-identical, task skew
+      // bounded (the round-17b load-profile finding: the hottest
+      // buckets are true near-neighbor clusters no width can split)
+      gridHotLoad: Long = 0L)
       : (DataFrame, DataFrame, DataFrame) = {
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -300,12 +312,18 @@ object Round16Queries {
       val firstMatchHere = (0 until t)
         .map(p => bit_count(col(s"a_sig_$p").bitwiseXOR(col(s"b_sig_$p"))) > radius)
         .foldLeft(lit(true))(_ && _)
-      sigs.select(Seq(col("vec_id").as("vec_a"),
+      val probesDf = sigs.select(Seq(col("vec_id").as("vec_a"),
           probesCol(t).as("probes")) ++ aCols: _*)
         .withColumn("s", explode(col("probes")))
         .drop("probes")
-        .join(sigs.select(col("vec_id").as("vec_b") +: bCols: _*)
-          .withColumn("s", col(s"b_sig_$t")), "s")
+      val homesDf = sigs.select(col("vec_id").as("vec_b") +: bCols: _*)
+        .withColumn("s", col(s"b_sig_$t"))
+      val joined =
+        if (gridHotLoad > 0L)
+          graft.operators.Salting.gridJoinPairs(
+            probesDf, homesDf, "s", "vec_b", AnnGridWays, gridHotLoad)
+        else probesDf.join(homesDf, "s")
+      joined
         .filter(col("vec_a") < col("vec_b") && firstMatchHere)
         .select(col("vec_a"), col("vec_b"))
     }.reduce(_ union _)
@@ -371,6 +389,61 @@ object Round16Queries {
           row_number() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id ASC) AS rank
         FROM sims)"""
+  }
+
+
+  /** The auto-width ANN oracle as a named val - shared VERBATIM by
+    * the declared row and its round-17b hot-bucket-guarded twin (the
+    * guard preserves the pair set exactly, so one oracle serves both).
+    */
+  private[graft] val annAutoDuckSql: String = {
+
+        val radius = DedupQueries.AnnProbeRadius
+        val tables = DedupQueries.AnnTables
+        def sigSql(t: Int) = (0 until AnnAutoMaxBits).map { b =>
+          val lits = SimilarityQueries.hyperplaneSet(t, AnnAutoMaxBits)(b)
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        val bitsSql =
+          s"greatest($KnnAutoMinBits, least($AnnAutoMaxBits, length(bin(count(*) - 1))))"
+        def probesSql(t: Int) =
+          s"""list_concat(list_concat(
+              [sig_$t],
+              list_transform(range(0, bits),
+                i -> xor(sig_$t, CAST(1 AS BIGINT) << i))),
+              flatten(list_transform(range(0, bits - 1),
+                i -> list_transform(range(i + 1, bits),
+                  j -> xor(xor(sig_$t, CAST(1 AS BIGINT) << i),
+                           CAST(1 AS BIGINT) << j)))))"""
+        val perTable = (0 until tables).map { t =>
+          s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM (SELECT vec_id, unnest(${probesSql(t)}) AS s
+                    FROM sigs CROSS JOIN width) a
+              JOIN sigs b ON a.s = b.sig_$t AND a.vec_id < b.vec_id"""
+        }.mkString("\n        UNION\n        ")
+        s"""WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          nvecs AS (
+            SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
+          width AS (
+            SELECT $bitsSql AS bits,
+              (CAST(1 AS BIGINT) << $bitsSql) - 1 AS mask FROM vecs),
+          sigs AS (
+            SELECT vec_id, ${(0 until tables)
+              .map(t => s"(${sigSql(t)}) & mask AS sig_$t").mkString(", ")}
+            FROM nvecs CROSS JOIN width),
+          cand AS (
+            $perTable)
+          SELECT c.vec_a, c.vec_b,
+            round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+          FROM cand c
+          JOIN nvecs a ON a.vec_id = c.vec_a
+          JOIN nvecs b ON b.vec_id = c.vec_b
+          WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+            >= ${DedupQueries.CosineTau}
+          ORDER BY vec_a, vec_b"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -512,54 +585,7 @@ object Round16Queries {
         try pairs.localCheckpoint(true)
         finally { sigs.unpersist(false); v.unpersist(false) }
       },
-      Some {
-        val radius = DedupQueries.AnnProbeRadius
-        val tables = DedupQueries.AnnTables
-        def sigSql(t: Int) = (0 until AnnAutoMaxBits).map { b =>
-          val lits = SimilarityQueries.hyperplaneSet(t, AnnAutoMaxBits)(b)
-            .mkString("[", ", ", "]")
-          s"(CASE WHEN ${VectorOps.duckDot("v", lits)} >= 0.0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ")
-        val bitsSql =
-          s"greatest($KnnAutoMinBits, least($AnnAutoMaxBits, length(bin(count(*) - 1))))"
-        def probesSql(t: Int) =
-          s"""list_concat(list_concat(
-              [sig_$t],
-              list_transform(range(0, bits),
-                i -> xor(sig_$t, CAST(1 AS BIGINT) << i))),
-              flatten(list_transform(range(0, bits - 1),
-                i -> list_transform(range(i + 1, bits),
-                  j -> xor(xor(sig_$t, CAST(1 AS BIGINT) << i),
-                           CAST(1 AS BIGINT) << j)))))"""
-        val perTable = (0 until tables).map { t =>
-          s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-              FROM (SELECT vec_id, unnest(${probesSql(t)}) AS s
-                    FROM sigs CROSS JOIN width) a
-              JOIN sigs b ON a.s = b.sig_$t AND a.vec_id < b.vec_id"""
-        }.mkString("\n        UNION\n        ")
-        s"""WITH vecs AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-          nvecs AS (
-            SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
-          width AS (
-            SELECT $bitsSql AS bits,
-              (CAST(1 AS BIGINT) << $bitsSql) - 1 AS mask FROM vecs),
-          sigs AS (
-            SELECT vec_id, ${(0 until tables)
-              .map(t => s"(${sigSql(t)}) & mask AS sig_$t").mkString(", ")}
-            FROM nvecs CROSS JOIN width),
-          cand AS (
-            $perTable)
-          SELECT c.vec_a, c.vec_b,
-            round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
-          FROM cand c
-          JOIN nvecs a ON a.vec_id = c.vec_a
-          JOIN nvecs b ON b.vec_id = c.vec_b
-          WHERE round(${VectorOps.duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
-            >= ${DedupQueries.CosineTau}
-          ORDER BY vec_a, vec_b"""
-      },
+      Some(annAutoDuckSql),
       doc = s"Auto-width sign-LSH dedup: bits = clamp(ceil(log2 n), " +
         s"$KnnAutoMinBits, $AnnAutoMaxBits) derived in-plan on LONG " +
         "bucket keys (the rule runs to 62 bits); radius-2 Hamming ball " +

@@ -152,4 +152,45 @@ class Round17bSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("tvd") == 0.0,
         s"identical per-cell mix must give tvd 0, got $r"))
   }
+
+  test("dedup_embedding_ann_auto_guarded: bit-identical to the unguarded row") {
+    val base = run("dedup_embedding_ann_auto").collect().toSeq
+    val guarded = run("dedup_embedding_ann_auto_guarded").collect().toSeq
+    assert(base.nonEmpty, "fixture must produce ANN pairs")
+    assert(guarded == base, "grid guard changed the pair set")
+  }
+
+  test("gridJoinPairs: pair multiset preserved, hot bucket genuinely split, per-cell load bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, max => smax}
+    // planted skew: bucket 1 holds 40 homes (hot at hotLoad=8),
+    // buckets 2..5 hold 2 each (cold); probes target every bucket
+    val homes = ((1L to 40L).map(i => (1L, i)) ++
+      (2L to 5L).flatMap(b => Seq((b, 100 * b), (b, 100 * b + 1))))
+      .toDF("s", "vec_b")
+    val probes = (1L to 5L).flatMap(b => Seq((b, -b), (b, -b - 10)))
+      .toDF("s", "vec_a")
+    val expected = (for {
+      p <- Seq((1L, 40), (2L, 2), (3L, 2), (4L, 2), (5L, 2))
+      pa <- Seq(-p._1, -p._1 - 10)
+      hb <- if (p._1 == 1L) (1L to 40L)
+            else Seq(100 * p._1, 100 * p._1 + 1)
+    } yield (p._1, pa, hb)).sorted
+    val grid = 4
+    val joined = graft.operators.Salting
+      .gridJoinPairs(probes, homes, "s", "vec_b", grid, hotLoad = 8L)
+    val got = joined.select(col("s"), col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected, "pair multiset not preserved")
+    // engagement: the hot bucket's homes spread over > 1 salt cell and
+    // no cell exceeds a fair share of the split
+    val hotHomes = homes.filter(col("s") === 1L)
+      .withColumn("salt", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("vec_b")), org.apache.spark.sql.functions.lit(grid.toLong)))
+    val cells = hotHomes.groupBy(col("salt"))
+      .agg(org.apache.spark.sql.functions.count(col("vec_b")).as("c"))
+    assert(cells.count() > 1, "hot bucket did not split")
+    assert(cells.agg(smax(col("c"))).head.getLong(0) <= 40, "sanity")
+    assert(hotHomes.agg(countDistinct(col("salt"))).head.getLong(0) >= 2)
+  }
 }
