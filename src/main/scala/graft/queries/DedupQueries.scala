@@ -735,14 +735,15 @@ object DedupQueries {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ST27 batch-twin oracle (st_incremental_ann): per vector, the
-    * smallest earlier (by vec_id) sign-LSH ball-mate with exact cosine
-    * ≥ τ — the scaled-width pair SQL reduced to the arrival-order
-    * verdict the streaming index emits.
+  /** Arrival-order verdict reduction over any canonical (vec_a, vec_b,
+    * cosine) pair SQL: per vector, the smallest earlier (by vec_id)
+    * τ-passing ball-mate — the streaming index's emitted semantics.
+    * ONE wrapper for the scaled-width twin and the round-18 auto-width
+    * twin, so the reduction can never drift between the two oracles.
     */
-  private[graft] def annIncrementalDuckSql: String =
+  private[graft] def annVerdictDuckSqlOver(pairsSql: String): String =
     s"""WITH pairs AS (
-        ${annDuckSql(AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau)}),
+        $pairsSql),
       verdict AS (
         SELECT vec_b AS vec_id, min(vec_a) AS dup_of,
           arg_min(cosine, vec_a) AS cosine
@@ -751,6 +752,13 @@ object DedupQueries {
         CASE WHEN v.dup_of IS NULL THEN 'uniq' ELSE 'dup' END AS status
       FROM embeddings e LEFT JOIN verdict v ON e.vec_id = v.vec_id
       ORDER BY e.vec_id"""
+
+  /** ST27 batch-twin oracle (st_incremental_ann): the scaled-width pair
+    * SQL reduced to the arrival-order verdict the streaming index emits.
+    */
+  private[graft] def annIncrementalDuckSql: String =
+    annVerdictDuckSqlOver(
+      annDuckSql(AnnScaledBits, AnnProbeRadius, AnnTables, CosineTau))
 
   /** Generalized over (bits, radius, tables, tau) — the three knobs that
     * keep sign-LSH dedup linear as the corpus grows. Candidate volume is

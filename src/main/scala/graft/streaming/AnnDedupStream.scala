@@ -86,27 +86,41 @@ object AnnDedupStream {
   /** (bucket, vecId, home, v, nrm) — one row per (vector, table, probe
     * mask). All narrow expressions: works identically on a batch or
     * streaming DataFrame, which is what makes the batch twin an honest
-    * oracle. Bucket keys fold the table index in as t·2^bits (tables
+    * oracle. Bucket keys fold the table index in as t·(mask+1) (tables
     * never cross-match — the batch pipeline's convention).
+    *
+    * `sigBits` is the width the hyperplane signature is COMPUTED at;
+    * `bits` is the width the bucket key is MASKED to. The fixed-width
+    * config runs sigBits = bits = AnnScaledBits; the auto-width config
+    * (the D5d substrate) computes at Round16Queries.AnnAutoMaxBits and
+    * masks to the corpus-derived width, so its bucket keys are
+    * bit-identical to `annAutoPairs`' by construction (masking a
+    * MaxBits signature to width w IS the w-wide index — its first w
+    * hyperplanes).
     */
-  def probeRows(vecs: DataFrame): DataFrame = {
+  def probeRows(vecs: DataFrame, sigBits: Int = Bits, bits: Int = Bits,
+      tables: Int = Tables, radius: Int = Radius): DataFrame = {
     import graft.queries.VectorOps
-    val masks = DedupQueries.probeMasks(Bits, Radius)
+    require(bits <= sigBits,
+      s"mask width $bits exceeds computed signature width $sigBits")
+    val masks = DedupQueries.probeMasks(bits, radius)
+    val mask = (1L << bits) - 1L
     // signatures land in COLUMNS first (one dot-product chain per
     // table), then the ball explodes as cheap xors of those columns —
     // referencing the sig EXPRESSION per mask would inline the 12-term
     // 64-dim dot chain 211× per table into one giant non-codegen tree
     // (measured: the first draft ran minutes per micro-batch)
-    val base = (0 until Tables).foldLeft(
+    val base = (0 until tables).foldLeft(
       vecs.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", VectorOps.norm(col("v")))) { (df, t) =>
-      df.withColumn(s"sig_$t", DedupQueries.annSigCol(t, Bits))
+      df.withColumn(s"sig_$t",
+        DedupQueries.annSigCol(t, sigBits).bitwiseAND(lit(mask)))
     }
-    val probes = (0 until Tables).flatMap { t =>
+    val probes = (0 until tables).flatMap { t =>
       masks.map { m =>
         struct(
           (col(s"sig_$t").bitwiseXOR(lit(m)) +
-            lit(t.toLong * (1L << Bits))).as("bucket"),
+            lit(t.toLong * (mask + 1L))).as("bucket"),
           lit(m == 0L).as("home"))
       }
     }
@@ -124,7 +138,7 @@ object AnnDedupStream {
     * (out-of-order arrival across micro-batches) never matches — same
     * doc_id-rank semantics as ST15/ST16.
     */
-  class AnnIndexProcessor
+  class AnnIndexProcessor(tau: Double = Tau)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AnnProbeRow, AnnMatch] {
     import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
 
@@ -156,7 +170,7 @@ object AnnDedupStream {
         residents.iterator().foreach { case (idA, res) =>
           if (idA < r.vecId && (best < 0 || idA < best)) {
             val c = cosine6(res, r.v, r.nrm)
-            if (c >= Tau) { best = idA; bestCos = c }
+            if (c >= tau) { best = idA; bestCos = c }
           }
         }
         if (best >= 0) out += AnnMatch(r.vecId, best, bestCos)
@@ -172,14 +186,16 @@ object AnnDedupStream {
     * semantic key; cosine is a function of the pair, so the struct min
     * is deterministic).
     */
-  def incrementalAnnDedup(vecs: DataFrame): Dataset[AnnMatch] = {
+  def incrementalAnnDedup(vecs: DataFrame, sigBits: Int = Bits,
+      bits: Int = Bits, tables: Int = Tables, radius: Int = Radius,
+      tau: Double = Tau): Dataset[AnnMatch] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    probeRows(vecs)
+    probeRows(vecs, sigBits, bits, tables, radius)
       .as[AnnProbeRow]
       .groupByKey(_.bucket)
-      .transformWithState(new AnnIndexProcessor, TimeMode.None(),
+      .transformWithState(new AnnIndexProcessor(tau), TimeMode.None(),
         OutputMode.Append())
   }
 }

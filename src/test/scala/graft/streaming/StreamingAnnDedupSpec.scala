@@ -112,6 +112,33 @@ class StreamingAnnDedupSpec extends SparkSpec {
     }
   }
 
+  test("ST27b auto-width multi-batch replay converges to st_incremental_ann_auto") {
+    withRocksDb {
+      // the batch twin's in-plan width rule, replayed at spec-setup
+      // time: bits = clamp(bitlen(n−1), KnnAutoMinBits, AnnAutoMaxBits)
+      // — the deployment analogue is a width refresh as the accepted
+      // index grows (one re-index event, not a per-dataset retune)
+      val n = graft.Tables.load(spark, fixture, "embeddings").count()
+      val bits = math.max(graft.queries.Round16Queries.KnnAutoMinBits,
+        math.min(graft.queries.Round16Queries.AnnAutoMaxBits,
+          64 - java.lang.Long.numberOfLeadingZeros(n - 1)))
+      val d = tmpDir("ann-stream-auto")
+      val ranges = Seq((Long.MinValue, 170L), (170L, 340L), (340L, Long.MaxValue))
+      ranges.zipWithIndex.foreach { case ((lo, hi), i) => stage(d, lo, hi, i) }
+      val got = EventStreams.runToMemoryAvailableNow(
+        AnnDedupStream.incrementalAnnDedup(
+          AnnDedupStream.readEmbeddings(spark, d, maxFilesPerTrigger = 1),
+          sigBits = graft.queries.Round16Queries.AnnAutoMaxBits,
+          bits = bits).toDF(),
+        "conv_anndedup_auto", "append")
+      val dups = graft.SparkEntry.queries("st_incremental_ann_auto")(spark, fixture)
+        .filter(col("status") === "dup")
+        .select(col("vec_id"), col("dup_of"), col("cosine"))
+      assert(dups.count() > 0, "fixture must contain auto-width ANN dups")
+      assertSameRows(reduceVerdict(got), dups)
+    }
+  }
+
   test("ST27 ANN index survives restart: recovered state serves later arrivals") {
     withRocksDb {
       val inDir = tmpDir("ann-ckpt-in")
