@@ -529,7 +529,7 @@ object ScaleProbe {
       case "dedup_embedding_ann_auto_prod_grd" =>
         val (p, v, g) = queries.Round16Queries
           .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9,
-            gridHotLoad = queries.Round17bQueries.AnnGuardHotLoad)
+            gridHotLoad = operators.Salting.DeriveHotLoad)
         try p.localCheckpoint(true)
         finally { g.unpersist(false); v.unpersist(false) }
       // pseudo-name: home-bucket load profile of the auto-width ANN

@@ -24,6 +24,12 @@ object Salting {
 
   val SaltCol = "__graft_salt"
 
+  /** Sentinel `hotLoad` for [[gridJoinPairs]]: derive the hot-bucket
+    * threshold in-plan (p99 of the home-side load rollup) instead of
+    * declaring a constant.
+    */
+  val DeriveHotLoad: Long = -1L
+
   /** Inner/left equi-join on `key` with the big side salted `salts` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
@@ -125,13 +131,32 @@ object Salting {
     * map-side-combinable load rollup (one row per distinct hot
     * bucket, broadcast) plus grid× replication of the hot buckets'
     * PROBE rows only (narrow rows; candidate volume is unchanged).
+    *
+    * `hotLoad = DeriveHotLoad` derives the threshold IN-PLAN as the
+    * p99 of the load rollup the guard already computes (one extra
+    * 1-row aggregate, broadcast) — corpus-dependent thresholds are
+    * runtime facts, not constants a human re-tunes as data drifts
+    * (the in-plan width discipline applied to the guard itself). The
+    * sketch quantile (approx_percentile, bounded memory — an exact
+    * percentile would buffer every distinct bucket's load in one
+    * aggregation buffer, untenable at 10⁹+ buckets) can in principle
+    * vary with merge order, but the threshold only ROUTES rows
+    * between the cold and gridded join arms — the emitted pair set is
+    * identical for ANY threshold, so the output stays deterministic.
     */
   def gridJoinPairs(probes: DataFrame, homes: DataFrame, key: String,
       homeId: String, grid: Int, hotLoad: Long): DataFrame = {
     require(grid > 0, "grid must be positive")
-    require(hotLoad > 0, "hotLoad must be positive")
-    val hot = homes.groupBy(col(key)).agg(count(lit(1)).as("__load"))
-      .filter(col("__load") > hotLoad)
+    require(hotLoad > 0 || hotLoad == DeriveHotLoad,
+      s"hotLoad must be positive or DeriveHotLoad, got $hotLoad")
+    val loads = homes.groupBy(col(key)).agg(count(lit(1)).as("__load"))
+    val hotLoads =
+      if (hotLoad == DeriveHotLoad) {
+        val thr = loads.agg(
+          expr("approx_percentile(__load, 0.99, 10000)").as("__thr"))
+        loads.crossJoin(broadcast(thr)).filter(col("__load") > col("__thr"))
+      } else loads.filter(col("__load") > hotLoad)
+    val hot = hotLoads
       .select(col(key)).withColumn("__hot", lit(true))
     val hTag = homes.join(broadcast(hot), Seq(key), "left")
     val pTag = probes.join(broadcast(hot), Seq(key), "left")

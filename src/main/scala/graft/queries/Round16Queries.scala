@@ -255,11 +255,13 @@ object Round16Queries {
       radius: Int = DedupQueries.AnnProbeRadius,
       tables: Int = DedupQueries.AnnTables,
       tau: Double = DedupQueries.CosineTau,
-      // > 0 routes each table's candidate join through the two-sided
-      // hot-bucket grid guard (Salting.gridJoinPairs, hotLoad = this,
-      // grid = AnnGridWays) — pair set verbatim-identical, task skew
-      // bounded (the round-17b load-profile finding: the hottest
-      // buckets are true near-neighbor clusters no width can split)
+      // non-zero routes each table's candidate join through the
+      // two-sided hot-bucket grid guard (Salting.gridJoinPairs,
+      // hotLoad = this — Salting.DeriveHotLoad derives the threshold
+      // in-plan as the load rollup's own p99, grid = AnnGridWays) —
+      // pair set verbatim-identical, task skew bounded (the round-17b
+      // load-profile finding: the hottest buckets are true
+      // near-neighbor clusters no width can split)
       gridHotLoad: Long = 0L)
       : (DataFrame, DataFrame, DataFrame) = {
     val base = Tables.load(s, dir, "embeddings")
@@ -319,7 +321,7 @@ object Round16Queries {
       val homesDf = sigs.select(col("vec_id").as("vec_b") +: bCols: _*)
         .withColumn("s", col(s"b_sig_$t"))
       val joined =
-        if (gridHotLoad > 0L)
+        if (gridHotLoad != 0L)
           graft.operators.Salting.gridJoinPairs(
             probesDf, homesDf, "s", "vec_b", AnnGridWays, gridHotLoad)
         else probesDf.join(homesDf, "s")

@@ -41,15 +41,6 @@ object Round17bQueries {
     */
   val TCloseness = 0.2
 
-  /** Hot-bucket threshold for the guarded ANN dedup twin: home buckets
-    * above this load route through the two-sided grid guard. Sits just
-    * above the measured p99 load (34–42 across ×10–×52, BASELINE.md
-    * round-17b profile) so only the genuinely hot tail — the
-    * true-near-neighbor clusters no signature width can split — pays
-    * the ×AnnGridWays probe replication.
-    */
-  val AnnGuardHotLoad = 64L
-
   /** Un-materialized recall pipeline plus its pinned stages. Truth is
     * the SHARED brute-force builder cut at IvfTopK (one definition
     * with sim_brute_topk, both engines) — a 25-row localCheckpoint
@@ -294,24 +285,27 @@ object Round17bQueries {
     // near-neighbors the verify step must see), their load grows with
     // the corpus, and at cluster scale one such bucket pins a whole
     // task at probes×homes candidate work. The guard routes home
-    // buckets above AnnGuardHotLoad through the two-sided grid split
-    // (Salting.gridJoinPairs): homes take one hash salt, probes
-    // replicate across the AnnGridWays cells, cold buckets join
-    // untouched — the pair set is VERBATIM-identical (one oracle
-    // serves both rows), while any single task's home block shrinks
-    // ×AnnGridWays.
+    // buckets above the IN-PLAN p99 of the load rollup
+    // (Salting.DeriveHotLoad — the round-17 declaration-time constant
+    // AnnGuardHotLoad=64 retired per the V17 discipline:
+    // corpus-dependent thresholds are runtime facts) through the
+    // two-sided grid split (Salting.gridJoinPairs): homes take one
+    // hash salt, probes replicate across the AnnGridWays cells, cold
+    // buckets join untouched — the pair set is VERBATIM-identical at
+    // ANY threshold (one oracle serves both rows), while any single
+    // task's home block shrinks ×AnnGridWays.
     QueryDef(
       "dedup_embedding_ann_auto_guarded",
       (s, dir) => {
         val (pairs, v, sigs) = Round16Queries.annAutoPairs(
-          s, dir, gridHotLoad = AnnGuardHotLoad)
+          s, dir, gridHotLoad = graft.operators.Salting.DeriveHotLoad)
         try pairs.localCheckpoint(true)
         finally { sigs.unpersist(false); v.unpersist(false) }
       },
       Some(Round16Queries.annAutoDuckSql),
       doc = "dedup_embedding_ann_auto with the two-sided hot-bucket " +
-        "grid guard: home buckets past the measured-p99-derived load " +
-        "threshold split 8 ways (homes salted once, probes replicated), " +
+        "grid guard: home buckets past the load rollup's own in-plan " +
+        "p99 split 8 ways (homes salted once, probes replicated), " +
         "bounding any task's candidate block while preserving the pair " +
         "set exactly — the oracle is the unguarded row's, verbatim.")
   )

@@ -193,4 +193,26 @@ class Round17bSpec extends SparkSpec {
     assert(cells.agg(smax(col("c"))).head.getLong(0) <= 40, "sanity")
     assert(hotHomes.agg(countDistinct(col("salt"))).head.getLong(0) >= 2)
   }
+
+  test("gridJoinPairs DeriveHotLoad: in-plan p99 threshold engages on planted skew, pair set preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 200 cold buckets (load 1) + one 40-home hot bucket: the in-plan
+    // p99 of the load rollup sits at 1, so only the planted tail routes
+    // through the grid — and the emitted pair set must equal the plain
+    // equi-join's for ANY threshold (the routing-only law)
+    val homes = ((1L to 40L).map(i => (0L, i)) ++
+      (1L to 200L).map(b => (b, 1000L + b))).toDF("s", "vec_b")
+    val probes = (0L to 200L).map(b => (b, -b - 1)).toDF("s", "vec_a")
+    val plain = probes.join(homes, "s")
+      .select(col("s"), col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val gridded = graft.operators.Salting
+      .gridJoinPairs(probes, homes, "s", "vec_b", 4,
+        graft.operators.Salting.DeriveHotLoad)
+      .select(col("s"), col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(gridded == plain, "derived-threshold guard changed the pair set")
+    assert(plain.count(_._1 == 0L) == 40, "planted hot bucket missing")
+  }
 }
