@@ -98,18 +98,15 @@ object Round17Queries {
             CAST(ceil(sqrt(count(*))) AS BIGINT))) AS INT) AS kk
         FROM $src)"""
 
-  /** Un-materialized count-derived IVF serving pipeline plus its
-    * persisted vector stage — the declared row checkpoints and
-    * releases; Plans dumps this form.
+  /** Count-derived IVF serving over a caller-prepared (and persisted)
+    * (vec_id, v, nrm) corpus — the recall audit threads ONE shared
+    * persisted corpus through every index builder (round-17 advice);
+    * the width crossJoin is narrow over the cache, cheap to
+    * re-evaluate per consumer.
     */
-  private[graft] def ivfTopkAutoPlan(
-      s: org.apache.spark.sql.SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val width = ivfAutoWidth(SimilarityQueries.vectors(s, dir), IvfAutoMaxK)
-    val all = SimilarityQueries.vectors(s, dir)
-      .crossJoin(broadcast(width))
-      .repartition(s.sparkContext.defaultParallelism)
-      .persist()
+  private[graft] def ivfTopkAutoServe(corpus: DataFrame): DataFrame = {
+    val width = ivfAutoWidth(corpus, IvfAutoMaxK)
+    val all = corpus.crossJoin(broadcast(width))
     // the V2 sampled-point rule at the derived stride; serving is the
     // SHARED SimilarityQueries.ivfServe pipeline (review finding: the
     // first draft duplicated it verbatim — the drift trap this round's
@@ -118,7 +115,20 @@ object Round17Queries {
       .filter(col("vec_id") % col("stride") === 0 &&
         col("vec_id") < col("stride") * col("kk"))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    (SimilarityQueries.ivfServe(all, cents, col("npr")), all)
+    SimilarityQueries.ivfServe(all, cents, col("npr"))
+  }
+
+  /** Un-materialized count-derived IVF serving pipeline plus its
+    * persisted vector stage — the declared row checkpoints and
+    * releases; Plans dumps this form.
+    */
+  private[graft] def ivfTopkAutoPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val corpus = SimilarityQueries.vectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    (ivfTopkAutoServe(corpus), corpus)
   }
 
   /** The auto-width IVF oracle as a named val — the round-17b recall

@@ -10,11 +10,11 @@ import graft.Tables
 /** Round-17b rows — the two capability gaps left after the round-17
   * close:
   *
-  *  - V18 `sim_index_recall`: measured recall@k of the three cosine
-  *    top-k ANN serving indexes sharing the IvfTopK=5 contract
-  *    (fixed-knob IVF, count-derived IVF, sign-LSH) against the exact
-  *    brute-force truth — the index-quality metric an ANN deployment
-  *    watches. (The Lloyd-IVF/PQ rows carry their own spec-pinned
+  *  - V18 `sim_index_recall`: measured recall@k of the cosine top-k
+  *    ANN serving indexes sharing the IvfTopK=5 contract (fixed-knob
+  *    IVF, count-derived IVF, sign-LSH — and since round 18 the
+  *    auto-width multi-table sign-LSH) against the exact brute-force
+  *    truth — the index-quality metric an ANN deployment watches. (The Lloyd-IVF/PQ rows carry their own spec-pinned
   *    recall floors at their k=10 contract; MIPS truth is
   *    inner-product, a different metric.) The whole auto-width program (rounds 16–17) argues
   *    widths from corpus size; this row closes the loop by MEASURING
@@ -44,15 +44,18 @@ object Round17bQueries {
   /** Un-materialized recall pipeline plus its pinned stages. Truth is
     * the SHARED brute-force builder cut at IvfTopK (one definition
     * with sim_brute_topk, both engines) — a 25-row localCheckpoint
-    * consumed by all three hit joins AND as the query scaffold (every
-    * query has a full truth list whenever the corpus has > IvfTopK
-    * vectors, so deriving the scaffold from truth loses nothing and
-    * saves a corpus scan per index). The fixed-IVF corpus stage is
-    * persisted like the auto/LSH builders persist theirs (it feeds the
-    * assign AND query branches of the same job). The declared row
-    * checkpoints the output and releases the stages; Plans dumps this
-    * form with `eagerTruth = false` so the truth pipeline stays
-    * visible in the printed plan.
+    * consumed by all four hit joins AND as the query scaffold/
+    * denominator. The recall denominator is the per-query TRUTH COUNT
+    * computed in-plan, not the IvfTopK constant (round-17 advice: on a
+    * corpus with ≤ IvfTopK non-query vectors a constant denominator
+    * silently understates recall and can never read 1.0; on every
+    * normal corpus the two coincide). ONE persisted corpus is threaded
+    * through all four index builders (the serve-over-prepared-corpus
+    * forms — round-17 advice: three private persisted corpus copies
+    * were redundant cache pressure). The declared row checkpoints the
+    * output and releases the stages; Plans dumps this form with
+    * `eagerTruth = false` so the truth pipeline stays visible in the
+    * printed plan.
     */
   private[graft] def indexRecallPlan(
       s: org.apache.spark.sql.SparkSession, dir: String,
@@ -64,14 +67,17 @@ object Round17bQueries {
     val truthRaw = bruteTopk(all, IvfTopK)
       .select(col("query_id"), col("neighbor_id"))
     val truth = if (eagerTruth) truthRaw.localCheckpoint(true) else truthRaw
-    val qs = truth.select(col("query_id")).distinct()
+    // one row per query with its true-neighbor count: scaffold AND
+    // recall denominator
+    val qs = truth.groupBy(col("query_id")).agg(count(lit(1)).as("t_n"))
     val fixedCents = all
       .filter(col("vec_id") % CentroidEvery === 0 &&
         col("vec_id") < CentroidEvery * CentroidCap)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val fixed = ivfServe(all, fixedCents, lit(NProbe))
-    val (auto, autoAll) = Round17Queries.ivfTopkAutoPlan(s, dir)
-    val (lsh, lshAll) = lshTopkPlan(s, dir)
+    val auto = Round17Queries.ivfTopkAutoServe(all)
+    val lsh = lshServe(all)
+    val lshAuto = Round18Queries.lshTopkAutoServe(all)
     def recallOf(idx: String, approx: DataFrame): DataFrame = {
       val hit = truth
         .join(approx.select(col("query_id"), col("neighbor_id")),
@@ -79,15 +85,16 @@ object Round17bQueries {
         .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
       qs.join(hit, Seq("query_id"), "left")
         .select(lit(idx).as("idx"), col("query_id"),
-          coalesce(col("h"), lit(0L)).as("hits"))
-        .withColumn("recall",
-          col("hits").cast("double") / lit(IvfTopK))
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") /
+            col("t_n").cast("double")).as("recall"))
     }
     val out = recallOf("ivf_fixed", fixed)
       .unionByName(recallOf("ivf_auto", auto))
       .unionByName(recallOf("lsh", lsh))
+      .unionByName(recallOf("lsh_auto", lshAuto))
       .orderBy(col("idx"), col("query_id"))
-    (out, Seq(all, autoAll, lshAll) ++ (if (eagerTruth) Seq(truth) else Nil))
+    (out, Seq(all) ++ (if (eagerTruth) Seq(truth) else Nil))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -116,35 +123,41 @@ object Round17bQueries {
           ivf_fixed AS (${SimilarityQueries.ivfTopkDuckSql}),
           ivf_auto AS (${Round17Queries.ivfTopkAutoDuckSql}),
           lsh AS (${SimilarityQueries.lshTopkDuckSql}),
+          lsh_auto AS (${Round18Queries.lshTopkAutoDuckSql}),
           approx AS (
             SELECT 'ivf_fixed' AS idx, query_id, neighbor_id FROM ivf_fixed
             UNION ALL
             SELECT 'ivf_auto' AS idx, query_id, neighbor_id FROM ivf_auto
             UNION ALL
-            SELECT 'lsh' AS idx, query_id, neighbor_id FROM lsh),
+            SELECT 'lsh' AS idx, query_id, neighbor_id FROM lsh
+            UNION ALL
+            SELECT 'lsh_auto' AS idx, query_id, neighbor_id FROM lsh_auto),
           hit AS (
             SELECT x.idx, x.query_id, CAST(count(*) AS BIGINT) AS h
             FROM approx x JOIN truth t
               ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
             GROUP BY x.idx, x.query_id),
           scaffold AS (
-            SELECT i.idx, q.query_id
+            SELECT i.idx, q.query_id, q.t_n
             FROM (SELECT 'ivf_fixed' AS idx UNION ALL SELECT 'ivf_auto'
-                  UNION ALL SELECT 'lsh') i
-            CROSS JOIN (SELECT DISTINCT query_id FROM truth) q)
+                  UNION ALL SELECT 'lsh' UNION ALL SELECT 'lsh_auto') i
+            CROSS JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS t_n
+                        FROM truth GROUP BY query_id) q)
         SELECT s.idx, s.query_id,
           CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
-          CAST(coalesce(h.h, 0) AS DOUBLE) / $IvfTopK AS recall
+          CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(s.t_n AS DOUBLE) AS recall
         FROM scaffold s LEFT JOIN hit h
           ON s.idx = h.idx AND s.query_id = h.query_id
         ORDER BY s.idx, s.query_id"""
       },
-      doc = "Recall@k of the three IvfTopK-contract ANN indexes " +
-        "(fixed-knob IVF, count-derived IVF, sign-LSH) vs exact truth " +
-        "(same tiebreak): the measured index-quality number the " +
-        "auto-width rules are accountable to — fixed query panel, " +
-        "exact scores for the panel only, set intersection against " +
-        "each index's top-k."),
+      doc = "Recall@k of the four IvfTopK-contract ANN indexes " +
+        "(fixed-knob IVF, count-derived IVF, fixed sign-LSH, " +
+        "auto-width multi-table sign-LSH) vs exact truth (same " +
+        "tiebreak), denominator = the per-query truth count computed " +
+        "in-plan: the measured index-quality number the auto-width " +
+        "rules are accountable to — fixed query panel, exact scores " +
+        "for the panel only, set intersection against each index's " +
+        "top-k."),
 
     // ── M5: aspect-preserving letterbox resize plan (stub decode) ────
     // The geometry stage every vision preprocessor runs before the

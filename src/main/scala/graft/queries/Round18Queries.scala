@@ -47,12 +47,9 @@ object Round18Queries {
     */
   val LshAutoTables = 4
 
-  /** Un-materialized auto-width serving-LSH pipeline plus its persisted
-    * corpus stage. `base` (when given) is an already-persisted
-    * (vec_id, v, nrm) corpus shared by the caller — the recall audit
-    * threads ONE persisted corpus through every index builder instead
-    * of each builder caching its own copy (round-17 advice); in that
-    * case the returned stage list is empty.
+  /** Auto-width serving-LSH over a caller-prepared (and persisted)
+    * (vec_id, v, nrm) corpus — the recall audit threads ONE shared
+    * persisted corpus through every index builder (round-17 advice).
     *
     * Shape: in-plan width (the D5d rule — bits = clamp(bitlen(n−1), 8,
     * AnnAutoMaxBits) off a 1-row broadcast count, signatures computed
@@ -65,16 +62,10 @@ object Round18Queries {
     * semantically — it just collapses multi-table hits), ONE
     * WindowGroupLimit-pruned top-IvfTopK rollup.
     */
-  private[graft] def lshTopkAutoPlan(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      base: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def lshTopkAutoServe(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import Round16Queries.{AnnAutoMaxBits, KnnAutoMinBits}
     import SimilarityQueries.{IvfTopK, NQueries}
-    val corpus = base.getOrElse(
-      SimilarityQueries.vectors(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .persist())
     val width = corpus.agg(count(lit(1)).as("n"))
       .select(
         greatest(lit(KnnAutoMinBits), least(lit(AnnAutoMaxBits),
@@ -109,14 +100,25 @@ object Round18Queries {
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val out = (0 until LshAutoTables).map(tableHits).reduce(_ unionByName _)
+    (0 until LshAutoTables).map(tableHits).reduce(_ unionByName _)
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= IvfTopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
-    (out, if (base.isDefined) Seq.empty else Seq(corpus))
+  }
+
+  /** Un-materialized auto-width serving-LSH pipeline plus its persisted
+    * corpus stage — the declared row checkpoints and releases.
+    */
+  private[graft] def lshTopkAutoPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val corpus = SimilarityQueries.vectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    (lshTopkAutoServe(corpus), Seq(corpus))
   }
 
   /** The auto-width serving-LSH oracle as a named val — the recall

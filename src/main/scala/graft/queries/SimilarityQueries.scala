@@ -171,19 +171,22 @@ object SimilarityQueries {
     * 2^NBits ≫ corpus/bucket density. Probe count (1 + NBits) is
     * independent of corpus size, so the scan stays pruned.
     *
-    * Returns (pipeline, persisted bucketed corpus); the declared row
-    * returns the pipeline directly (Verify/Bench clear the cache per
-    * query), the recall row checkpoints and unpersists.
+    * Returns (pipeline, persisted corpus); the declared row returns
+    * the pipeline directly (Verify/Bench clear the cache per query),
+    * the recall row threads ONE shared persisted corpus through every
+    * index builder via [[lshServe]] instead (round-17 advice: three
+    * builders each caching a private corpus copy is redundant cache
+    * pressure at scale).
     */
-  private[queries] def lshTopkPlan(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private[queries] def lshServe(corpus: DataFrame): DataFrame = {
     val bucketCol = (0 until NBits).map { b =>
       when(VectorOps.dot(col("v"), typedLit(Hyperplanes(b))) >= 0.0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    val all = vectors(s, dir).withColumn("bucket", bucketCol)
-      .repartition(s.sparkContext.defaultParallelism)
-      .persist()
+    // narrow over the (caller-persisted) corpus: re-evaluating the
+    // bucket per consumer costs NBits cached-read dot products, never
+    // a rescan
+    val all = corpus.withColumn("bucket", bucketCol)
     val probeCol = array(
       (col("bucket") +: (0 until NBits).map(b =>
         col("bucket").bitwiseXOR(lit(1 << b)))): _*)
@@ -192,7 +195,7 @@ object SimilarityQueries {
         col("nrm").as("qn"), explode(probeCol).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val out = all.join(broadcast(q), Seq("bucket"))
+    all.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -202,7 +205,14 @@ object SimilarityQueries {
       .filter(col("rank") <= IvfTopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
-    (out, all)
+  }
+
+  private[queries] def lshTopkPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val corpus = vectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    (lshServe(corpus), corpus)
   }
 
   /** The sign-LSH oracle, a named val for the same anti-drift reuse. */

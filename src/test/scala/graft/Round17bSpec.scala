@@ -32,10 +32,15 @@ class Round17bSpec extends SparkSpec {
     val byIdx = Map(
       "ivf_fixed" -> topk("sim_ivf_topk"),
       "ivf_auto" -> topk("sim_ivf_topk_auto"),
-      "lsh" -> topk("sim_lsh_topk"))
+      "lsh" -> topk("sim_lsh_topk"),
+      "lsh_auto" -> topk("sim_lsh_topk_auto"))
+    // the in-plan denominator is the per-query truth count — equal to
+    // k on every corpus with > k non-query vectors (the fixtures), and
+    // the honest divisor on one without
+    val truthN = truth.groupBy(_._1).view.mapValues(_.size).toMap
 
     val got = run("sim_index_recall").collect()
-    assert(got.length == 3 * queries.SimilarityQueries.NQueries,
+    assert(got.length == 4 * queries.SimilarityQueries.NQueries,
       "scaffold must cover every (index, query) pair")
     got.foreach { r =>
       val idx = r.getAs[String]("idx")
@@ -44,7 +49,8 @@ class Round17bSpec extends SparkSpec {
         .count(n => truth((qid, n)))
       assert(r.getAs[Long]("hits") == expected.toLong,
         s"$idx q$qid: hits ${r.getAs[Long]("hits")} != replayed $expected")
-      assert(r.getAs[Double]("recall") == expected.toDouble / k,
+      assert(truthN(qid) == k, "fixture corpus must fill the truth list")
+      assert(r.getAs[Double]("recall") == expected.toDouble / truthN(qid),
         s"$idx q$qid: recall mismatch")
     }
     // the row must measure something: the fixture indexes find at
