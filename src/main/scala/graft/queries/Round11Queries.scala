@@ -125,6 +125,62 @@ object Round11Queries {
          + CAST(3 * fw * (COALESCE(bw, 0) + 1) AS DOUBLE) / (CAST(4 * c1 AS DOUBLE) * (bb + vv))
        ELSE CAST(COALESCE(bw, 0) + 1 AS DOUBLE) / (bb + vv) END"""
 
+  /** The PQ/ADC oracle as a named val — the round-18 contract recall row nests this IDENTICAL statement (one definition, no drift). */
+  private[queries] lazy val pqTopkDuckSql: String =
+    s"""WITH $vectorsDuck,
+          cents AS (
+            SELECT CAST(vec_id / $PqCentEvery AS INT) AS code_id, v AS cv FROM vecs
+            WHERE vec_id % $PqCentEvery = 0 AND vec_id < ${PqCentEvery * PqK}),
+          cb AS (
+            SELECT u.m AS m, code_id,
+              cv[u.m * $PqSubDim + 1 : u.m * $PqSubDim + $PqSubDim] AS cw
+            FROM cents, unnest(range(0, $PqM)) u(m)),
+          enc AS (
+            SELECT a.vec_id, c.m, c.code_id,
+              ${VectorOps.duckDist2(
+                s"a.v[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")} AS d2
+            FROM vecs a CROSS JOIN cb c),
+          codes AS (
+            SELECT vec_id, m, code_id FROM (
+              SELECT vec_id, m, code_id,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d2 ASC, code_id ASC) AS rn
+              FROM enc)
+            WHERE rn = 1),
+          lut AS (
+            SELECT q.vec_id AS query_id, c.m, c.code_id,
+              CAST(round(${VectorOps.duckDist2(
+                s"q.v[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")}, 6)
+                AS DECIMAL(18,6)) AS lutd
+            FROM vecs q CROSS JOIN cb c
+            WHERE q.vec_id < $PqNQueries),
+          adc AS (
+            SELECT l.query_id, co.vec_id AS neighbor_id,
+              CAST(sum(l.lutd) AS DOUBLE) AS adc
+            FROM codes co JOIN lut l ON co.m = l.m AND co.code_id = l.code_id
+            WHERE co.vec_id <> l.query_id
+            GROUP BY l.query_id, co.vec_id),
+          shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS srank
+              FROM adc)
+            WHERE srank <= $PqShortlist),
+          rer AS (
+            SELECT s.query_id, s.neighbor_id,
+              round(${VectorOps.duckDist2("a.v", "q.v")}, 6) AS d2
+            FROM shortlist s
+            JOIN vecs a ON a.vec_id = s.neighbor_id
+            JOIN vecs q ON q.vec_id = s.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rank
+            FROM rer)
+        SELECT query_id, rank, neighbor_id, d2 FROM ranked
+        WHERE rank <= $PqTopK ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── interpolated Kneser-Ney bigram LM (Chen & Goodman 1998) ──────
@@ -431,59 +487,7 @@ object Round11Queries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH $vectorsDuck,
-          cents AS (
-            SELECT CAST(vec_id / $PqCentEvery AS INT) AS code_id, v AS cv FROM vecs
-            WHERE vec_id % $PqCentEvery = 0 AND vec_id < ${PqCentEvery * PqK}),
-          cb AS (
-            SELECT u.m AS m, code_id,
-              cv[u.m * $PqSubDim + 1 : u.m * $PqSubDim + $PqSubDim] AS cw
-            FROM cents, unnest(range(0, $PqM)) u(m)),
-          enc AS (
-            SELECT a.vec_id, c.m, c.code_id,
-              ${VectorOps.duckDist2(
-                s"a.v[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")} AS d2
-            FROM vecs a CROSS JOIN cb c),
-          codes AS (
-            SELECT vec_id, m, code_id FROM (
-              SELECT vec_id, m, code_id,
-                row_number() OVER (PARTITION BY vec_id, m
-                  ORDER BY d2 ASC, code_id ASC) AS rn
-              FROM enc)
-            WHERE rn = 1),
-          lut AS (
-            SELECT q.vec_id AS query_id, c.m, c.code_id,
-              CAST(round(${VectorOps.duckDist2(
-                s"q.v[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")}, 6)
-                AS DECIMAL(18,6)) AS lutd
-            FROM vecs q CROSS JOIN cb c
-            WHERE q.vec_id < $PqNQueries),
-          adc AS (
-            SELECT l.query_id, co.vec_id AS neighbor_id,
-              CAST(sum(l.lutd) AS DOUBLE) AS adc
-            FROM codes co JOIN lut l ON co.m = l.m AND co.code_id = l.code_id
-            WHERE co.vec_id <> l.query_id
-            GROUP BY l.query_id, co.vec_id),
-          shortlist AS (
-            SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY adc ASC, neighbor_id ASC) AS srank
-              FROM adc)
-            WHERE srank <= $PqShortlist),
-          rer AS (
-            SELECT s.query_id, s.neighbor_id,
-              round(${VectorOps.duckDist2("a.v", "q.v")}, 6) AS d2
-            FROM shortlist s
-            JOIN vecs a ON a.vec_id = s.neighbor_id
-            JOIN vecs q ON q.vec_id = s.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, d2,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY d2 ASC, neighbor_id ASC) AS rank
-            FROM rer)
-        SELECT query_id, rank, neighbor_id, d2 FROM ranked
-        WHERE rank <= $PqTopK ORDER BY query_id, rank"""),
+      Some(pqTopkDuckSql),
       doc = "PQ/ADC ANN (Jégou 2011, m=8/k*=256 + re-rank): 8-byte codes, " +
         "zero-shuffle codebook encode, per-query distance LUT broadcast " +
         "onto the code table, ONE rollup shuffle, exact re-rank of the " +

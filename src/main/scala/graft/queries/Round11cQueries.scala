@@ -56,6 +56,41 @@ object Round11cQueries {
   // ── TF-IDF constants ───────────────────────────────────────────────
   val TfidfTopK = 5
 
+  /** The Lloyd-IVF oracle as a named val — the round-18 contract recall
+    * row nests this IDENTICAL statement (one definition, no drift).
+    */
+  private[queries] lazy val ivfKmeansTopkDuckSql: String = {
+    val enc = VectorOps.duckDist2("a.v", "c.cv")
+    val qd = VectorOps.duckDist2("q.v", "c.cv")
+    val cos = s"round(${VectorOps.duckDot("co.v", "p.qv")} / (co.nrm * p.qn), 6)"
+    s"""WITH ${Round11bQueries.kmDuckPrefix(Round11bQueries.KmIters)},
+      codes AS (
+        SELECT vec_id, v, nrm, cluster FROM (
+          SELECT a.vec_id, a.v, ${VectorOps.duckNorm("a.v")} AS nrm, c.pos AS cluster,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY $enc ASC, c.pos ASC) AS rn
+          FROM vecs a CROSS JOIN c${Round11bQueries.KmIters} c) WHERE rn = 1),
+      qp AS (
+        SELECT query_id, qv, qn, probe FROM (
+          SELECT q.vec_id AS query_id, q.v AS qv, ${VectorOps.duckNorm("q.v")} AS qn,
+            c.pos AS probe,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY $qd ASC, c.pos ASC) AS rn
+          FROM vecs q CROSS JOIN c${Round11bQueries.KmIters} c
+          WHERE q.vec_id < $IvfNQueries) WHERE rn <= $IvfNProbe),
+      cand AS (
+        SELECT p.query_id, co.vec_id AS neighbor_id, $cos AS cosine
+        FROM codes co JOIN qp p ON co.cluster = p.probe
+        WHERE co.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM cand)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── IVF ANN, Lloyd-trained coarse quantizer ──────────────────────
@@ -102,37 +137,7 @@ object Round11cQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some {
-        val enc = VectorOps.duckDist2("a.v", "c.cv")
-        val qd = VectorOps.duckDist2("q.v", "c.cv")
-        val cos = s"round(${VectorOps.duckDot("co.v", "p.qv")} / (co.nrm * p.qn), 6)"
-        s"""WITH ${Round11bQueries.kmDuckPrefix(Round11bQueries.KmIters)},
-          codes AS (
-            SELECT vec_id, v, nrm, cluster FROM (
-              SELECT a.vec_id, a.v, ${VectorOps.duckNorm("a.v")} AS nrm, c.pos AS cluster,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY $enc ASC, c.pos ASC) AS rn
-              FROM vecs a CROSS JOIN c${Round11bQueries.KmIters} c) WHERE rn = 1),
-          qp AS (
-            SELECT query_id, qv, qn, probe FROM (
-              SELECT q.vec_id AS query_id, q.v AS qv, ${VectorOps.duckNorm("q.v")} AS qn,
-                c.pos AS probe,
-                row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY $qd ASC, c.pos ASC) AS rn
-              FROM vecs q CROSS JOIN c${Round11bQueries.KmIters} c
-              WHERE q.vec_id < $IvfNQueries) WHERE rn <= $IvfNProbe),
-          cand AS (
-            SELECT p.query_id, co.vec_id AS neighbor_id, $cos AS cosine
-            FROM codes co JOIN qp p ON co.cluster = p.probe
-            WHERE co.vec_id <> p.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM cand)
-        SELECT query_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
-      },
+      Some(ivfKmeansTopkDuckSql),
       doc = "IVF ANN with a Lloyd-TRAINED coarse quantizer (FAISS " +
         "IndexIVFFlat recipe): kmeansTrain centroids broadcast, " +
         "zero-shuffle cell posting, in-row nprobe=2 cell ranking, " +

@@ -108,6 +108,65 @@ object Round12bQueries {
           "diversity in [0,1]: one (doc,tok) rollup, doc totals via a " +
           "high-cardinality window, order-free DECIMAL term sums.")
 
+  /** The exact-MIPS oracle as a named val — it is BOTH a declared row and the round-18 contract recall row's inner-product truth (one definition, no drift). */
+  private[queries] lazy val mipsTopkDuckSql: String =
+    s"""WITH $vectorsDuck,
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+                WHERE vec_id < $NQueries),
+          ips AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "q.qv")}, 6) AS ip
+            FROM vecs a JOIN q ON a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, ip,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ip DESC, neighbor_id ASC) AS rank
+            FROM ips)
+        SELECT query_id, rank, neighbor_id, ip FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+
+  /** The simple-LSH MIPS oracle as a named val — the round-18
+    * contract recall row nests this IDENTICAL statement.
+    */
+  private[queries] lazy val mipsLshTopkDuckSql: String = {
+        def headSql(b: Int) =
+          VectorOps.duckDot("v", MipsHyperplanes(b).take(Dim).mkString("[", ", ", "]"))
+        val bucketSql = (0 until NBits).map { b =>
+          s"""(CASE WHEN ${headSql(b)} / mm
+                + sqrt(greatest(1.0 - (nrm / mm) * (nrm / mm), 0.0))
+                  * (${MipsHyperplanes(b)(Dim)}) >= 0.0
+              THEN ${1 << b} ELSE 0 END)"""
+        }.mkString(" + ")
+        val qBucketSql = (0 until NBits).map { b =>
+          s"(CASE WHEN ${headSql(b)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $vectorsDuck,
+          nv AS (SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
+          mx AS (SELECT max(nrm) AS mm FROM nv),
+          bucketed AS (
+            SELECT vec_id, v, $bucketSql AS bucket FROM nv CROSS JOIN mx),
+          q AS (
+            SELECT vec_id AS query_id, v AS qv,
+              unnest(${(0 to NBits).map {
+                case 0 => "qb"
+                case b => s"xor(qb, ${1 << (b - 1)})"
+              }.mkString("[", ", ", "]")}) AS bucket
+            FROM (SELECT vec_id, v, $qBucketSql AS qb FROM vecs
+                  WHERE vec_id < $NQueries)),
+          ips AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+              round(${VectorOps.duckDot("a.v", "q.qv")}, 6) AS ip
+            FROM bucketed a JOIN q ON a.bucket = q.bucket
+              AND a.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, ip,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ip DESC, neighbor_id ASC) AS rank
+            FROM ips)
+        SELECT query_id, rank, neighbor_id, ip FROM ranked
+        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── brute-force MIPS top-k (exact baseline) ──────────────────────
@@ -130,20 +189,7 @@ object Round12bQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH $vectorsDuck,
-          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
-                WHERE vec_id < $NQueries),
-          ips AS (
-            SELECT q.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "q.qv")}, 6) AS ip
-            FROM vecs a JOIN q ON a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, ip,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY ip DESC, neighbor_id ASC) AS rank
-            FROM ips)
-        SELECT query_id, rank, neighbor_id, ip FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""),
+      Some(mipsTopkDuckSql),
       doc = "Exact MIPS top-k: raw inner product (not cosine — length " +
         "matters), query side broadcast, one corpus scan, " +
         "WindowGroupLimit-pruned per-query top-k."),
@@ -203,44 +249,7 @@ object Round12bQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some {
-        def headSql(b: Int) =
-          VectorOps.duckDot("v", MipsHyperplanes(b).take(Dim).mkString("[", ", ", "]"))
-        val bucketSql = (0 until NBits).map { b =>
-          s"""(CASE WHEN ${headSql(b)} / mm
-                + sqrt(greatest(1.0 - (nrm / mm) * (nrm / mm), 0.0))
-                  * (${MipsHyperplanes(b)(Dim)}) >= 0.0
-              THEN ${1 << b} ELSE 0 END)"""
-        }.mkString(" + ")
-        val qBucketSql = (0 until NBits).map { b =>
-          s"(CASE WHEN ${headSql(b)} >= 0.0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH $vectorsDuck,
-          nv AS (SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm FROM vecs),
-          mx AS (SELECT max(nrm) AS mm FROM nv),
-          bucketed AS (
-            SELECT vec_id, v, $bucketSql AS bucket FROM nv CROSS JOIN mx),
-          q AS (
-            SELECT vec_id AS query_id, v AS qv,
-              unnest(${(0 to NBits).map {
-                case 0 => "qb"
-                case b => s"xor(qb, ${1 << (b - 1)})"
-              }.mkString("[", ", ", "]")}) AS bucket
-            FROM (SELECT vec_id, v, $qBucketSql AS qb FROM vecs
-                  WHERE vec_id < $NQueries)),
-          ips AS (
-            SELECT q.query_id, a.vec_id AS neighbor_id,
-              round(${VectorOps.duckDot("a.v", "q.qv")}, 6) AS ip
-            FROM bucketed a JOIN q ON a.bucket = q.bucket
-              AND a.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, ip,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY ip DESC, neighbor_id ASC) AS rank
-            FROM ips)
-        SELECT query_id, rank, neighbor_id, ip FROM ranked
-        WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
-      },
+      Some(mipsLshTopkDuckSql),
       doc = "Simple-LSH MIPS (Neyshabur & Srebro 2015): norm-augmented " +
         "x' = [x/M; sqrt(1-|x/M|^2)] reduces inner product to cosine; " +
         "sign-LSH buckets on the 65-dim space, Hamming-1 multi-probe, " +

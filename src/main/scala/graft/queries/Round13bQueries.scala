@@ -93,6 +93,85 @@ object Round13bQueries {
       ORDER BY node"""
   }
 
+  /** The IVFPQ oracle as a named val — the round-18 contract recall row nests this IDENTICAL statement (one definition, no drift). */
+  private[queries] lazy val ivfpqTopkDuckSql: String =
+    s"""WITH $vectorsDuck,
+          cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM vecs
+            WHERE vec_id % $CentroidEvery = 0
+              AND vec_id < ${CentroidEvery * CentroidCap}),
+          cells AS (
+            SELECT vec_id, cent_id FROM (
+              SELECT a.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM vecs a CROSS JOIN cents c)
+            WHERE rn = 1),
+          pqc AS (
+            SELECT CAST(vec_id / $PqCentEvery AS INT) AS code_id, v AS cw0 FROM vecs
+            WHERE vec_id % $PqCentEvery = 0 AND vec_id < ${PqCentEvery * PqK}),
+          cb AS (
+            SELECT u.m AS m, code_id,
+              cw0[u.m * $PqSubDim + 1 : u.m * $PqSubDim + $PqSubDim] AS cw
+            FROM pqc, unnest(range(0, $PqM)) u(m)),
+          enc AS (
+            SELECT a.vec_id, c.m, c.code_id,
+              ${VectorOps.duckDist2(
+                s"a.v[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")} AS d2
+            FROM vecs a CROSS JOIN cb c),
+          codes AS (
+            SELECT vec_id, m, code_id FROM (
+              SELECT vec_id, m, code_id,
+                row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d2 ASC, code_id ASC) AS rn
+              FROM enc)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+                WHERE vec_id < $PqNQueries),
+          probes AS (
+            SELECT query_id, cent_id FROM (
+              SELECT q.query_id, c.cent_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
+              FROM q CROSS JOIN cents c)
+            WHERE rn <= $NProbe),
+          lut AS (
+            SELECT q.query_id, c.m, c.code_id,
+              CAST(round(${VectorOps.duckDist2(
+                s"q.qv[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")}, 6)
+                AS DECIMAL(18,6)) AS lutd
+            FROM q CROSS JOIN cb c),
+          adc AS (
+            SELECT l.query_id, co.vec_id AS neighbor_id,
+              CAST(sum(l.lutd) AS DOUBLE) AS adc
+            FROM codes co
+            JOIN cells ce ON co.vec_id = ce.vec_id
+            JOIN probes p ON ce.cent_id = p.cent_id
+            JOIN lut l ON co.m = l.m AND co.code_id = l.code_id
+              AND l.query_id = p.query_id
+            WHERE co.vec_id <> l.query_id
+            GROUP BY l.query_id, co.vec_id),
+          shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS srank
+              FROM adc)
+            WHERE srank <= $PqShortlist),
+          rerank AS (
+            SELECT s.query_id, s.neighbor_id,
+              round(${VectorOps.duckDist2("a.v", "q.qv")}, 6) AS d2
+            FROM shortlist s
+            JOIN vecs a ON a.vec_id = s.neighbor_id
+            JOIN q ON q.query_id = s.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rank
+            FROM rerank)
+        SELECT query_id, rank, neighbor_id, d2 FROM ranked
+        WHERE rank <= $PqTopK ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── IVFPQ: inverted file × product quantization × re-rank ────────
@@ -189,82 +268,7 @@ object Round13bQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH $vectorsDuck,
-          cents AS (
-            SELECT vec_id AS cent_id, v AS cv FROM vecs
-            WHERE vec_id % $CentroidEvery = 0
-              AND vec_id < ${CentroidEvery * CentroidCap}),
-          cells AS (
-            SELECT vec_id, cent_id FROM (
-              SELECT a.vec_id, c.cent_id,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY ${VectorOps.duckDist2("a.v", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM vecs a CROSS JOIN cents c)
-            WHERE rn = 1),
-          pqc AS (
-            SELECT CAST(vec_id / $PqCentEvery AS INT) AS code_id, v AS cw0 FROM vecs
-            WHERE vec_id % $PqCentEvery = 0 AND vec_id < ${PqCentEvery * PqK}),
-          cb AS (
-            SELECT u.m AS m, code_id,
-              cw0[u.m * $PqSubDim + 1 : u.m * $PqSubDim + $PqSubDim] AS cw
-            FROM pqc, unnest(range(0, $PqM)) u(m)),
-          enc AS (
-            SELECT a.vec_id, c.m, c.code_id,
-              ${VectorOps.duckDist2(
-                s"a.v[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")} AS d2
-            FROM vecs a CROSS JOIN cb c),
-          codes AS (
-            SELECT vec_id, m, code_id FROM (
-              SELECT vec_id, m, code_id,
-                row_number() OVER (PARTITION BY vec_id, m
-                  ORDER BY d2 ASC, code_id ASC) AS rn
-              FROM enc)
-            WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
-                WHERE vec_id < $PqNQueries),
-          probes AS (
-            SELECT query_id, cent_id FROM (
-              SELECT q.query_id, c.cent_id,
-                row_number() OVER (PARTITION BY q.query_id
-                  ORDER BY ${VectorOps.duckDist2("q.qv", "c.cv")} ASC, c.cent_id ASC) AS rn
-              FROM q CROSS JOIN cents c)
-            WHERE rn <= $NProbe),
-          lut AS (
-            SELECT q.query_id, c.m, c.code_id,
-              CAST(round(${VectorOps.duckDist2(
-                s"q.qv[c.m * $PqSubDim + 1 : c.m * $PqSubDim + $PqSubDim]", "c.cw")}, 6)
-                AS DECIMAL(18,6)) AS lutd
-            FROM q CROSS JOIN cb c),
-          adc AS (
-            SELECT l.query_id, co.vec_id AS neighbor_id,
-              CAST(sum(l.lutd) AS DOUBLE) AS adc
-            FROM codes co
-            JOIN cells ce ON co.vec_id = ce.vec_id
-            JOIN probes p ON ce.cent_id = p.cent_id
-            JOIN lut l ON co.m = l.m AND co.code_id = l.code_id
-              AND l.query_id = p.query_id
-            WHERE co.vec_id <> l.query_id
-            GROUP BY l.query_id, co.vec_id),
-          shortlist AS (
-            SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY adc ASC, neighbor_id ASC) AS srank
-              FROM adc)
-            WHERE srank <= $PqShortlist),
-          rerank AS (
-            SELECT s.query_id, s.neighbor_id,
-              round(${VectorOps.duckDist2("a.v", "q.qv")}, 6) AS d2
-            FROM shortlist s
-            JOIN vecs a ON a.vec_id = s.neighbor_id
-            JOIN q ON q.query_id = s.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, d2,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY d2 ASC, neighbor_id ASC) AS rank
-            FROM rerank)
-        SELECT query_id, rank, neighbor_id, d2 FROM ranked
-        WHERE rank <= $PqTopK ORDER BY query_id, rank"""),
+      Some(ivfpqTopkDuckSql),
       doc = "IVFPQ serving composition (FAISS IndexIVFPQ shape, " +
         "no-residual variant): coarse cells restrict ADC to nprobe/K of " +
         "the corpus, PQ codes keep the scanned payload at 8 B/vector, " +

@@ -249,7 +249,18 @@ object Round17Queries {
           .localCheckpoint(true)
         } finally vecs.unpersist(false)
       },
-      Some {
+      Some(ivfKmeansTopkAutoDuckSql),
+      doc = "Lloyd-trained IVF (FAISS IndexIVFFlat recipe) at K = " +
+        "clamp(ceil(sqrt(n)), 4, 1024), nprobe = ceil(sqrt(K)), both " +
+        "derived in-plan: the k-agnostic Lloyd rounds over a " +
+        "count-thresholded init set; serving identical to " +
+        "sim_ivf_kmeans_topk with nprobe a column."),
+  )
+
+  /** The count-derived Lloyd-IVF oracle as a named val — the round-18
+    * contract recall row nests this IDENTICAL statement.
+    */
+  private[queries] lazy val ivfKmeansTopkAutoDuckSql: String = {
         import Round11cQueries.{IvfNQueries, IvfTopK}
         val enc = VectorOps.duckDist2("a.v", "c.cv")
         val qd = VectorOps.duckDist2("q.v", "c.cv")
@@ -295,11 +306,5 @@ object Round17Queries {
             FROM cand)
         SELECT query_id, rank, neighbor_id, cosine FROM ranked
         WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
-      },
-      doc = "Lloyd-trained IVF (FAISS IndexIVFFlat recipe) at K = " +
-        "clamp(ceil(sqrt(n)), 4, 1024), nprobe = ceil(sqrt(K)), both " +
-        "derived in-plan: the k-agnostic Lloyd rounds over a " +
-        "count-thresholded init set; serving identical to " +
-        "sim_ivf_kmeans_topk with nprobe a column."),
-  )
+  }
 }

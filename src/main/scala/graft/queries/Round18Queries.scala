@@ -177,6 +177,63 @@ object Round18Queries {
     WHERE rank <= $IvfTopK ORDER BY query_id, rank"""
   }
 
+  /** Exact L2 top-k truth for the PQ-family panel (PqNQueries queries,
+    * k = PqTopK) — the sim_brute_topk shape with the score swapped to
+    * squared L2 (the metric PQ/IVFPQ approximate). (query_id,
+    * neighbor_id) projection: the recall joins need sets, not scores.
+    */
+  private def bruteL2Topk(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Round11Queries.{PqNQueries, PqTopK}
+    val all = SimilarityQueries.vectors(s, dir)
+    val q = all.filter(col("vec_id") < PqNQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.dist2(col("v"), col("qv")), 6).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The matching DuckDB L2 truth (full statement, nested by the
+    * contract recall oracle).
+    */
+  private def bruteL2DuckSql: String = {
+    import Round11Queries.{PqNQueries, PqTopK}
+    s"""WITH ${SimilarityQueries.vectorsDuck},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+            WHERE vec_id < $PqNQueries),
+      d AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+          round(${VectorOps.duckDist2("a.v", "q.qv")}, 6) AS d2
+        FROM vecs a JOIN q ON a.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM d)
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= $PqTopK"""
+  }
+
+  private def defFn(defs: Seq[QueryDef], name: String) =
+    defs.find(_.name == name)
+      .getOrElse(sys.error(s"no declared query named $name")).fn
+
+  /** (panel label, declared index row, truth kind) — each contract
+    * index is audited against the exact truth of ITS OWN metric and k:
+    * the Lloyd-IVF rows serve cosine@10 (truth = the declared
+    * sim_brute_topk, same k and tiebreak), PQ/IVFPQ serve L2@5, and
+    * MIPS-LSH serves inner-product@5 (truth = the declared
+    * sim_mips_topk).
+    */
+  private val ContractPanel: Seq[(String, String)] = Seq(
+    "ivf_kmeans" -> "cos", "ivf_kmeans_auto" -> "cos",
+    "pq" -> "l2", "ivfpq" -> "l2", "mips_lsh" -> "ip")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── ST27b: incremental ANN dedup at the auto-width substrate ─────
@@ -232,5 +289,107 @@ object Round18Queries {
         "multiprobe per table from a runtime-length sequence, " +
         "multi-table hits collapsed before one top-k rollup; holds " +
         "per-bucket load ~1 (pruned scan) at any corpus size."),
+
+    // ── V20: measured recall of the k=10/k=5 contract indexes ────────
+    // The V18 discipline applied retroactively (SURVEY §5 note 16:
+    // every approximate row ships its recall twin): the five serving
+    // indexes OUTSIDE the IvfTopK=5 cosine panel, each measured
+    // against the exact truth of its own metric — Lloyd-IVF and its
+    // count-derived twin at cosine@10 (truth = the DECLARED
+    // sim_brute_topk, same k/tiebreak), PQ and IVFPQ at L2@5, and
+    // simple-LSH MIPS at inner-product@5 (truth = the DECLARED
+    // sim_mips_topk). Both the Spark side (the declared rows' own fn,
+    // by name) and the oracle (their named-val SQL, nested verbatim)
+    // reuse one definition per index, so the audit can never measure
+    // a drifted copy. Denominator = per-(idx, query) truth count,
+    // in-plan (the round-18 V18 rule).
+    QueryDef(
+      "sim_index_recall_contract",
+      (s, dir) => {
+        val truthOf = Map(
+          "cos" -> defFn(SimilarityQueries.defs, "sim_brute_topk")(s, dir)
+            .select(col("query_id"), col("neighbor_id")),
+          "l2" -> bruteL2Topk(s, dir),
+          "ip" -> defFn(Round12bQueries.defs, "sim_mips_topk")(s, dir)
+            .select(col("query_id"), col("neighbor_id")))
+        val idxFn = Map(
+          "ivf_kmeans" -> defFn(Round11cQueries.defs, "sim_ivf_kmeans_topk"),
+          "ivf_kmeans_auto" ->
+            defFn(Round17Queries.defs, "sim_ivf_kmeans_topk_auto"),
+          "pq" -> defFn(Round11Queries.defs, "sim_pq_topk"),
+          "ivfpq" -> defFn(Round13bQueries.defs, "sim_ivfpq_topk"),
+          "mips_lsh" -> defFn(Round12bQueries.defs, "sim_mips_lsh_topk"))
+        ContractPanel.map { case (idx, kind) =>
+          val truth = truthOf(kind)
+          val approx = idxFn(idx)(s, dir)
+            .select(col("query_id"), col("neighbor_id"))
+          val tn = truth.groupBy(col("query_id"))
+            .agg(count(lit(1)).as("t_n"))
+          val hit = truth
+            .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+          tn.join(hit, Seq("query_id"), "left")
+            .select(lit(idx).as("idx"), col("query_id"),
+              coalesce(col("h"), lit(0L)).as("hits"),
+              (coalesce(col("h"), lit(0L)).cast("double") /
+                col("t_n").cast("double")).as("recall"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("idx"), col("query_id"))
+      },
+      Some {
+        import SimilarityQueries.TopK
+        val truthSql = Map(
+          "cos" -> s"""(SELECT query_id, neighbor_id FROM
+              (${SimilarityQueries.bruteTopkDuckSql(TopK)}) tc)""",
+          "l2" -> s"($bruteL2DuckSql)",
+          "ip" -> s"""(SELECT query_id, neighbor_id FROM
+              (${Round12bQueries.mipsTopkDuckSql}) ti)""")
+        val idxSql = Map(
+          "ivf_kmeans" -> Round11cQueries.ivfKmeansTopkDuckSql,
+          "ivf_kmeans_auto" -> Round17Queries.ivfKmeansTopkAutoDuckSql,
+          "pq" -> Round11Queries.pqTopkDuckSql,
+          "ivfpq" -> Round13bQueries.ivfpqTopkDuckSql,
+          "mips_lsh" -> Round12bQueries.mipsLshTopkDuckSql)
+        val truthArms = ContractPanel.map { case (idx, kind) =>
+          s"SELECT '$idx' AS idx, query_id, neighbor_id FROM t_$kind"
+        }.mkString("\n            UNION ALL\n            ")
+        val approxArms = ContractPanel.map { case (idx, _) =>
+          s"SELECT '$idx' AS idx, query_id, neighbor_id FROM i_$idx"
+        }.mkString("\n            UNION ALL\n            ")
+        val truthCtes = Seq("cos", "l2", "ip").map(k =>
+          s"t_$k AS ${truthSql(k)}").mkString(",\n          ")
+        val idxCtes = ContractPanel.map { case (idx, _) =>
+          s"i_$idx AS (SELECT query_id, neighbor_id FROM (${idxSql(idx)}) s_$idx)"
+        }.mkString(",\n          ")
+        s"""WITH $truthCtes,
+          $idxCtes,
+          truths AS (
+            $truthArms),
+          approx AS (
+            $approxArms),
+          tn AS (
+            SELECT idx, query_id, CAST(count(*) AS BIGINT) AS t_n
+            FROM truths GROUP BY idx, query_id),
+          hit AS (
+            SELECT t.idx, t.query_id, CAST(count(*) AS BIGINT) AS h
+            FROM truths t JOIN approx x
+              ON t.idx = x.idx AND t.query_id = x.query_id
+              AND t.neighbor_id = x.neighbor_id
+            GROUP BY t.idx, t.query_id)
+        SELECT n.idx, n.query_id,
+          CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+          CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(n.t_n AS DOUBLE) AS recall
+        FROM tn n LEFT JOIN hit h
+          ON n.idx = h.idx AND n.query_id = h.query_id
+        ORDER BY n.idx, n.query_id"""
+      },
+      doc = "Measured recall of the five contract ANN indexes outside " +
+        "the IvfTopK=5 cosine panel — Lloyd-IVF and its count-derived " +
+        "twin (cosine@10, truth = sim_brute_topk), PQ and IVFPQ " +
+        "(L2@5), simple-LSH MIPS (inner-product@5, truth = " +
+        "sim_mips_topk) — each against the exact truth of its own " +
+        "metric, per query, denominator = the in-plan truth count; " +
+        "the declared rows' own fn and named-val oracles are reused " +
+        "verbatim so the audit cannot drift from what it measures."),
   )
 }
