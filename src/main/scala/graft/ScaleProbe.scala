@@ -86,7 +86,8 @@ object ScaleProbe {
     * flip pattern), which manufactures C(m,2)·(2/3)^bits candidate
     * mass and buried the width rule's ×52 trajectory under a fixture
     * artifact. Each replica i applies v'_j = s(i,j) · v[p_i(j)] with
-    * p_i(j) = (a_i·j + b_i) mod Dim (a_i odd ⇒ bijective) and s = ±1
+    * p_i(j) = (a_i·j + b_i) mod Dim (a_i odd AND Dim a power of two
+    * ⇒ gcd(a_i, Dim) = 1 ⇒ bijective — required below) and s = ±1
     * from the same hash family:
     *  - WITHIN a replica this is one orthogonal transform — all dot
     *    products, norms, and cosines are preserved EXACTLY (same
@@ -98,13 +99,31 @@ object ScaleProbe {
     *    bit instead of 2/3 — the probe measures the OPERATOR, not the
     *    harness.
     */
+  // Parameter family (round-18 revision, the two round-17 advice
+  // items): p_i is bijective because a_i is odd AND Dim is a power of
+  // two (gcd(odd, 2^s) = 1 — for a non-power-of-two Dim odd a would
+  // NOT suffice, hence the require below, which also guards the exact
+  // within-replica dot-product invariance the probe depends on). The
+  // (a, b) pair is the EXPLICIT enumeration i = q·(d/2) + r →
+  // (2r + 1, q mod d): provably distinct affine maps for all
+  // i < d²/2 (2048 at Dim=64 — the require(m) wall), where the old
+  // multiplier-hash family silently repeated with period d (replicas
+  // i and i+64 would get the SAME permutation, leaving only sign
+  // flips — exactly the 0.5-correlated regime the round-16 artifact
+  // came from). Corpora regenerate under this family; same-table
+  // trajectories must compare within one family generation.
   private def replicateVecsRotated(spark: SparkSession, src: String,
       out: String, m: Int): Unit = {
     val vecs = Tables.load(spark, src, "embeddings")
     val d = queries.SimilarityQueries.Dim
+    require((d & (d - 1)) == 0,
+      s"Dim $d not a power of two: odd a no longer implies a bijective p_i")
+    require(m <= d * d / 2,
+      s"rotate replication caps at ${d * d / 2} replicas (the distinct " +
+        "affine-map budget at this Dim); widen Dim or the family first")
     (0 until m).map { i =>
-      val a = 2 * (math.floorMod(i * 2654435761L, d / 2).toInt) + 1
-      val b = math.floorMod(i * 40503L, d).toInt
+      val a = 2 * (i % (d / 2)) + 1
+      val b = (i / (d / 2)) % d
       vecs.select(
         (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
         (if (i == 0) col("embedding")
@@ -561,6 +580,59 @@ object ScaleProbe {
             s""""max_load":${st.getLong(2)},"p99_load":${st.getDouble(3)},""" +
             s""""sum_load2":${st.getDouble(4)},"uniform_load2":$uniform,""" +
             s""""skew_ratio":${st.getDouble(4) / uniform}}""")
+          spark.range(1).toDF("ok")
+        } finally { sigs.unpersist(false); v.unpersist(false) }
+      // pseudo-name: per-bucket COMPOSITION of the hottest sign-LSH
+      // home buckets (round-18 attribution probe for the open
+      // round-17b diagnostic: why does max bucket load grow ∝ m even
+      // under signed-permutation rotation?). For the top-8 buckets of
+      // table 0 it emits (load, n_replicas, max per-replica count,
+      // whether the bucket is the all-ones degenerate key) plus the
+      // corpus-wide count of near-zero-norm vectors — the two
+      // candidate explanations: (a) cross-replica collisions of
+      // genuinely-clustered masses, visible as n_replicas ~ m with
+      // per-replica counts ~ load/m; (b) a sign-degenerate family
+      // (e.g. all-zero vectors: every dot is 0, every sign bit fires,
+      // EVERY replica of them lands in bucket=mask in EVERY table —
+      // permutation-invariant by construction), visible as the top
+      // bucket == mask with per-replica count = the per-replica
+      // degenerate population. The collect is a bounded top-8 scalar
+      // read (the documented probe pattern).
+      case "dedup_embedding_ann_auto_loadmix" =>
+        val (_, v, sigs) = queries.Round16Queries
+          .annAutoPairs(spark, dir, radius = 1, tables = 8, tau = 0.9)
+        try {
+          val mask = sigs.select(col("mask")).head.getLong(0)
+          val top = sigs.groupBy(col("sig_0"))
+            .agg(count(lit(1)).as("load"))
+            .orderBy(col("load").desc, col("sig_0").asc)
+            .limit(8).collect()
+          val hotKeys = top.map(_.getLong(0))
+          val mix = sigs.filter(col("sig_0").isin(hotKeys: _*))
+            .join(v.select(col("vec_id"), col("nrm")), "vec_id")
+            .withColumn("replica", (col("vec_id") / 10000000L).cast("long"))
+            .groupBy(col("sig_0"))
+            .agg(count(lit(1)).as("load"),
+              countDistinct(col("replica")).as("n_replicas"),
+              max(col("nrm")).as("max_nrm"),
+              min(col("nrm")).as("min_nrm"))
+            .collect().map(r => r.getLong(0) -> r).toMap
+          val perRep = sigs.filter(col("sig_0").isin(hotKeys: _*))
+            .withColumn("replica", (col("vec_id") / 10000000L).cast("long"))
+            .groupBy(col("sig_0"), col("replica"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("sig_0")).agg(max(col("c")).as("max_per_rep"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val nearZero = v.filter(col("nrm") < 1e-9).count()
+          val rows = top.map { r =>
+            val b = r.getLong(0)
+            val m0 = mix(b)
+            s"""{"bucket":$b,"is_all_ones":${b == mask},"load":${r.getLong(1)},""" +
+              s""""n_replicas":${m0.getLong(1)},"max_per_rep":${perRep(b)},""" +
+              s""""min_nrm":${m0.getDouble(3)},"max_nrm":${m0.getDouble(2)}}"""
+          }.mkString(",")
+          println(s"""{"metric":"ann_bucket_mix","multiplier":$m,""" +
+            s""""mask":$mask,"near_zero_norm_vecs":$nearZero,"top":[$rows]}""")
           spark.range(1).toDF("ok")
         } finally { sigs.unpersist(false); v.unpersist(false) }
       // pseudo-name: the ST27 arrival-order verdict reduction over the

@@ -45,6 +45,35 @@ object Verify {
       // across 140+ queries in one JVM (same discipline as Bench).
       spark.catalog.clearCache()
     }
+    // Fixture τ-graph cluster profile (round-18 verdict ask): the
+    // round-16 gate death and the round-17 drift hunt were BOTH caused
+    // by a clumpier driver embeddings redraw (a 205-vector giant
+    // cluster) that took a round to attribute. One log line per
+    // cluster row makes the next redraw attributable in minutes:
+    // giant-cluster size, Σsize² (the all-pairs mass the cluster
+    // stage must carry), cluster count, singleton count — read back
+    // from the parquet this run just wrote, so the profile is exactly
+    // the declared output's.
+    Seq("sim_semantic_clusters", "sim_semantic_clusters_scaled",
+        "sim_semantic_clusters_auto").foreach { name =>
+      if (Files.exists(Paths.get(s"$outDir/$name")) && !failures.contains(name))
+        try {
+          import org.apache.spark.sql.functions._
+          val sizes = spark.read.parquet(s"$outDir/$name")
+            .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          val p = sizes.agg(
+            count(lit(1)).as("n_clusters"),
+            max(col("sz")).as("giant"),
+            sum(col("sz") * col("sz")).as("sum_sz2"),
+            sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"))
+            .head
+          println(s"""[verify] {"metric":"cluster_profile","query":"$name",""" +
+            s""""n_clusters":${p.getLong(0)},"giant":${p.getLong(1)},""" +
+            s""""sum_sz2":${p.getLong(2)},"singletons":${p.getLong(3)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] cluster profile for $name failed: ${e.getMessage}")
+        }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
