@@ -63,7 +63,12 @@ object Plans {
     // round 17b: the recall audit (tiny truth set left-semi joined
     // against each index's own top-k; serving pipelines shared) and
     // the zero-shuffle letterbox geometry pass
-    "sim_index_recall", "mm_resize_plan")
+    "sim_index_recall", "mm_resize_plan",
+    // round 18: the auto-width streaming-ANN batch twin (D5d pair join
+    // reduced to arrival-order verdicts) and the auto-width multi-table
+    // serving LSH (per-table bucket equi-joins over one shared corpus,
+    // multi-table hits collapsed before one top-k rollup)
+    "st_incremental_ann_auto", "sim_lsh_topk_auto")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -142,6 +147,16 @@ object Plans {
         case "sim_index_recall" =>
           val (res, stages) = graft.queries.Round17bQueries
             .indexRecallPlan(spark, dir, eagerTruth = false)
+          (res, Some(stages))
+        // the declared rows checkpoint; dump the un-materialized forms
+        case "st_incremental_ann_auto" =>
+          val (pairs, v, sigs) =
+            graft.queries.Round16Queries.annAutoPairs(spark, dir)
+          (graft.queries.Round17Queries.annVerdict(pairs, v),
+            Some(Seq(v, sigs)))
+        case "sim_lsh_topk_auto" =>
+          val (res, stages) =
+            graft.queries.Round18Queries.lshTopkAutoPlan(spark, dir)
           (res, Some(stages))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }

@@ -626,10 +626,10 @@ object ScaleProbe {
           val nearZero = v.filter(col("nrm") < 1e-9).count()
           val rows = top.map { r =>
             val b = r.getLong(0)
-            val m0 = mix(b)
-            s"""{"bucket":$b,"is_all_ones":${b == mask},"load":${r.getLong(1)},""" +
-              s""""n_replicas":${m0.getLong(1)},"max_per_rep":${perRep(b)},""" +
-              s""""min_nrm":${m0.getDouble(3)},"max_nrm":${m0.getDouble(2)}}"""
+            val m0 = mix(b) // (sig_0, load, n_replicas, max_nrm, min_nrm)
+            s"""{"bucket":$b,"is_all_ones":${b == mask},"load":${m0.getLong(1)},""" +
+              s""""n_replicas":${m0.getLong(2)},"max_per_rep":${perRep(b)},""" +
+              s""""min_nrm":${m0.getDouble(4)},"max_nrm":${m0.getDouble(3)}}"""
           }.mkString(",")
           println(s"""{"metric":"ann_bucket_mix","multiplier":$m,""" +
             s""""mask":$mask,"near_zero_norm_vecs":$nearZero,"top":[$rows]}""")
@@ -678,6 +678,18 @@ object ScaleProbe {
             s""""${r.getString(0)}":{"mean_recall":${r.getDouble(1)},"hits":${r.getLong(2)}}"""
           }.mkString(",")
         println(s"""{"metric":"index_recall_means","multiplier":$m,$parts}""")
+        df
+      // same quality probe for the round-18 contract audit (Lloyd-IVF /
+      // PQ / IVFPQ / MIPS-LSH, each at its own metric and k)
+      case "sim_index_recall_contract_means" =>
+        val df = SparkEntry.queries("sim_index_recall_contract")(spark, dir)
+        val parts = df.groupBy(col("idx"))
+          .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h"))
+          .orderBy(col("idx"))
+          .collect().map { r =>
+            s""""${r.getString(0)}":{"mean_recall":${r.getDouble(1)},"hits":${r.getLong(2)}}"""
+          }.mkString(",")
+        println(s"""{"metric":"index_recall_contract_means","multiplier":$m,$parts}""")
         df
       case "sim_rp_project_sum" =>
         SparkEntry.queries("sim_rp_project")(spark, dir)

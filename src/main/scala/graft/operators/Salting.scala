@@ -25,10 +25,22 @@ object Salting {
   val SaltCol = "__graft_salt"
 
   /** Sentinel `hotLoad` for [[gridJoinPairs]]: derive the hot-bucket
-    * threshold in-plan (p99 of the home-side load rollup) instead of
-    * declaring a constant.
+    * threshold in-plan (the [[GuardTailQuantile]] of the home-side
+    * load rollup) instead of declaring a constant.
     */
   val DeriveHotLoad: Long = -1L
+
+  /** Quantile of the load rollup that defines "hot" when the threshold
+    * is derived in-plan. p999, not p99: the measured round-17b profile
+    * shows the load BULK is stable as the corpus grows (p99 flat at
+    * ~33–42 across ×10–×52) while only the extreme tail grows ∝ m —
+    * the guard exists for that tail. A p99 threshold was measured to
+    * route ~1% of buckets (≈60+ at ×10) through the grid and nearly
+    * DOUBLE the row's wall time in probe replication, where p999
+    * guards the same pathological blocks the retired constant did at
+    * a fraction of the routing.
+    */
+  val GuardTailQuantile = 0.999
 
   /** Inner/left equi-join on `key` with the big side salted `salts` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
@@ -133,10 +145,11 @@ object Salting {
     * PROBE rows only (narrow rows; candidate volume is unchanged).
     *
     * `hotLoad = DeriveHotLoad` derives the threshold IN-PLAN as the
-    * p99 of the load rollup the guard already computes (one extra
-    * 1-row aggregate, broadcast) — corpus-dependent thresholds are
-    * runtime facts, not constants a human re-tunes as data drifts
-    * (the in-plan width discipline applied to the guard itself). The
+    * GuardTailQuantile (p999) of the load rollup the guard already
+    * computes (one extra 1-row aggregate, broadcast) — corpus-dependent
+    * thresholds are runtime facts, not constants a human re-tunes as
+    * data drifts (the in-plan width discipline applied to the guard
+    * itself). The
     * sketch quantile (approx_percentile, bounded memory — an exact
     * percentile would buffer every distinct bucket's load in one
     * aggregation buffer, untenable at 10⁹+ buckets) can in principle
@@ -153,7 +166,8 @@ object Salting {
     val hotLoads =
       if (hotLoad == DeriveHotLoad) {
         val thr = loads.agg(
-          expr("approx_percentile(__load, 0.99, 10000)").as("__thr"))
+          expr(s"approx_percentile(__load, $GuardTailQuantile, 10000)")
+            .as("__thr"))
         loads.crossJoin(broadcast(thr)).filter(col("__load") > col("__thr"))
       } else loads.filter(col("__load") > hotLoad)
     val hot = hotLoads

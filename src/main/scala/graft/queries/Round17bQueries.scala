@@ -298,7 +298,7 @@ object Round17bQueries {
     // near-neighbors the verify step must see), their load grows with
     // the corpus, and at cluster scale one such bucket pins a whole
     // task at probes×homes candidate work. The guard routes home
-    // buckets above the IN-PLAN p99 of the load rollup
+    // buckets above the IN-PLAN tail quantile (p999) of the load rollup
     // (Salting.DeriveHotLoad — the round-17 declaration-time constant
     // AnnGuardHotLoad=64 retired per the V17 discipline:
     // corpus-dependent thresholds are runtime facts) through the
@@ -318,7 +318,7 @@ object Round17bQueries {
       Some(Round16Queries.annAutoDuckSql),
       doc = "dedup_embedding_ann_auto with the two-sided hot-bucket " +
         "grid guard: home buckets past the load rollup's own in-plan " +
-        "p99 split 8 ways (homes salted once, probes replicated), " +
+        "p999 tail split 8 ways (homes salted once, probes replicated), " +
         "bounding any task's candidate block while preserving the pair " +
         "set exactly — the oracle is the unguarded row's, verbatim.")
   )

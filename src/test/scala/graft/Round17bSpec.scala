@@ -200,11 +200,11 @@ class Round17bSpec extends SparkSpec {
     assert(hotHomes.agg(countDistinct(col("salt"))).head.getLong(0) >= 2)
   }
 
-  test("gridJoinPairs DeriveHotLoad: in-plan p99 threshold engages on planted skew, pair set preserved") {
+  test("gridJoinPairs DeriveHotLoad: in-plan tail threshold on planted skew, pair set preserved") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     // 200 cold buckets (load 1) + one 40-home hot bucket: the in-plan
-    // p99 of the load rollup sits at 1, so only the planted tail routes
+    // tail quantile of the load rollup sits at 1, so only the planted tail routes
     // through the grid — and the emitted pair set must equal the plain
     // equi-join's for ANY threshold (the routing-only law)
     val homes = ((1L to 40L).map(i => (0L, i)) ++
