@@ -112,26 +112,50 @@ object ScaleProbe {
   // flips — exactly the 0.5-correlated regime the round-16 artifact
   // came from). Corpora regenerate under this family; same-table
   // trajectories must compare within one family generation.
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — the permutation
+    * source below; any fixed bijective mixer works, this one is public
+    * domain (Vigna).
+    */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Replica-i coordinate permutation: HASH-RANK, not affine (round-18
+    * revision 2). The affine family p(j) = (a·j+b) mod d — even with
+    * provably distinct (a,b) per replica — preserves the arithmetic
+    * structure of Z_d (parity classes, cosets, fixed points at b=0),
+    * and the ×104 composition probe measured exactly that failure:
+    * the hottest masked buckets held residents from ALL 104 replicas
+    * (~12–26 per replica, norms ~1), i.e. one base cluster mapping to
+    * the SAME bucket under every affine transform. Sorting the
+    * coordinates by a per-replica hash gives a near-uniform random
+    * permutation (bijective by construction — it is a sort rank),
+    * destroying cross-replica structural alignment while keeping the
+    * within-replica orthogonal-transform exactness unchanged.
+    */
+  private def hashPerm(i: Int, d: Int): IndexedSeq[Int] =
+    (0 until d).sortBy(j => mix64(i.toLong * d + j))
+
   private def replicateVecsRotated(spark: SparkSession, src: String,
       out: String, m: Int): Unit = {
     val vecs = Tables.load(spark, src, "embeddings")
     val d = queries.SimilarityQueries.Dim
-    require((d & (d - 1)) == 0,
-      s"Dim $d not a power of two: odd a no longer implies a bijective p_i")
-    require(m <= d * d / 2,
-      s"rotate replication caps at ${d * d / 2} replicas (the distinct " +
-        "affine-map budget at this Dim); widen Dim or the family first")
     (0 until m).map { i =>
-      val a = 2 * (i % (d / 2)) + 1
-      val b = (i / (d / 2)) % d
+      val p = hashPerm(i, d)
+      // literal per-coordinate terms: sign from the same hash family as
+      // before, source coordinate from the hash-rank permutation
+      val terms = (0 until d).map { j =>
+        s"""CAST(CASE WHEN pmod(hash($i * $d + $j), 2) = 0
+                 THEN -1.0 ELSE 1.0 END AS FLOAT)
+            * embedding[${p(j)}]"""
+      }
       vecs.select(
         (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
         (if (i == 0) col("embedding")
-         else expr(
-           s"""transform(sequence(0, ${d - 1}), j ->
-                CAST(CASE WHEN pmod(hash($i * $d + j), 2) = 0
-                          THEN -1.0 ELSE 1.0 END AS FLOAT)
-                * embedding[pmod($a * j + $b, $d)])"""))
+         else expr(terms.mkString("array(", ",\n", ")")))
           .as("embedding"),
         col("label"))
     }.reduce(_.unionByName(_))

@@ -265,15 +265,24 @@ object Round18Queries {
         "spec-pinned bit-for-bit."),
 
     // ── V19: auto-width multi-table serving sign-LSH top-k ───────────
-    // sim_lsh_topk is the recall floor of the V18 panel (0.12–0.20 at
-    // ×10–×52): a fixed 8-bit single-table index both saturates (load
-    // = n/256 grows linearly — the pruning dies) and misses (one table,
-    // radius 1 — per-pair catch falls with the bucket count). The D5d
-    // recipe fixes both at once: in-plan width holds load ~1 (pruning
-    // survives any corpus size), multi-table union buys back the
-    // recall the narrower per-table catch gives up. Declared as the
-    // serving row so the recall audit can hold it accountable (4th
-    // panel index).
+    // The BOUNDED-COST serving form of sim_lsh_topk: in-plan width
+    // holds per-bucket load ~1, so candidates per query stay
+    // ~tables·(1+bits) at ANY corpus size, where the fixed 8-bit
+    // index's candidate set grows ∝ n (≈9k rows/query at ×52 — 3.5%
+    // of the corpus and trending toward a brute scan). The V18 audit
+    // MEASURES what that pruning costs here: recall 0.04–0.12 across
+    // ×10–×52 vs the fixed index's 0.12–0.20 — because this corpus's
+    // true top-5 neighbors sit at cosine 0.33–0.42 (per-bit sign
+    // agreement p ≈ 0.63), where per-table catch decays as p^bits and
+    // LSH theory prices recall-preserving scaling at L ~ n^ρ tables
+    // with ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.67 — hundreds of tables by ×52.
+    // The measured engineering conclusion (BASELINE.md round 18):
+    // sign-LSH serving has NO recall-preserving bounded-cost scale
+    // path in the mid-cosine regime; the corpus-appropriate serving
+    // index is IVF, whose count-derived form holds recall 1.00 at
+    // near-linear cost in the same audit. This row stays declared as
+    // the bounded-cost form precisely so the audit keeps that
+    // trade-off measured rather than asserted.
     QueryDef(
       "sim_lsh_topk_auto",
       (s, dir) => {
@@ -285,10 +294,13 @@ object Round18Queries {
       doc = s"Auto-width serving sign-LSH top-k: $LshAutoTables " +
         "independent tables at bits = clamp(ceil(log2 n), 8, 20) " +
         "derived in-plan (signatures computed once at MaxBits and " +
-        "masked — the D5d rule applied to SERVING), radius-1 " +
-        "multiprobe per table from a runtime-length sequence, " +
-        "multi-table hits collapsed before one top-k rollup; holds " +
-        "per-bucket load ~1 (pruned scan) at any corpus size."),
+        "masked), radius-1 multiprobe per table, multi-table hits " +
+        "collapsed before one top-k rollup. The BOUNDED-COST serving " +
+        "form: candidates/query stay ~tables*(1+bits) at any corpus " +
+        "size; the V18 audit measures the recall price of that bound " +
+        "in this corpus's mid-cosine regime (see BASELINE round 18 — " +
+        "the measured conclusion is that IVF, not LSH, is the " +
+        "recall-preserving serving index here)."),
 
     // ── V20: measured recall of the k=10/k=5 contract indexes ────────
     // The V18 discipline applied retroactively (SURVEY §5 note 16:
