@@ -41,7 +41,12 @@ object Round12bQueries {
   val MipsHyperplanes: Seq[Seq[Double]] =
     (0 until NBits).map { b =>
       (0 to Dim).map { d =>
-        ((2654435761L * ((7 * NBits + b) * (Dim + 1) + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
+        // same mixed-hash family as SimilarityQueries.hyperplaneSet
+        // (round 18 — the shared-progression recipe this copied had
+        // pairwise-correlated planes; see the hyperplaneSet scaladoc)
+        java.lang.Long.remainderUnsigned(SimilarityQueries.mix64(
+          ((7 * NBits + b) * (Dim + 1) + d + 1).toLong), 1009L)
+          .toDouble / 1009.0 - 0.5
       }
     }
 

@@ -41,17 +41,48 @@ object SimilarityQueries {
   val NBits = 8
   val Dim = 64
 
+  /** Deterministic 64-bit mix (splitmix64 finalizer, Vigna — public
+    * domain): the hyperplane component source. Unsigned-remainder at
+    * the end so the [0, 1009) range matches an unsigned interpretation
+    * of the mixed word.
+    */
+  private[queries] def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   /** Table `t` of the hyperplane family: table 0 is the sim_lsh_topk
     * index; higher tables are the extra independent sign-LSH tables the
     * bucketed dedup path (DedupQueries.dedup_embedding_ann) unions for
-    * recall. Same arithmetic sequence, offset by t·bits planes. The
-    * `bits` overload serves the width-scaled dedup variant (signature
-    * width ~ log2(corpus) keeps bucket load constant at scale).
+    * recall. The `bits` overload serves the width-scaled dedup variant
+    * (signature width ~ log2(corpus) keeps bucket load constant at
+    * scale). Components are still pure arithmetic (no RNG, identical
+    * doubles interpolated into both engines' plans) but now come from
+    * a full 64-bit MIX of the plane/coordinate index instead of one
+    * shared arithmetic progression mod 1009.
+    *
+    * Why the mix (round 18): the original family h(k) = (2654435761·k
+    * mod 1009) made every plane a segment of ONE progression — planes
+    * within a table measured pairwise |cos| up to 0.82 (mean 0.35),
+    * which skews the sign-pattern prior: the hottest masked bucket
+    * carried ~1% of ANY corpus (300× uniform at 15 bits, reproduced
+    * on synthetic random vectors at the exact bucket id the ×104
+    * composition probe flagged), Σp² decayed ~0.8×/extra bit instead
+    * of 0.5×, and the "linear at the width rule" candidate volume
+    * kept a slowly-decaying quadratic term — the round-17b "max load
+    * ∝ m" open diagnostic, fully attributed. The mixed family measures
+    * mean pairwise |cos| 0.108 ≈ the 1/√64 random-plane floor, max
+    * prior 23× lower, Σp² at the random-plane floor (~2× uniform) —
+    * restoring the width rule's actually-linear candidate volume.
     */
   def hyperplaneSet(t: Int, bits: Int): Seq[Seq[Double]] =
     (0 until bits).map { b =>
       (0 until Dim).map { d =>
-        ((2654435761L * ((t * bits + b) * Dim + d + 1)) % 1009L).toDouble / 1009.0 - 0.5
+        java.lang.Long.remainderUnsigned(
+          mix64(((t * bits + b) * Dim + d + 1).toLong), 1009L)
+          .toDouble / 1009.0 - 0.5
       }
     }
 

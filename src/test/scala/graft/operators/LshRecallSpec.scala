@@ -130,8 +130,13 @@ class LshRecallSpec extends SparkSpec {
     // Floors are honest regression pins for THIS fixture: the driver's
     // embeddings are near-random (no cluster structure), the worst case
     // for any ANN index. Measured: IVF(nprobe=4) 0.52, multi-probe
-    // sign-LSH 0.24 (was 0.00 before Hamming-1 multi-probe).
-    val floors = Map("sim_ivf_topk" -> 0.4, "sim_lsh_topk" -> 0.2)
+    // sign-LSH 0.24 under the round-2 hyperplane family, 0.16 under
+    // the round-18 decorrelated family — the correlated planes had
+    // fewer effective bits (skewed sign-pattern prior => bigger
+    // buckets => more candidates), so part of the old recall was an
+    // unpriced candidate-volume subsidy; see the hyperplaneSet
+    // scaladoc for the attribution.
+    val floors = Map("sim_ivf_topk" -> 0.4, "sim_lsh_topk" -> 0.1)
     for ((name, floor) <- floors.toSeq.sortBy(_._1)) {
       val approx = topk(name)
       val recalls = brute.keys.toSeq.sorted.map { q =>
