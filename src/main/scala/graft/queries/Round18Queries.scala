@@ -18,19 +18,19 @@ import org.apache.spark.sql.functions._
   *    actually run. StreamingAnnDedupSpec's auto arm pins stream ≡ this
   *    row with `AnnDedupStream` parameterized to the auto signature
   *    columns (compute at AnnAutoMaxBits, mask to the derived width).
-  *  - V19 `sim_lsh_topk_auto`: the serving sign-LSH index onto the D5d
-  *    recipe — the V18 recall audit measured the fixed 8-bit single-
-  *    table index at recall@5 0.12–0.20 across ×10–×52 (the panel
-  *    floor); this row unions `LshAutoTables` independent tables at the
-  *    in-plan width (bits = clamp(⌈log2 n⌉, 8, 20)) and probes the
-  *    radius-1 ball per table, keeping per-bucket load ~1 (and with it
-  *    the pruned-scan property) at any corpus size.
-  *  - V20 `sim_index_recall_k10`: the V18 recall discipline extended to
-  *    the k=10-contract indexes (SURVEY §5 note 16 applied
-  *    retroactively): Lloyd-IVF (cosine), PQ and IVFPQ (L2), MIPS-LSH
-  *    (inner product) — each measured against the exact truth of ITS
-  *    OWN metric, hits = set intersection per query, as declared
-  *    oracle-checked rows instead of spec-only floors.
+  *  - V19 `sim_lsh_topk_auto`: the BOUNDED-COST serving sign-LSH form
+  *    — `LshAutoTables` independent tables at the in-plan width (bits
+  *    = clamp(⌈log2 n⌉, 8, 20)), radius-1 ball per table; candidates
+  *    per query stay ~tables·(1+bits) at any corpus size. The V18
+  *    audit then measured the recall price of that bound (see the
+  *    row's comment — the round's documented negative result).
+  *  - V20 `sim_index_recall_contract`: the V18 recall discipline
+  *    extended to the k=10/k=5 contract indexes (SURVEY §5 note 16
+  *    applied retroactively): Lloyd-IVF (cosine@10), PQ and IVFPQ
+  *    (L2@5), MIPS-LSH (inner-product@5) — each measured against the
+  *    exact truth of ITS OWN metric, hits = set intersection per
+  *    query, as a declared oracle-checked row instead of spec-only
+  *    floors.
   *
   * Reference scope note: alxmancilla/parquet-demo has no similarity or
   * streaming machinery (its compute surface is schema-driven Parquet
@@ -270,8 +270,9 @@ object Round18Queries {
     // ~tables·(1+bits) at ANY corpus size, where the fixed 8-bit
     // index's candidate set grows ∝ n (≈9k rows/query at ×52 — 3.5%
     // of the corpus and trending toward a brute scan). The V18 audit
-    // MEASURES what that pruning costs here: recall 0.04–0.12 across
-    // ×10–×52 vs the fixed index's 0.12–0.20 — because this corpus's
+    // MEASURES what that pruning costs here: recall 0.12/0.04/0.00 at
+    // ×10/×26/×52 (decorrelated family) vs the fixed index's
+    // 0.16/0.12/0.16 — because this corpus's
     // true top-5 neighbors sit at cosine 0.33–0.42 (per-bit sign
     // agreement p ≈ 0.63), where per-table catch decays as p^bits and
     // LSH theory prices recall-preserving scaling at L ~ n^ρ tables
