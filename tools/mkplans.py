@@ -13,6 +13,15 @@ RAW = sys.argv[1]
 OLD = "PLANS.md"
 
 NEW_HEADERS = {
+    "st_incremental_ann_auto":
+        "ST27b batch twin at the scale-safe substrate: the auto-width "
+        "sign-LSH pair join (bits derived in-plan) reduced to "
+        "arrival-order verdicts, left-joined over the corpus (round 18)",
+    "sim_lsh_topk_auto":
+        "bounded-cost auto-width serving LSH: 1-row broadcast width "
+        "scalar, 4 per-table bucket equi-joins over one shared corpus, "
+        "multi-table hits collapsed by a (query, neighbor) max before "
+        "one WindowGroupLimit-pruned top-k rollup (round 18)",
     "st_incremental_ann":
         "ST27 batch twin: the scaled-width sign-LSH pair join reduced "
         "to arrival-order verdicts (min earlier ball-mate per vector), "
