@@ -159,7 +159,6 @@ object Salting {
     */
   def gridJoinPairs(probes: DataFrame, homes: DataFrame, key: String,
       homeId: String, grid: Int, hotLoad: Long): DataFrame = {
-    require(grid > 0, "grid must be positive")
     require(hotLoad > 0 || hotLoad == DeriveHotLoad,
       s"hotLoad must be positive or DeriveHotLoad, got $hotLoad")
     val loads = homes.groupBy(col(key)).agg(count(lit(1)).as("__load"))
@@ -170,8 +169,53 @@ object Salting {
             .as("__thr"))
         loads.crossJoin(broadcast(thr)).filter(col("__load") > col("__thr"))
       } else loads.filter(col("__load") > hotLoad)
-    val hot = hotLoads
-      .select(col(key)).withColumn("__hot", lit(true))
+    gridJoinPairsWith(probes, homes, key, homeId, grid,
+      hotLoads.select(col(key)))
+  }
+
+  /** Bound on a caller-collected hot-key set ([[gridJoinPairsInSet]]):
+    * the guard exists for the extreme tail, so splitting more than
+    * this many buckets is a sign the threshold is wrong, and the cap
+    * bounds both the driver transfer and the predicate size.
+    */
+  val GuardMaxHotKeys = 1024
+
+  /** [[gridJoinPairs]] with a CALLER-COLLECTED hot-bucket key set,
+    * routed through codegen'd `isInCollection` predicates instead of
+    * broadcast tag joins. A caller running the guard over many
+    * parallel joins (the ANN dedup's per-table candidate joins)
+    * derives ALL tables' hot sets in ONE rollup job, collects the
+    * bounded tail (≤ [[GuardMaxHotKeys]] keys — a documented bounded
+    * scalar read), and hands each table its slice — the inline
+    * derivation in [[gridJoinPairs]] costs ~4 sequential stage
+    * barriers (load rollup, threshold aggregate, broadcast, tag) per
+    * call plus two broadcast tag joins, which measured as a
+    * near-constant multi-second overhead per invocation at any corpus
+    * size. Pair-set equivalence is unchanged: every (probe, home)
+    * pair meets exactly once in whichever arm its bucket routes to.
+    */
+  def gridJoinPairsInSet(probes: DataFrame, homes: DataFrame, key: String,
+      homeId: String, grid: Int, hotKeys: Seq[Long]): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    require(hotKeys.length <= GuardMaxHotKeys,
+      s"hot-key set ${hotKeys.length} exceeds GuardMaxHotKeys $GuardMaxHotKeys")
+    if (hotKeys.isEmpty) return probes.join(homes, Seq(key))
+    val isHot = col(key).isInCollection(hotKeys)
+    val cold = probes.filter(!isHot).join(homes.filter(!isHot), Seq(key))
+    val hotJ = probes.filter(isHot)
+      .withColumn(SaltCol, explode(sequence(lit(0L), lit((grid - 1).toLong))))
+      .join(
+        homes.filter(isHot)
+          .withColumn(SaltCol, pmod(xxhash64(col(homeId)), lit(grid.toLong))),
+        Seq(key, SaltCol))
+      .drop(SaltCol)
+    cold.unionByName(hotJ)
+  }
+
+  private def gridJoinPairsWith(probes: DataFrame, homes: DataFrame,
+      key: String, homeId: String, grid: Int, hotKeys: DataFrame): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    val hot = hotKeys.select(col(key)).withColumn("__hot", lit(true))
     val hTag = homes.join(broadcast(hot), Seq(key), "left")
     val pTag = probes.join(broadcast(hot), Seq(key), "left")
     val cold = pTag.filter(col("__hot").isNull).drop("__hot")

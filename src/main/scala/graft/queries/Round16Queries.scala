@@ -306,6 +306,43 @@ object Round16Queries {
       .flatten.mkString("concat(", ",\n", ")"))
     val aCols = (0 until tables).map(t => col(s"sig_$t").as(s"a_sig_$t"))
     val bCols = (0 until tables).map(t => col(s"sig_$t").as(s"b_sig_$t"))
+    // guard hot sets: ALL tables' home-bucket load rollups in ONE job
+    // (union keyed by table, one shuffle, one per-table threshold agg),
+    // then the bounded tail COLLECTED (≤ GuardMaxHotKeys per table —
+    // a documented bounded scalar read, the top-0.1% by construction)
+    // so each table's candidate join routes through codegen'd
+    // isInCollection predicates with ZERO extra joins. Deriving the
+    // set inline per gridJoinPairs call measured ~4 sequential stage
+    // barriers + 2 broadcast tag joins each — a near-constant
+    // multi-second tax per table at ANY corpus size (round 18:
+    // 6.7 → 15.2 s on the guarded bench row before this hoist).
+    val hotByTable: Map[Int, Seq[Long]] =
+      if (gridHotLoad == 0L) Map.empty.withDefaultValue(Seq.empty)
+      else {
+        val allLoads = (0 until tables).map(t =>
+          sigs.select(lit(t).as("t"), col(s"sig_$t").as("s")))
+          .reduce(_ unionByName _)
+          .groupBy(col("t"), col("s")).agg(count(lit(1)).as("__load"))
+        val hotAll = (if (gridHotLoad == graft.operators.Salting.DeriveHotLoad) {
+          val thr = allLoads.groupBy(col("t")).agg(
+            expr(s"approx_percentile(__load, " +
+              s"${graft.operators.Salting.GuardTailQuantile}, 10000)")
+              .as("__thr"))
+          allLoads.join(broadcast(thr), Seq("t"))
+            .filter(col("__load") > col("__thr"))
+        } else allLoads.filter(col("__load") > gridHotLoad))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t"))
+          .orderBy(col("__load").desc, col("s").asc)
+        val collected = hotAll
+          .withColumn("__rk", row_number().over(wTop))
+          .filter(col("__rk") <= graft.operators.Salting.GuardMaxHotKeys)
+          .select(col("t"), col("s"))
+          .collect()
+          .groupBy(_.getInt(0)).view
+          .mapValues(_.map(_.getLong(1)).toSeq).toMap
+        collected.withDefaultValue(Seq.empty)
+      }
     val cand = (0 until tables).map { t =>
       // first-matching-table dedup over the MASKED signatures — a pair
       // emits here iff every earlier table missed it (bit_count of the
@@ -322,8 +359,8 @@ object Round16Queries {
         .withColumn("s", col(s"b_sig_$t"))
       val joined =
         if (gridHotLoad != 0L)
-          graft.operators.Salting.gridJoinPairs(
-            probesDf, homesDf, "s", "vec_b", AnnGridWays, gridHotLoad)
+          graft.operators.Salting.gridJoinPairsInSet(
+            probesDf, homesDf, "s", "vec_b", AnnGridWays, hotByTable(t))
         else probesDf.join(homesDf, "s")
       joined
         .filter(col("vec_a") < col("vec_b") && firstMatchHere)

@@ -220,5 +220,13 @@ class Round17bSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(gridded == plain, "derived-threshold guard changed the pair set")
     assert(plain.count(_._1 == 0L) == 40, "planted hot bucket missing")
+
+    // the collected-key variant (the declared row's fast path: zero
+    // extra joins, isInCollection routing) obeys the same law
+    val inset = graft.operators.Salting
+      .gridJoinPairsInSet(probes, homes, "s", "vec_b", 4, Seq(0L))
+      .select(col("vec_a"), col("vec_b"), col("s")).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(inset == plain, "inset guard changed the pair set")
   }
 }
