@@ -68,7 +68,11 @@ object Plans {
     // reduced to arrival-order verdicts) and the auto-width multi-table
     // serving LSH (per-table bucket equi-joins over one shared corpus,
     // multi-table hits collapsed before one top-k rollup)
-    "st_incremental_ann_auto", "sim_lsh_topk_auto")
+    "st_incremental_ann_auto", "sim_lsh_topk_auto",
+    // round 19: the IVF-cell kNN graph (zero-shuffle broadcast-argmin
+    // cell pass; candidates = ONE within-probed-cell equi-join — no
+    // multi-table dedup stage — then one top-k rollup)
+    "sim_knn_graph_ivf")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -158,6 +162,10 @@ object Plans {
           val (res, stages) =
             graft.queries.Round18Queries.lshTopkAutoPlan(spark, dir)
           (res, Some(stages))
+        case "sim_knn_graph_ivf" =>
+          val (res, cells) =
+            graft.queries.Round19Queries.knnGraphIvfPlan(spark, dir)
+          (res, Some(Seq(cells)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

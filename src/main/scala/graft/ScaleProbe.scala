@@ -715,6 +715,29 @@ object ScaleProbe {
           }.mkString(",")
         println(s"""{"metric":"index_recall_contract_means","multiplier":$m,$parts}""")
         df
+      // same quality probe for the round-19 kNN-graph recall audit
+      // (edge recall per build vs the brute panel truth) — how each
+      // GRAPH build's candidate generation holds as the corpus grows
+      // m× in distractors
+      case "sim_knn_graph_recall_means" | "sim_knn_graph_recall_scale_means" =>
+        // the full declared row runs ALL FOUR builds — including the
+        // fixture 8-bit teaching config, quadratic past ×10; the
+        // _scale_ variant prices the two scale-path builds only
+        // (auto-width LSH vs IVF-cell) through the SAME shared
+        // recall arithmetic
+        val df =
+          if (name == "sim_knn_graph_recall_means")
+            SparkEntry.queries("sim_knn_graph_recall")(spark, dir)
+          else queries.Round19Queries.graphRecallOver(spark, dir,
+            queries.Round19Queries.scalePathBuilds)
+        val parts = df.groupBy(col("build"))
+          .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h"))
+          .orderBy(col("build"))
+          .collect().map { r =>
+            s""""${r.getString(0)}":{"mean_recall":${r.getDouble(1)},"hits":${r.getLong(2)}}"""
+          }.mkString(",")
+        println(s"""{"metric":"knn_graph_recall_means","multiplier":$m,$parts}""")
+        df
       case "sim_rp_project_sum" =>
         SparkEntry.queries("sim_rp_project")(spark, dir)
           .agg(sum(abs(col("proj"))))

@@ -21,11 +21,15 @@ object Verify {
     // in round 5). Collect failures and emit them both to a sidecar file
     // and as a nonzero summary line.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val written = scala.collection.mutable.LinkedHashSet[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += name
+      }
       catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -54,9 +58,12 @@ object Verify {
     // stage must carry), cluster count, singleton count — read back
     // from the parquet this run just wrote, so the profile is exactly
     // the declared output's.
+    // gated on `written` (not mere parquet existence): a filtered dev run
+    // would otherwise profile a STALE parquet left by a previous sweep
+    // and label it as this run's output (round-19 advice)
     Seq("sim_semantic_clusters", "sim_semantic_clusters_scaled",
         "sim_semantic_clusters_auto").foreach { name =>
-      if (Files.exists(Paths.get(s"$outDir/$name")) && !failures.contains(name))
+      if (written(name) && Files.exists(Paths.get(s"$outDir/$name")))
         try {
           import org.apache.spark.sql.functions._
           val sizes = spark.read.parquet(s"$outDir/$name")

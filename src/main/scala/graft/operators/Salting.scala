@@ -24,9 +24,22 @@ object Salting {
 
   val SaltCol = "__graft_salt"
 
-  /** Sentinel `hotLoad` for [[gridJoinPairs]]: derive the hot-bucket
-    * threshold in-plan (the [[GuardTailQuantile]] of the home-side
-    * load rollup) instead of declaring a constant.
+  /** Sentinel `hotLoad` for [[gridJoinPairs]] / [[gridSelfPairs]]:
+    * derive the hot-bucket threshold in-plan (the [[GuardTailQuantile]]
+    * of the bucket-load rollup) instead of declaring a constant.
+    *
+    * Small-cardinality no-op, documented: with fewer than ~1/(1−q)
+    * distinct buckets (≈1000 at p999) the quantile sketch returns the
+    * MAX load, so the strict `load > thr` tail filter is empty and
+    * everything takes the cold join — including the regime where one
+    * dominant bucket over few buckets is the whole skew. That is a
+    * PERFORMANCE no-op only (the threshold routes rows between
+    * equivalent arms; the pair set is threshold-invariant by
+    * construction), and it is the right default for the guards' actual
+    * deployment: the declared rows run at ≥2^8 derived signature
+    * buckets, and a corpus small enough to have <1000 distinct buckets
+    * fits its hottest bucket in one task anyway. Callers that DO need
+    * the guard on few-bucket fixtures pass an explicit threshold.
     */
   val DeriveHotLoad: Long = -1L
 
@@ -81,14 +94,27 @@ object Salting {
   def gridSelfPairs(rows: DataFrame, bucketCols: Seq[String], idCol: String,
       payload: Seq[String], grid: Int, hotLoad: Long): DataFrame = {
     require(grid > 0, "grid must be positive")
-    require(hotLoad > 0, "hotLoad must be positive")
+    require(hotLoad > 0 || hotLoad == DeriveHotLoad,
+      s"hotLoad must be positive or DeriveHotLoad, got $hotLoad")
     val bc = bucketCols.map(col)
     // bucket loads: tiny (one row per DISTINCT bucket value) — the hot
     // set is smaller still and broadcasts; this is the one extra pass
-    // the guard costs, and it is a map-side-combinable count
-    val hot = rows.groupBy(bc: _*).agg(count(lit(1)).as("__load"))
-      .filter(col("__load") > hotLoad)
-      .select(bc: _*).withColumn("__hot", lit(true))
+    // the guard costs, and it is a map-side-combinable count.
+    // DeriveHotLoad: threshold = the rollup's own p999 via one extra
+    // broadcast 1-row sketch aggregate (the gridJoinPairs discipline —
+    // corpus-dependent thresholds are runtime facts, not constants a
+    // human re-tunes; the quantile only ROUTES rows, so the emitted
+    // pair set is identical for ANY threshold; see the DeriveHotLoad
+    // small-cardinality note)
+    val loads = rows.groupBy(bc: _*).agg(count(lit(1)).as("__load"))
+    val hotLoads =
+      if (hotLoad == DeriveHotLoad) {
+        val thr = loads.agg(
+          expr(s"approx_percentile(__load, $GuardTailQuantile, 10000)")
+            .as("__thr"))
+        loads.crossJoin(broadcast(thr)).filter(col("__load") > col("__thr"))
+      } else loads.filter(col("__load") > hotLoad)
+    val hot = hotLoads.select(bc: _*).withColumn("__hot", lit(true))
     val tagged = rows.join(broadcast(hot), bucketCols, "left")
     val outCols = (idCol +: payload)
     def prefixed(df: DataFrame, p: String, extra: Seq[String]): DataFrame =

@@ -258,13 +258,20 @@ object DedupQueries {
     * grid² tasks of (2H/grid)² instead of ONE task of H². Pair set is
     * identical (the grid emits each unordered pair exactly once, the
     * cold path is the plain equi-join), so the all-pairs oracle carries
-    * over unchanged. Package-private for SkewGuardSpec's planted-hot-
-    * bucket probe.
+    * over unchanged. The threshold defaults to the IN-PLAN p999 tail of
+    * the band-bucket load rollup (round 19 — the Salting.DeriveHotLoad
+    * discipline the ANN guard adopted in round 18, retiring the last
+    * declared load constant: as corpora drift, a fixed 256 silently
+    * stops tracking the tail; the threshold only routes buckets between
+    * equivalent arms, so the pair set is invariant). Package-private
+    * for SkewGuardSpec's planted-hot-bucket probe.
     */
   private[graft] def simhashBandedPairsGuarded(
       s: SparkSession, dir: String,
       maxHamming: Int = SimhashTightMaxHamming,
-      grid: Int = 8, hotLoad: Long = 256L): (DataFrame, DataFrame) = {
+      grid: Int = 8,
+      hotLoad: Long = graft.operators.Salting.DeriveHotLoad)
+      : (DataFrame, DataFrame) = {
     val bandDefs = simhashBandDefs(maxHamming)
     val docs = simhashSigs(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
@@ -632,9 +639,10 @@ object DedupQueries {
       // all-pairs SQL is the oracle, same as the unguarded tight form
       Some(simhashPairsDuckSqlAt(SimhashTightMaxHamming)),
       doc = "Tight-radius banded simhash with the hot-bucket grid guard: " +
-        "buckets over 256 docs spread across an 8x8 fragment-replicate " +
-        "grid, bounding task skew on boilerplate-heavy corpora; pair " +
-        "set provably unchanged."),
+        "buckets above the in-plan p999 of the band-bucket load rollup " +
+        "(Salting.DeriveHotLoad — no declared load constant) spread " +
+        "across an 8x8 fragment-replicate grid, bounding task skew on " +
+        "boilerplate-heavy corpora; pair set provably unchanged."),
 
     // ── embedding cosine near-dup ────────────────────────────────────
     QueryDef(

@@ -474,6 +474,15 @@ object Round13Queries {
   private[queries] def tauEdgesSql(bits: Int = NBits): String =
     tauEdgesSqlOver(knnDuckCtes(bits))
 
+  /** The full kNN-graph oracle statement at `bits` as a named builder —
+    * the declared rows (fixture and scaled) AND the round-19 recall
+    * audit nest this IDENTICAL statement (one definition, no drift).
+    */
+  private[graft] def knnGraphDuckSql(bits: Int = NBits): String =
+    s"""WITH ${knnDuckCtes(bits)}
+      SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= $KnnK ORDER BY vec_id, rank"""
+
   /** The kNN-graph oracle CTE chain, ending in `ranked` (query_id,
     * neighbor_id, cosine, rank) — shared by both consumers.
     */
@@ -884,9 +893,7 @@ object Round13Queries {
     QueryDef(
       "sim_knn_graph",
       (s, dir) => knnGraph(s, dir),
-      Some(s"""WITH ${knnDuckCtes()}
-        SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $KnnK ORDER BY vec_id, rank"""),
+      Some(knnGraphDuckSql()),
       doc = s"Sign-LSH kNN graph (k=$KnnK): every vector's top-k cosine " +
         "neighbors among multiprobe bucket-mates across TWO independent " +
         "hash tables (pair-level distinct, exact verify once); candidate " +
@@ -903,9 +910,7 @@ object Round13Queries {
     QueryDef(
       "sim_knn_graph_scaled",
       (s, dir) => knnGraph(s, dir, KnnScaledBits),
-      Some(s"""WITH ${knnDuckCtes(KnnScaledBits)}
-        SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= $KnnK ORDER BY vec_id, rank"""),
+      Some(knnGraphDuckSql(KnnScaledBits)),
       doc = s"Width-scaled kNN graph (bits=$KnnScaledBits ~ log2 of the " +
         "probe corpora): same two-table multiprobe recipe with a wider " +
         "signature — per-bucket load, hence candidate volume, stays " +

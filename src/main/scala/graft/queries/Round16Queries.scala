@@ -264,6 +264,13 @@ object Round16Queries {
       // near-neighbor clusters no width can split)
       gridHotLoad: Long = 0L)
       : (DataFrame, DataFrame, DataFrame) = {
+    // mirror gridJoinPairs' contract (plus 0 = guard off): any OTHER
+    // negative value would otherwise route as "hot" through the
+    // != 0L check below instead of failing loudly
+    require(gridHotLoad >= 0L ||
+        gridHotLoad == graft.operators.Salting.DeriveHotLoad,
+      s"gridHotLoad must be 0 (guard off), a positive threshold, or " +
+        s"Salting.DeriveHotLoad, got $gridHotLoad")
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -430,6 +437,14 @@ object Round16Queries {
         FROM sims)"""
   }
 
+  /** The full auto-width kNN-graph oracle statement as a named val —
+    * the declared row and the round-19 recall audit nest this
+    * IDENTICAL statement (one definition, no drift).
+    */
+  private[graft] lazy val knnGraphAutoDuckSql: String =
+    s"""WITH $knnAutoDuckCtes
+      SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""
 
   /** The auto-width ANN oracle as a named val - shared VERBATIM by
     * the declared row and its round-17b hot-bucket-guarded twin (the
@@ -597,9 +612,7 @@ object Round16Queries {
         val (res, all) = knnGraphAutoPlan(s, dir)
         try res.localCheckpoint(true) finally all.unpersist(false)
       },
-      Some(s"""WITH $knnAutoDuckCtes
-        SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-        WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""),
+      Some(knnGraphAutoDuckSql),
       doc = s"Auto-width kNN graph (k=${Round13Queries.KnnK}): bits = " +
         s"clamp(ceil(log2 n), $KnnAutoMinBits, $KnnAutoMaxBits) derived " +
         "IN-PLAN from a 1-row broadcast count scalar via length(bin(n-1)) " +

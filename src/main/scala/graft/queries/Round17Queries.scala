@@ -47,7 +47,7 @@ object Round17Queries {
     * it bit-for-bit (both engines' `/` is true division; DuckDB's
     * CAST rounds where Spark's truncates, so floor() is spelled out).
     */
-  private def ivfAutoWidth(vecs: DataFrame, maxK: Long): DataFrame =
+  private[queries] def ivfAutoWidth(vecs: DataFrame, maxK: Long): DataFrame =
     vecs.agg(count(lit(1)).as("n"))
       .withColumn("kk",
         greatest(lit(IvfAutoMinK), least(lit(maxK), ceil(sqrt(col("n")))))
@@ -88,7 +88,7 @@ object Round17Queries {
   }
 
   /** The matching DuckDB width CTE body (over `nvecs`/`vecs`). */
-  private def ivfAutoWidthSql(src: String, maxK: Long): String =
+  private[queries] def ivfAutoWidthSql(src: String, maxK: Long): String =
     s"""SELECT n, kk,
         greatest(1, CAST(floor(CAST(n AS DOUBLE) / kk) AS BIGINT)) AS stride,
         CAST(ceil(sqrt(kk)) AS INT) AS npr

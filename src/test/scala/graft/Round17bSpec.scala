@@ -202,14 +202,19 @@ class Round17bSpec extends SparkSpec {
 
   test("gridJoinPairs DeriveHotLoad: in-plan tail threshold on planted skew, pair set preserved") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    // 200 cold buckets (load 1) + one 40-home hot bucket: the in-plan
-    // tail quantile of the load rollup sits at 1, so only the planted tail routes
-    // through the grid — and the emitted pair set must equal the plain
-    // equi-join's for ANY threshold (the routing-only law)
+    import org.apache.spark.sql.functions.{col, count, expr, lit, pmod, xxhash64}
+    // 1500 cold buckets (load 1) + one 40-home hot bucket: with >1000
+    // distinct buckets the p999 of the load rollup sits at the cold
+    // load (1), so the planted tail — and only it — clears the strict
+    // `load > thr` filter. Below ~1000 buckets approx_percentile(0.999)
+    // returns the MAX load and the derived guard no-ops by design (the
+    // documented DeriveHotLoad small-cardinality note) — which is why
+    // this arm both plants past that cardinality AND asserts engagement
+    // below: a never-routing guard would pass the set-equality check
+    // silently (round-19 advice).
     val homes = ((1L to 40L).map(i => (0L, i)) ++
-      (1L to 200L).map(b => (b, 1000L + b))).toDF("s", "vec_b")
-    val probes = (0L to 200L).map(b => (b, -b - 1)).toDF("s", "vec_a")
+      (1L to 1500L).map(b => (b, 1000L + b))).toDF("s", "vec_b")
+    val probes = (0L to 1500L).map(b => (b, -b - 1)).toDF("s", "vec_a")
     val plain = probes.join(homes, "s")
       .select(col("s"), col("vec_a"), col("vec_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
@@ -220,6 +225,21 @@ class Round17bSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(gridded == plain, "derived-threshold guard changed the pair set")
     assert(plain.count(_._1 == 0L) == 40, "planted hot bucket missing")
+    // engagement: (a) the derived threshold actually sits BELOW the hot
+    // load (the guard's own quantile expression over the planted
+    // rollup), so bucket 0 routes through the grid arm...
+    val thr = homes.groupBy(col("s")).agg(count(lit(1)).as("__load"))
+      .agg(expr("approx_percentile(__load, " +
+        s"${graft.operators.Salting.GuardTailQuantile}, 10000)"))
+      .head.getLong(0)
+    assert(thr < 40L && thr >= 1L,
+      s"derived p999 threshold $thr must sit below the planted hot load")
+    // ...and (b) the grid arm genuinely spreads the hot bucket's homes
+    // over >1 salt cell (the gridJoinPairs test's engagement law)
+    val saltCells = homes.filter(col("s") === 0L)
+      .withColumn("salt", pmod(xxhash64(col("vec_b")), lit(4L)))
+      .select(col("salt")).distinct().count()
+    assert(saltCells > 1, "hot bucket did not split across salt cells")
 
     // the collected-key variant (the declared row's fast path: zero
     // extra joins, isInCollection routing) obeys the same law

@@ -71,6 +71,59 @@ class SkewGuardSpec extends SparkSpec {
       s"expected ${Grid * (Grid + 1) / 2} grid cells, saw ${loads.length}")
   }
 
+  test("gridSelfPairs DeriveHotLoad: in-plan tail threshold engages on planted skew, pair set preserved") {
+    import spark.implicits._
+    // one 120-row hot bucket + 1200 cold buckets of load 2: with >1000
+    // distinct buckets the p999 of the load rollup sits at the cold
+    // load, so the planted tail — and only it — clears the strict
+    // `load > thr` filter (below ~1000 buckets the sketch quantile
+    // equals the max load and the derived guard no-ops by design —
+    // the documented DeriveHotLoad small-cardinality note)
+    val hot = (1 to 120).map(i => (i.toLong, "B", 777777L, i.toLong))
+    val cold = (1 to 1200).flatMap(b => Seq(
+      (10000L + 2 * b, "B", b.toLong, 1L),
+      (10001L + 2 * b, "B", b.toLong, 2L)))
+    val rows = (hot ++ cold).toDF("doc_id", "band", "band_val", "payload")
+    val naive = rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Salting.gridSelfPairs(rows, Seq("band", "band_val"),
+        "doc_id", Seq("payload"), Grid, Salting.DeriveHotLoad)
+      .select(col("a_doc_id"), col("b_doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "a pair was emitted more than once")
+    assert(got.toSet == naive, "derived-threshold guard changed the pair set")
+    // engagement: the derived threshold (the guard's own quantile
+    // expression over the planted rollup) sits below the hot load, so
+    // the 120-row bucket routes through the grid arm — a never-routing
+    // guard would pass the set-equality law silently
+    val thr = rows.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("__load"))
+      .agg(expr(s"approx_percentile(__load, ${Salting.GuardTailQuantile}, 10000)"))
+      .head.getLong(0)
+    assert(thr >= 2L && thr < 120L,
+      s"derived p999 threshold $thr must sit below the planted hot load")
+  }
+
+  test("the declared guarded row's DEFAULT derived threshold preserves the pair set on the fixture") {
+    val dir = sf("sf0.001")
+    val (unguarded, d1) = graft.queries.DedupQueries
+      .simhashBandedPairs(spark, dir, graft.queries.DedupQueries.SimhashTightMaxHamming)
+    val expect = unguarded.collect().map(r => (r.get(0), r.get(1))).toSet
+    d1.unpersist()
+    // defaults = the declared dedup_simhash_banded_guarded config
+    // (grid 8, hotLoad = Salting.DeriveHotLoad since round 19)
+    val (guardedPairs, d2) = graft.queries.DedupQueries
+      .simhashBandedPairsGuarded(spark, dir)
+    val got = guardedPairs.collect().map(r => (r.get(0), r.get(1))).toSet
+    d2.unpersist()
+    assert(got == expect,
+      s"derived-default guarded (${got.size}) and unguarded (${expect.size}) pair sets differ")
+  }
+
   test("the guarded banded dedup matches the unguarded pair set on the fixture") {
     // force the guard ON for every bucket (hotLoad=1): the pure-grid
     // path must still reproduce the plain bucket join bit for bit
