@@ -719,6 +719,17 @@ object ScaleProbe {
       // (edge recall per build vs the brute panel truth) — how each
       // GRAPH build's candidate generation holds as the corpus grows
       // m× in distractors
+      // disposition twins for the simhash guard's threshold form:
+      // the SAME banded pipeline with the retired constant 256 vs the
+      // round-19 derived p999 — separates the quantile stage's cost
+      // from routing-volume cost (the pair set is identical in both)
+      case "dedup_simhash_banded_grd_c256" =>
+        val (p, d) = queries.DedupQueries
+          .simhashBandedPairsGuarded(spark, dir, hotLoad = 256L)
+        try p.localCheckpoint(true) finally d.unpersist(false)
+      case "dedup_simhash_banded_grd_drv" =>
+        val (p, d) = queries.DedupQueries.simhashBandedPairsGuarded(spark, dir)
+        try p.localCheckpoint(true) finally d.unpersist(false)
       case "sim_knn_graph_recall_means" | "sim_knn_graph_recall_scale_means" =>
         // the full declared row runs ALL FOUR builds — including the
         // fixture 8-bit teaching config, quadratic past ×10; the

@@ -98,24 +98,42 @@ object Salting {
       s"hotLoad must be positive or DeriveHotLoad, got $hotLoad")
     val bc = bucketCols.map(col)
     // bucket loads: tiny (one row per DISTINCT bucket value) — the hot
-    // set is smaller still and broadcasts; this is the one extra pass
-    // the guard costs, and it is a map-side-combinable count.
-    // DeriveHotLoad: threshold = the rollup's own p999 via one extra
-    // broadcast 1-row sketch aggregate (the gridJoinPairs discipline —
-    // corpus-dependent thresholds are runtime facts, not constants a
-    // human re-tunes; the quantile only ROUTES rows, so the emitted
-    // pair set is identical for ANY threshold; see the DeriveHotLoad
-    // small-cardinality note)
+    // set is smaller still; this is the one extra pass the guard
+    // costs, and it is a map-side-combinable count.
+    //
+    // DeriveHotLoad: threshold = the rollup's own p999, derived AND
+    // collected in ONE bounded job (≤ GuardMaxHotKeys keys — the
+    // round-18 collected-key discipline: the inline tag-join form
+    // measured a near-constant multi-second tax from the extra stage
+    // barriers + two broadcast tag joins; re-measured here at 3.48 s
+    // vs 1.61 s for the constant form on the sf0.1 corpus before this
+    // routing swap). Hot rows are then routed by a codegen'd
+    // xxhash64-membership predicate with ZERO extra joins. A hash
+    // collision can only route an extra cold bucket through the grid
+    // arm — routing is correctness-free by construction (the pair set
+    // is threshold-invariant), so hashing the composite bucket key is
+    // safe where an equality tag join would need the full tuple.
     val loads = rows.groupBy(bc: _*).agg(count(lit(1)).as("__load"))
-    val hotLoads =
+    val tagged =
       if (hotLoad == DeriveHotLoad) {
         val thr = loads.agg(
           expr(s"approx_percentile(__load, $GuardTailQuantile, 10000)")
             .as("__thr"))
-        loads.crossJoin(broadcast(thr)).filter(col("__load") > col("__thr"))
-      } else loads.filter(col("__load") > hotLoad)
-    val hot = hotLoads.select(bc: _*).withColumn("__hot", lit(true))
-    val tagged = rows.join(broadcast(hot), bucketCols, "left")
+        val hotKeys = loads.withColumn("__k", xxhash64(bc: _*))
+          .crossJoin(broadcast(thr))
+          .filter(col("__load") > col("__thr"))
+          .orderBy(col("__load").desc, col("__k").asc)
+          .limit(GuardMaxHotKeys)
+          .select(col("__k")).collect().map(_.getLong(0)).toSeq
+        val isHot =
+          if (hotKeys.isEmpty) lit(false)
+          else xxhash64(bc: _*).isInCollection(hotKeys)
+        rows.withColumn("__hot", when(isHot, lit(true)))
+      } else {
+        val hot = loads.filter(col("__load") > hotLoad)
+          .select(bc: _*).withColumn("__hot", lit(true))
+        rows.join(broadcast(hot), bucketCols, "left")
+      }
     val outCols = (idCol +: payload)
     def prefixed(df: DataFrame, p: String, extra: Seq[String]): DataFrame =
       df.select((bucketCols ++ extra).map(col) ++
