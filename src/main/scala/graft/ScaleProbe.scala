@@ -730,6 +730,59 @@ object ScaleProbe {
       case "dedup_simhash_banded_grd_drv" =>
         val (p, d) = queries.DedupQueries.simhashBandedPairsGuarded(spark, dir)
         try p.localCheckpoint(true) finally d.unpersist(false)
+      // stage decomposition of the IVF-cell kNN build: cells = the
+      // argmin/probe pass alone; cand = + candidate join and exact
+      // cosine (count forces the math via an agg over the column);
+      // the declared row adds only the top-k window beyond this
+      // attribution twin: the RETIRED dense-id sampled-point cents on
+      // TODAY'S corpus — separates the honest-cells fix's recall
+      // effect from a driver fixture redraw
+      case "sim_ivf_topk_auto_oldcells_means" =>
+        val df = queries.Round19Queries.ivfOldCellsRecall(spark, dir)
+        val r = df.agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+        println(s"""{"metric":"ivf_oldcells_recall","multiplier":$m,""" +
+          s""""mean_recall":${r.getDouble(0)},"hits":${r.getLong(1)}}""")
+        df
+      // nprobe sensitivity of the IVF-cell graph build: recall + wall
+      // at nprobe = 1/2/4 through the SAME shared recall arithmetic —
+      // the measured price curve behind the declared KnnIvfNprobe
+      case "sim_knn_graph_ivf_npr_sweep" =>
+        Seq(1, 2, 4).foreach { npr =>
+          val t0 = System.nanoTime()
+          val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+            (s, d) => {
+              val (res, cells) = queries.Round19Queries.knnGraphIvfPlan(s, d, npr)
+              try res.localCheckpoint(true) finally cells.unpersist(false)
+            }
+          val rec = queries.Round19Queries
+            .graphRecallOver(spark, dir, Seq(s"ivf_npr$npr" -> fn))
+            .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"knn_graph_ivf_npr","multiplier":$m,""" +
+            s""""nprobe":$npr,"mean_recall":${rec.getDouble(0)},""" +
+            s""""hits":${rec.getLong(1)},"sec":$dt}""")
+          spark.catalog.clearCache()
+        }
+        spark.range(1).toDF("ok")
+      case "sim_knn_graph_ivf_cells" =>
+        val (_, cells) = queries.Round19Queries.knnGraphIvfPlan(spark, dir)
+        try cells.agg(sum(expr("cells[0]"))).localCheckpoint(true)
+        finally cells.unpersist(false)
+      case "sim_knn_graph_ivf_cand" =>
+        val (_, cells) = queries.Round19Queries.knnGraphIvfPlan(spark, dir)
+        try {
+          val homes = cells.select(col("vec_id"), col("v"), col("nrm"),
+            col("cells").getItem(0).as("cell"))
+          val probes = cells.select(col("vec_id").as("query_id"),
+            col("v").as("qv"), col("nrm").as("qn"),
+            explode(col("cells")).as("cell"))
+          functions.GraftFunctions.register(spark)
+          homes.join(probes.hint("shuffle_hash"), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(expr("round(vec_dot(v, qv) / (nrm * qn), 6)").as("cosine"))
+            .agg(sum(col("cosine")))
+            .localCheckpoint(true)
+        } finally cells.unpersist(false)
       case "sim_knn_graph_recall_means" | "sim_knn_graph_recall_scale_means" =>
         // the full declared row runs ALL FOUR builds — including the
         // fixture 8-bit teaching config, quadratic past ×10; the

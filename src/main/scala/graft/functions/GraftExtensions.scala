@@ -39,6 +39,16 @@ object GraftFunctions {
         require(children.length == 2, "pq_argmin(sub, codebook) takes two arguments")
         PqArgmin(children.head, children(1))
       }),
+    (new FunctionIdentifier("pq_argmin_k"),
+      new ExpressionInfo(classOf[PqArgminK].getName, "pq_argmin_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "pq_argmin_k(sub, codebook, k) takes three arguments")
+        require(children(2).foldable,
+          "pq_argmin_k's k must be a literal")
+        PqArgminK(children.head, children(1),
+          children(2).eval().asInstanceOf[Number].intValue)
+      }),
     (new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
       (children: Seq[Expression]) => {

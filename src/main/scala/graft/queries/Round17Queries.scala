@@ -98,22 +98,45 @@ object Round17Queries {
             CAST(ceil(sqrt(count(*))) AS BIGINT))) AS INT) AS kk
         FROM $src)"""
 
+  /** Engine-portable 60-bit id hash (md5 of the decimal string, first
+    * 15 hex chars) — the Round15b h60 recipe over a BIGINT id; shared
+    * by the hash-residue centroid sample and its DuckDB replay.
+    */
+  private[queries] def idHash60Spark(idCol: String): String =
+    s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)"
+  private[queries] def idHash60Duck(idCol: String): String =
+    s"CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   /** Count-derived IVF serving over a caller-prepared (and persisted)
     * (vec_id, v, nrm) corpus — the recall audit threads ONE shared
     * persisted corpus through every index builder (round-17 advice);
     * the width crossJoin is narrow over the cache, cheap to
     * re-evaluate per consumer.
+    *
+    * Centroids are a HASH-RESIDUE sample since round 19:
+    * h60(vec_id) % stride = 0 — expected n/stride ≈ K cells whatever
+    * the id layout. The round-17 sampled-point rule (vec_id % stride
+    * = 0 AND vec_id < stride·kk) silently assumed a dense contiguous
+    * id space: on any offset/sparse layout (probe corpora replicate
+    * ids into disjoint 10^7 blocks; production ids are never
+    * contiguous) only ids below stride·kk qualify, collapsing the
+    * cell count — MEASURED at the ×10 rotate corpus: 14 cells where
+    * K=142 was derived, which silently turned "probe npr cells" into
+    * "scan most of the corpus" (recall 1.00 bought by a broken
+    * prune, the exact subsidy pattern of the round-18 correlated
+    * hyperplanes). The hash residue is a pure function of vec_id, so
+    * both engines replay the identical sample; cell count is binomial
+    * around K (±2√K) — an IVF quantizer needs "about K spread cells",
+    * not exactly K.
     */
   private[graft] def ivfTopkAutoServe(corpus: DataFrame): DataFrame = {
     val width = ivfAutoWidth(corpus, IvfAutoMaxK)
     val all = corpus.crossJoin(broadcast(width))
-    // the V2 sampled-point rule at the derived stride; serving is the
-    // SHARED SimilarityQueries.ivfServe pipeline (review finding: the
-    // first draft duplicated it verbatim — the drift trap this round's
-    // firstSurvivors refactor exists to prevent)
+    // serving is the SHARED SimilarityQueries.ivfServe pipeline
+    // (review finding: the first draft duplicated it verbatim — the
+    // drift trap the firstSurvivors refactor exists to prevent)
     val cents = all
-      .filter(col("vec_id") % col("stride") === 0 &&
-        col("vec_id") < col("stride") * col("kk"))
+      .filter(expr(idHash60Spark("vec_id")) % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     SimilarityQueries.ivfServe(all, cents, col("npr"))
   }
@@ -141,7 +164,7 @@ object Round17Queries {
         cents AS (
           SELECT vec_id AS cent_id, v AS cv
           FROM nvecs CROSS JOIN width
-          WHERE vec_id % stride = 0 AND vec_id < stride * kk)""",
+          WHERE ${idHash60Duck("vec_id")} % stride = 0)""",
       "(SELECT npr FROM width)")
 
   val defs: Seq[QueryDef] = Seq(
@@ -169,9 +192,10 @@ object Round17Queries {
 
     // ── IVF top-k with count-derived K and nprobe ────────────────────
     // sim_ivf_topk's serving pipeline with every width a runtime fact:
-    // K = clamp(ceil(sqrt(n)), 4, 4096) (FAISS sizing), centroids =
-    // every floor(n/K)-th vector id up to K of them (the fixture row's
-    // sampled-point rule at the derived stride), nprobe = ceil(sqrt(K)).
+    // K = clamp(ceil(sqrt(n)), 4, 4096) (FAISS sizing), centroids = a
+    // hash-residue sample of ~K vectors (h60(vec_id) % stride = 0 —
+    // id-distribution-free since round 19; see ivfTopkAutoServe's
+    // measured cell-collapse note), nprobe = ceil(sqrt(K)).
     // Same plan shape: broadcast centroid table, one-pass argmin
     // assignment, per-query in-ball probe list, equi-join candidate
     // restriction, ONE top-k rollup shuffle (literal IvfTopK keeps the
@@ -186,8 +210,10 @@ object Round17Queries {
       Some(ivfTopkAutoDuckSql),
       doc = "IVF top-k with K = clamp(ceil(sqrt(n)), 4, 4096) and " +
         "nprobe = ceil(sqrt(K)) derived from a 1-row broadcast count " +
-        "(the FAISS sizing rule, in-plan): sim_ivf_topk's serving " +
-        "pipeline with zero per-dataset width retuning."),
+        "(the FAISS sizing rule, in-plan), centroids = an " +
+        "id-distribution-free hash-residue sample of ~K vectors: " +
+        "sim_ivf_topk's serving pipeline with zero per-dataset width " +
+        "retuning."),
 
     // ── Lloyd-trained IVF with count-derived K and nprobe ────────────
     // The sim_ivf_kmeans_topk composition at the derived K: the Lloyd

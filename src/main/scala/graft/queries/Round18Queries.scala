@@ -277,13 +277,19 @@ object Round18Queries {
     // agreement p ≈ 0.63), where per-table catch decays as p^bits and
     // LSH theory prices recall-preserving scaling at L ~ n^ρ tables
     // with ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.67 — hundreds of tables by ×52.
-    // The measured engineering conclusion (BASELINE.md round 18):
-    // sign-LSH serving has NO recall-preserving bounded-cost scale
-    // path in the mid-cosine regime; the corpus-appropriate serving
-    // index is IVF, whose count-derived form holds recall 1.00 at
-    // near-linear cost in the same audit. This row stays declared as
-    // the bounded-cost form precisely so the audit keeps that
-    // trade-off measured rather than asserted.
+    // The measured engineering conclusion (BASELINE.md round 18,
+    // REVISED round 19): sign-LSH serving has NO recall-preserving
+    // bounded-cost scale path in the mid-cosine regime; the
+    // corpus-appropriate serving index is the Lloyd-TRAINED
+    // count-derived IVF (sim_ivf_kmeans_topk_auto — 0.88–1.00 through
+    // ×104 in the contract audit). Round 18 credited the SAMPLED-cell
+    // IVF with recall 1.00, but that number was a broken prune (the
+    // dense-id centroid rule collapsed the cell count on sparse-id
+    // corpora, turning "probe npr cells" into a near-brute scan);
+    // with honest hash-residue cells it reads 0.24–0.44 — sampling
+    // doesn't preserve mid-cosine recall either, TRAINING does. This
+    // row stays declared as the bounded-cost form precisely so the
+    // audit keeps that trade-off measured rather than asserted.
     QueryDef(
       "sim_lsh_topk_auto",
       (s, dir) => {

@@ -45,50 +45,63 @@ object Round19Queries {
     * costs n_q·√K·n/K ≈ nothing, but in a graph build EVERY vector is
     * a query and candidate volume is n·nprobe·(n/K) — at the K ~ √n
     * sizing each probed cell holds ~√n vectors, so nprobe is a direct
-    * multiplier on the one corpus-sized join. The knob's recall price
-    * is exactly what V21 measures (the recall-accountability rule:
-    * declared knob + measured consequence, not a tuned constant).
+    * multiplier on the one corpus-sized join. 4 is the MEASURED sweet
+    * spot (rotate probe, BASELINE round 19): the nprobe sweep reads
+    * edge recall 0.14/0.19/0.27 at ×10 and 0.02/0.06/0.10 at ×52 for
+    * nprobe 1/2/4 — recall ~linear in nprobe (a candidate-volume
+    * knob priced in wall time) — while even nprobe=4's build stays
+    * cheaper than the auto-width LSH build at every probed leg; V21
+    * keeps the declared value's price measured.
     */
-  val KnnIvfNprobe = 2
+  val KnnIvfNprobe = 4
 
   /** Un-materialized IVF-cell kNN pipeline plus its persisted cell
     * stage — (result, persisted stage). Cells are the V2b count-derived
-    * sampled-point centroids (K = clamp(⌈√n⌉, 4, 4096), every
-    * ⌊n/K⌋-th vector id — the FAISS sizing rule, in-plan); each vector
+    * centroids (K = clamp(⌈√n⌉, 4, 4096) — the FAISS sizing rule,
+    * in-plan) drawn by the round-19 hash-residue sample
+    * (h60(vec_id) % stride = 0 — id-distribution-free; see
+    * ivfTopkAutoServe's measured cell-collapse note); each vector
     * computes its KnnIvfNprobe nearest cells in ONE zero-shuffle
-    * codegen pass over the broadcast centroid array (the kmeans-auto
-    * argmin shape: vec_dist2 + array_sort + slice, ties to the lowest
-    * cell id — bit-identical to the oracle's ORDER BY d2, pos), homes
-    * at cells[0] (the argmin IS rank 1 of the same sort); candidates =
-    * probes ⋈ homes on the cell id — each (query, neighbor) pair meets
-    * AT MOST once because a home cell is unique, so there is no
-    * multi-table dedup stage at all — then one exact cosine verify and
-    * ONE WindowGroupLimit-pruned top-KnnK rollup. Shuffles: the
-    * candidate equi-join and the top-k window — nothing else.
+    * codegen pass over the broadcast centroid array (pq_argmin_k —
+    * compiled insertion loop, ties to the lowest cell position;
+    * positions are vec_id-ordered so the tiebreak is bit-identical to
+    * the oracle's ORDER BY d2, pos), homes at cells[0] (the argmin IS
+    * rank 1 of the same order); candidates = probes ⋈ homes on the
+    * cell id — each (query, neighbor) pair meets AT MOST once because
+    * a home cell is unique, so there is no multi-table dedup stage at
+    * all — then one exact cosine verify and ONE WindowGroupLimit-
+    * pruned top-KnnK rollup. Shuffles: the candidate equi-join and the
+    * top-k window — nothing else.
     */
   private[graft] def knnGraphIvfPlan(
-      s: org.apache.spark.sql.SparkSession, dir: String)
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = KnnIvfNprobe)
       : (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val corpus = Round13Queries.vectors(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
     val width = Round17Queries.ivfAutoWidth(corpus, Round17Queries.IvfAutoMaxK)
     val all = corpus.crossJoin(broadcast(width))
+    // hash-residue centroid sample (~K cells whatever the id layout —
+    // the round-19 cell-collapse fix, see ivfTopkAutoServe): cells are
+    // numbered by vec_id rank inside the broadcast array, so the
+    // (d2, pos) tiebreak is monotone in cent id, exactly the oracle's
     val cents = all
-      .filter(col("vec_id") % col("stride") === 0 &&
-        col("vec_id") < col("stride") * col("kk"))
-      .select(expr("CAST(vec_id div stride AS INT)").as("cid"),
-        col("v").as("cv"))
+      .filter(expr(Round17Queries.idHash60Spark("vec_id")) %
+        col("stride") === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     // one narrow pass: the KnnIvfNprobe nearest cells per vector, cell
-    // ids 0..K-1 in centroid-array position order (pos ≡ vec_id/stride,
-    // monotone in cent id, so the (d2, pos) tiebreak is the oracle's)
+    // ids = positions in the vec_id-ordered centroid array.
+    // pq_argmin_k is the compiled insertion loop — the interpreted-HOF
+    // slice(array_sort(transform(...))) form measured 26.9 s at the ×10
+    // probe for the same O(n·K·dim) flops (per-element lambda dispatch
+    // + n·K struct allocations); materialized once (the knnGraphAutoPlan
+    // discipline: both join sides read this stage)
     val cells = corpus.crossJoin(broadcast(Round11bQueries.centArray(cents)))
-      .withColumn("cells", expr(
-        s"""transform(slice(array_sort(transform(cents,
-            (c, i) -> struct(vec_dist2(v, c) AS d2, i AS pos))),
-            1, $KnnIvfNprobe), x -> x.pos)"""))
+      .withColumn("cells", expr(s"pq_argmin_k(v, cents, $nprobe)"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
       .persist()
+    cells.count()
     val homes = cells.select(col("vec_id"), col("v"), col("nrm"),
       col("cells").getItem(0).as("cell"))
     val probes = cells.select(col("vec_id").as("query_id"),
@@ -131,9 +144,9 @@ object Round19Queries {
       width AS (${Round17Queries.ivfAutoWidthSql("nvecs",
         Round17Queries.IvfAutoMaxK)}),
       cents AS (
-        SELECT CAST(vec_id // stride AS INT) AS pos, v AS cv
+        SELECT vec_id AS pos, v AS cv
         FROM nvecs CROSS JOIN width
-        WHERE vec_id % stride = 0 AND vec_id < stride * kk),
+        WHERE ${Round17Queries.idHash60Duck("vec_id")} % stride = 0),
       cellranks AS (
         SELECT a.vec_id, a.v, a.nrm, c.pos,
           row_number() OVER (PARTITION BY a.vec_id
@@ -236,6 +249,43 @@ object Round19Queries {
       .orderBy(col("build"), col("query_id"))
   }
 
+  /** Attribution twin for the BASELINE round-19 recall table — NOT a
+    * declared row: V2b's serving pipeline with the RETIRED dense-id
+    * sampled-point centroid rule, plus its recall vs the exact panel
+    * truth, so the probe can separate the honest-cells fix's recall
+    * effect from a driver fixture redraw ON THE SAME corpus (the
+    * rounds-16/17 drift-hunt lesson: attribute before narrating).
+    */
+  private[graft] def ivfOldCellsRecall(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import SimilarityQueries.IvfTopK
+    val corpus = SimilarityQueries.vectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    try {
+      val width = Round17Queries.ivfAutoWidth(corpus, Round17Queries.IvfAutoMaxK)
+      val all = corpus.crossJoin(broadcast(width))
+      val cents = all
+        .filter(col("vec_id") % col("stride") === 0 &&
+          col("vec_id") < col("stride") * col("kk"))
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val approx = SimilarityQueries.ivfServe(all, cents, col("npr"))
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = SimilarityQueries.bruteTopk(all, IvfTopK)
+        .select(col("query_id"), col("neighbor_id"))
+      val tn = truth.groupBy(col("query_id")).agg(count(lit(1)).as("t_n"))
+      val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      tn.join(hit, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") /
+            col("t_n").cast("double")).as("recall"))
+        .orderBy(col("query_id"))
+        .localCheckpoint(true)
+    } finally corpus.unpersist(false)
+  }
+
   /** The scale-path builds alone (auto-width LSH, IVF-cell) — the
     * ScaleProbe recall-trajectory subset.
     */
@@ -276,9 +326,10 @@ object Round19Queries {
       knnGraphIvfFn,
       Some(knnGraphIvfDuckSql),
       doc = s"IVF-cell kNN graph (k=${Round13Queries.KnnK}): cells = " +
-        "the count-derived sampled-point centroids (K = " +
-        "clamp(ceil(sqrt(n)), 4, 4096), the FAISS sizing rule " +
-        s"in-plan), every vector probes its $KnnIvfNprobe nearest " +
+        "~K count-derived centroids (K = clamp(ceil(sqrt(n)), 4, " +
+        "4096), the FAISS sizing rule in-plan) drawn by an " +
+        "id-distribution-free hash-residue sample, every vector " +
+        s"probes its $KnnIvfNprobe nearest " +
         "cells via one zero-shuffle broadcast-argmin pass (ties to " +
         "the lowest cell id), candidates = within-probed-cell pairs " +
         "(each pair meets at most once — no dedup stage), exact " +

@@ -40,6 +40,17 @@ class Round19Spec extends SparkSpec {
     a.indices.foldLeft(0.0)((s, i) =>
       s + (a(i) - b(i)) * (a(i) - b(i)))
 
+  /** The engine-portable h60 id hash (md5 of the decimal string, first
+    * 15 hex chars) — independent Scala replay of
+    * Round17Queries.idHash60Spark.
+    */
+  private def h60(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** Scala replay of the IVF-cell kNN build's semantics. */
   private lazy val ivfReplay: Map[Long, Seq[(Int, Long, Double)]] = {
     val n = vecs.length.toLong
@@ -47,11 +58,11 @@ class Round19Spec extends SparkSpec {
       math.min(graft.queries.Round17Queries.IvfAutoMaxK,
         math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
     val stride = math.max(1L, n / kk)
-    // the sampled-point rule over vec_ids (NOT positional indexing —
-    // the rule is on ids; the fixture's ids happen to be contiguous
-    // but the replay must not assume it)
+    // the round-19 hash-residue sample: ~K cells whatever the id
+    // layout (the sampled-point rule's dense-contiguous-id assumption
+    // was the measured ×10 cell collapse)
     val cents = vecs
-      .filter { case (id, _) => id % stride == 0 && id < stride * kk }
+      .filter { case (id, _) => h60(id) % stride == 0 }
       .sortBy(_._1).map(_._2).toSeq
     // per vector: cells ranked by (d2 asc, pos asc)
     def ranked(v: Array[Double]): Seq[Int] =

@@ -30,10 +30,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sig.head == expected0)
   }
 
+  test("pq_argmin_k: ranked prefix with the (d2, index asc) tiebreak, from SQL") {
+    GraftFunctions.register(spark)
+    // d2 vs [0.0]: c0=1, c1=0, c2=1 (ties c0 — earlier index wins), c3=25
+    val r = spark.sql(
+      """SELECT pq_argmin_k(array(0.0D),
+           array(array(1.0D), array(0.0D), array(-1.0D), array(5.0D)), 3) AS ks""")
+      .collect().head.getSeq[Int](0)
+    assert(r == Seq(1, 0, 2), s"ranked prefix was $r")
+    // k beyond the candidate count returns all candidates, ranked
+    val all = spark.sql(
+      "SELECT pq_argmin_k(array(0.0D), array(array(2.0D), array(1.0D)), 9) AS ks")
+      .collect().head.getSeq[Int](0)
+    assert(all == Seq(1, 0), s"overlong k was $all")
+    // rank 1 coincides with pq_argmin on the same inputs
+    val both = spark.sql(
+      """SELECT pq_argmin_k(array(0.5D, -1.0D),
+           array(array(0.0D, 0.0D), array(1.0D, -1.0D), array(0.5D, -1.0D)), 1)[0] AS k1,
+         pq_argmin(array(0.5D, -1.0D),
+           array(array(0.0D, 0.0D), array(1.0D, -1.0D), array(0.5D, -1.0D))) AS am""")
+      .collect().head
+    assert(both.getInt(0) == both.getInt(1))
+  }
+
   test("extension class exposes the same function list") {
     assert(GraftFunctions.all.map(_._1.funcName).sorted ==
       Seq("bloom_filter_agg", "jaccard_sim", "might_contain", "minhash_sig",
-        "pq_argmin", "vec_dist2", "vec_dot"))
+        "pq_argmin", "pq_argmin_k", "vec_dist2", "vec_dot"))
     // constructing the extensions class must not throw
     new GraftExtensions
   }

@@ -13,6 +13,11 @@ RAW = sys.argv[1]
 OLD = "PLANS.md"
 
 NEW_HEADERS = {
+    "sim_knn_graph_ivf":
+        "IVF-cell kNN graph: zero-shuffle broadcast-argmin cell pass "
+        "(pq_argmin_k over ~K hash-residue-sampled centroids), ONE "
+        "within-probed-cell candidate equi-join (no dedup stage), one "
+        "WindowGroupLimit-pruned top-k rollup (round 19)",
     "st_incremental_ann_auto":
         "ST27b batch twin at the scale-safe substrate: the auto-width "
         "sign-LSH pair join (bits derived in-plan) reduced to "
