@@ -71,8 +71,9 @@ object Plans {
     "st_incremental_ann_auto", "sim_lsh_topk_auto",
     // round 19: the IVF-cell kNN graph (zero-shuffle broadcast-argmin
     // cell pass; candidates = ONE within-probed-cell equi-join — no
-    // multi-table dedup stage — then one top-k rollup)
-    "sim_knn_graph_ivf")
+    // multi-table dedup stage — then one top-k rollup) and its
+    // Lloyd-trained twin (same tail over the trained quantizer)
+    "sim_knn_graph_ivf", "sim_knn_graph_ivf_kmeans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -166,6 +167,10 @@ object Plans {
           val (res, cells) =
             graft.queries.Round19Queries.knnGraphIvfPlan(spark, dir)
           (res, Some(Seq(cells)))
+        case "sim_knn_graph_ivf_kmeans" =>
+          val (res, stages) =
+            graft.queries.Round19Queries.knnGraphIvfKmeansPlan(spark, dir)
+          (res, Some(stages))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

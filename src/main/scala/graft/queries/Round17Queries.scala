@@ -218,9 +218,10 @@ object Round17Queries {
     // ── Lloyd-trained IVF with count-derived K and nprobe ────────────
     // The sim_ivf_kmeans_topk composition at the derived K: the Lloyd
     // rounds were always k-agnostic (the centroid table is data); only
-    // the INIT set was a declaration-time literal. Init = first K
-    // vector ids (the kmeansInit rule at runtime K), training via the
-    // shared kmeansTrainFrom, serving identical with nprobe a column.
+    // the INIT set was a declaration-time literal. Init = the
+    // hash-residue sample of ~K vectors (round 19 — id-layout-free),
+    // training via the shared kmeansTrainFrom, serving identical with
+    // nprobe a column.
     // Flat training argmin is O(n·K) per round — fine to the 1024 cap;
     // past it the two-level routing rule (pipe_semdedup_scaled) is the
     // declared assignment path.
@@ -239,8 +240,15 @@ object Round17Queries {
           .crossJoin(broadcast(width))
           .persist()
         try {
-        val c0 = vecs.filter(col("vec_id") < col("kk"))
-          .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        // init = the hash-residue sample (~kk seeds whatever the id
+        // layout — the round-19 V2b cell-collapse fix applied to the
+        // init rule too: `vec_id < kk` is EMPTY on a corpus whose ids
+        // start above kk); Lloyd re-indexes to dense positions after
+        // round 1 either way, and the oracle's c0 pos = vec_id ranks
+        // identically (monotone)
+        val c0 = vecs
+          .filter(expr(idHash60Spark("vec_id")) % col("stride") === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
         val cents = Round11bQueries.kmeansTrainFrom(
           vecs.select(col("vec_id"), col("v")), c0, Round11bQueries.KmIters)
         val ca = Round11bQueries.centArray(cents)
@@ -278,10 +286,37 @@ object Round17Queries {
       Some(ivfKmeansTopkAutoDuckSql),
       doc = "Lloyd-trained IVF (FAISS IndexIVFFlat recipe) at K = " +
         "clamp(ceil(sqrt(n)), 4, 1024), nprobe = ceil(sqrt(K)), both " +
-        "derived in-plan: the k-agnostic Lloyd rounds over a " +
-        "count-thresholded init set; serving identical to " +
-        "sim_ivf_kmeans_topk with nprobe a column."),
+        "derived in-plan: the k-agnostic Lloyd rounds over an " +
+        "id-layout-free hash-residue init sample; serving identical " +
+        "to sim_ivf_kmeans_topk with nprobe a column."),
   )
+
+  /** ONE definition of the Lloyd-auto K clamp — referenced by the init
+    * threshold, the serving width, AND the round-19 trained-quantizer
+    * graph oracle (review finding: hand-spelled copies could drift
+    * into an internally inconsistent oracle).
+    */
+  // defs, not vals: `defs` (declared above) forces the nested oracle
+  // strings during object init, BEFORE later vals would be assigned —
+  // a val here interpolates as "null" into the SQL
+  private[queries] def kmeansAutoKClampSql: String =
+    s"""greatest($IvfAutoMinK, least($IvfKmeansAutoMaxK,
+        CAST(ceil(sqrt(count(*))) AS BIGINT)))"""
+
+  /** The Lloyd-auto init sample as a named val (round 19 —
+    * id-layout-free hash residue; pos = vec_id ranks identically to
+    * Spark's cid-sorted centroid array): stride = greatest(1,
+    * floor(n / kk)), the ivfAutoWidthSql integer math inlined over
+    * the same aggregate. Shared by the declared V9b oracle and the
+    * round-19 trained-quantizer graph oracle.
+    */
+  private[queries] def kmeansAutoC0Sql: String = {
+    val strideSql =
+      s"""SELECT greatest(1, CAST(floor(CAST(count(*) AS DOUBLE)
+          / ($kmeansAutoKClampSql)) AS BIGINT)) FROM vecs"""
+    s"""SELECT vec_id AS pos, v AS cv FROM vecs
+      WHERE ${idHash60Duck("vec_id")} % ($strideSql) = 0"""
+  }
 
   /** The count-derived Lloyd-IVF oracle as a named val — the round-18
     * contract recall row nests this IDENTICAL statement.
@@ -295,12 +330,8 @@ object Round17Queries {
         // threshold and the serving width (review finding: two
         // hand-spelled copies could drift into an internally
         // inconsistent oracle)
-        val kClampSql =
-          s"""greatest($IvfAutoMinK, least($IvfKmeansAutoMaxK,
-              CAST(ceil(sqrt(count(*))) AS BIGINT)))"""
-        val c0Sql =
-          s"""SELECT CAST(vec_id AS INT) AS pos, v AS cv FROM vecs
-            WHERE vec_id < (SELECT $kClampSql FROM vecs)"""
+        val kClampSql = kmeansAutoKClampSql
+        val c0Sql = kmeansAutoC0Sql
         s"""WITH ${Round11bQueries.kmDuckPrefixFrom(c0Sql, Round11bQueries.KmIters)},
           kwidth AS (
             SELECT kk, CAST(ceil(sqrt(kk)) AS INT) AS npr FROM (

@@ -102,6 +102,17 @@ object Round19Queries {
       .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
       .persist()
     cells.count()
+    (cellGraphServe(cells), cells)
+  }
+
+  /** Shared cell-serving tail over a prepared, persisted (vec_id, v,
+    * nrm, cells) stage: homes at cells[0] (the argmin IS rank 1 of the
+    * same order), probes at every cell, ONE candidate equi-join (a
+    * pair meets at most once — home cells are unique), exact cosine,
+    * ONE WindowGroupLimit-pruned top-KnnK rollup. ONE definition for
+    * the sampled-cell and Lloyd-trained-cell graph builds.
+    */
+  private def cellGraphServe(cells: DataFrame): DataFrame = {
     val homes = cells.select(col("vec_id"), col("v"), col("nrm"),
       col("cells").getItem(0).as("cell"))
     val probes = cells.select(col("vec_id").as("query_id"),
@@ -109,7 +120,7 @@ object Round19Queries {
       explode(col("cells")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val res = homes.join(probes.hint("shuffle_hash"), Seq("cell"))
+    homes.join(probes.hint("shuffle_hash"), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
@@ -119,7 +130,93 @@ object Round19Queries {
       .select(col("query_id").as("vec_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy(col("vec_id"), col("rank"))
-    (res, cells)
+  }
+
+  /** Un-materialized Lloyd-TRAINED-cell kNN pipeline plus its persisted
+    * stages — the round-19 measured conclusion ("sampling doesn't
+    * preserve mid-cosine recall, TRAINING does": the trained
+    * count-derived quantizer reads 0.88–1.00 through ×104 in the V20
+    * audit where honest sampled cells read 0.24–0.44) applied to the
+    * GRAPH build. Same composition as knnGraphIvfPlan with the cells
+    * coming from the V9b recipe: K = clamp(⌈√n⌉, 4, 1024), init = the
+    * hash-residue sample, 3 k-agnostic Lloyd rounds via the SHARED
+    * kmeansTrainFrom, then the shared cellGraphServe tail. Training
+    * cost is O(n·K) codegen'd argmin per round — the declared flat
+    * path to the 1024 cap; past it the two-level routing rule
+    * (pipe_semdedup_scaled) is the declared assignment path.
+    */
+  private[graft] def knnGraphIvfKmeansPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = KnnIvfNprobe)
+      : (DataFrame, Seq[DataFrame]) = {
+    graft.functions.GraftFunctions.register(s)
+    val width = Round17Queries.ivfAutoWidth(
+      Round13Queries.vectors(s, dir), Round17Queries.IvfKmeansAutoMaxK)
+    val vecs = Round13Queries.vectors(s, dir)
+      .crossJoin(broadcast(width))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    vecs.count()
+    val c0 = vecs
+      .filter(expr(Round17Queries.idHash60Spark("vec_id")) %
+        col("stride") === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cents = Round11bQueries.kmeansTrainFrom(
+      vecs.select(col("vec_id"), col("v")), c0, Round11bQueries.KmIters)
+    val cells = vecs.crossJoin(broadcast(Round11bQueries.centArray(cents)))
+      .withColumn("cells", expr(s"pq_argmin_k(v, cents, $nprobe)"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
+      .persist()
+    cells.count()
+    (cellGraphServe(cells), Seq(vecs, cells))
+  }
+
+  /** The declared trained-cell row's fn as a named val — the V21
+    * recall audit invokes this IDENTICAL function.
+    */
+  private[graft] val knnGraphIvfKmeansFn
+      : (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (res, stages) = knnGraphIvfKmeansPlan(s, dir)
+      try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
+    }
+
+  /** The trained-cell kNN oracle as a named val — the recall audit
+    * nests this IDENTICAL statement: the shared Lloyd chain
+    * (kmDuckPrefixFrom over the named-val init sample) feeding the
+    * same cell-rank serving replay as knnGraphIvfDuckSql, with cells =
+    * the round-KmIters trained centroids (dense re-indexed positions —
+    * exactly Spark's post-training centroid-array order).
+    */
+  private[graft] lazy val knnGraphIvfKmeansDuckSql: String = {
+    import Round13Queries.KnnK
+    val it = Round11bQueries.KmIters
+    val ad = VectorOps.duckDist2("a.v", "c.cv")
+    s"""WITH ${Round11bQueries.kmDuckPrefixFrom(
+        Round17Queries.kmeansAutoC0Sql, it)},
+      cellranks AS (
+        SELECT a.vec_id, a.v, ${VectorOps.duckNorm("a.v")} AS nrm, c.pos,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY $ad ASC, c.pos ASC) AS rn
+        FROM vecs a CROSS JOIN c$it c),
+      assign AS (
+        SELECT vec_id, v, nrm, pos FROM cellranks WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, pos
+        FROM cellranks WHERE rn <= $KnnIvfNprobe),
+      sims AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6)
+            AS cosine
+        FROM assign a JOIN probes p
+          ON a.pos = p.pos AND a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= $KnnK ORDER BY vec_id, rank"""
   }
 
   /** The declared row's fn as a named val — the V21 recall audit
@@ -293,7 +390,8 @@ object Round19Queries {
       : Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
     Seq(
       "lsh_auto" -> defFn(Round16Queries.defs, "sim_knn_graph_auto"),
-      "ivf_cell" -> knnGraphIvfFn)
+      "ivf_cell" -> knnGraphIvfFn,
+      "ivf_kmeans_cell" -> knnGraphIvfKmeansFn)
 
   /** (panel label, build) — the four declared kNN-graph builds, each
     * measured by the SAME panel truth: the three sign-LSH widths
@@ -304,7 +402,8 @@ object Round19Queries {
     "lsh_fixture" -> "sim_knn_graph",
     "lsh_scaled" -> "sim_knn_graph_scaled",
     "lsh_auto" -> "sim_knn_graph_auto",
-    "ivf_cell" -> "sim_knn_graph_ivf")
+    "ivf_cell" -> "sim_knn_graph_ivf",
+    "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -337,6 +436,29 @@ object Round19Queries {
         "alternative to the sign-LSH graph builds, recall-priced by " +
         "sim_knn_graph_recall."),
 
+    // ── V23: Lloyd-TRAINED-cell kNN graph ────────────────────────────
+    // The round's central measured result applied to the graph build:
+    // honest sampled cells read serving recall 0.24–0.44 at probe
+    // scale while the TRAINED count-derived quantizer reads 0.88–1.00
+    // through ×104 — trained cells co-locate the corpus's actual
+    // neighbor structure, sampled cells only tile it. Same candidate
+    // shape as sim_knn_graph_ivf (within-probed-cell pairs, shared
+    // cellGraphServe tail); only the quantizer changes: K =
+    // clamp(⌈√n⌉, 4, 1024), hash-residue init, 3 shared Lloyd rounds.
+    QueryDef(
+      "sim_knn_graph_ivf_kmeans",
+      knnGraphIvfKmeansFn,
+      Some(knnGraphIvfKmeansDuckSql),
+      doc = s"Lloyd-trained IVF-cell kNN graph (k=${Round13Queries.KnnK}" +
+        "): the V9b trained quantizer (K = clamp(ceil(sqrt(n)), 4, " +
+        "1024), id-layout-free hash-residue init, 3 k-agnostic Lloyd " +
+        s"rounds) feeding the shared cell-graph tail ($KnnIvfNprobe " +
+        "probed cells per vector via compiled pq_argmin_k, " +
+        "within-probed-cell candidates, exact cosine, one top-k " +
+        "rollup); the trained twin of sim_knn_graph_ivf — the " +
+        "round-19 audit measures what training the cells buys the " +
+        "graph build's edge recall."),
+
     // ── V21: measured edge recall of the kNN-graph builds ────────────
     // The V18/V20 recall discipline applied to the last approximate
     // family without a declared measured-recall row. Truth = one
@@ -360,7 +482,8 @@ object Round19Queries {
             defFn(Round13Queries.defs, "sim_knn_graph_scaled"),
           "sim_knn_graph_auto" ->
             defFn(Round16Queries.defs, "sim_knn_graph_auto"),
-          "sim_knn_graph_ivf" -> knnGraphIvfFn)
+          "sim_knn_graph_ivf" -> knnGraphIvfFn,
+          "sim_knn_graph_ivf_kmeans" -> knnGraphIvfKmeansFn)
         graphRecallOver(s, dir,
           GraphPanel.map { case (bld, name) => bld -> buildFn(name) })
       },
@@ -370,7 +493,8 @@ object Round19Queries {
           "lsh_scaled" ->
             Round13Queries.knnGraphDuckSql(Round13Queries.KnnScaledBits),
           "lsh_auto" -> Round16Queries.knnGraphAutoDuckSql,
-          "ivf_cell" -> knnGraphIvfDuckSql)
+          "ivf_cell" -> knnGraphIvfDuckSql,
+          "ivf_kmeans_cell" -> knnGraphIvfKmeansDuckSql)
         val buildCtes = GraphPanel.map { case (bld, _) =>
           s"""b_$bld AS (
             SELECT vec_id AS query_id, neighbor_id

@@ -120,7 +120,8 @@ class Round19Spec extends SparkSpec {
       "lsh_fixture" -> "sim_knn_graph",
       "lsh_scaled" -> "sim_knn_graph_scaled",
       "lsh_auto" -> "sim_knn_graph_auto",
-      "ivf_cell" -> "sim_knn_graph_ivf")
+      "ivf_cell" -> "sim_knn_graph_ivf",
+      "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans")
     // scaffold: every (build, panel query) present exactly once
     assert(audit.size == builds.size * math.min(KnnRecallPanel, vecs.length),
       s"scaffold incomplete: ${audit.size} rows")

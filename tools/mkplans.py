@@ -18,6 +18,10 @@ NEW_HEADERS = {
         "(pq_argmin_k over ~K hash-residue-sampled centroids), ONE "
         "within-probed-cell candidate equi-join (no dedup stage), one "
         "WindowGroupLimit-pruned top-k rollup (round 19)",
+    "sim_knn_graph_ivf_kmeans":
+        "Lloyd-trained-cell kNN graph: the shared trained quantizer "
+        "(hash-residue init, 3 Lloyd rounds) feeding the same "
+        "cell-graph serving tail as sim_knn_graph_ivf (round 19)",
     "st_incremental_ann_auto":
         "ST27b batch twin at the scale-safe substrate: the auto-width "
         "sign-LSH pair join (bits derived in-plan) reduced to "
