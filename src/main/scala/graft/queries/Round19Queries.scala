@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   *    applied to the graph build — candidate pairs = within
   *    probed-cell pairs over the count-derived V2b cells (the SemDeDup
   *    D7 in-cell pruning shape), scored exactly, one top-k rollup.
+  *  - V23 `sim_knn_graph_ivf_kmeans`: the same tail over the
+  *    Lloyd-TRAINED count-derived quantizer — the round's own measured
+  *    revision ("sampling doesn't preserve mid-cosine recall, TRAINING
+  *    does") carried to the graph family; probe legs read its edge
+  *    recall +53–56% over sampled cells at ×52–×104 at equal wall.
+  *
+  * Building V22's probe legs also exposed (and fixed) the V2b
+  * CELL-COLLAPSE bug: the dense-id sampled-point centroid rule
+  * materialized 14 cells where K=142 was derived on offset-id corpora
+  * — see ivfTopkAutoServe and BASELINE round 19.
   *
   * Reference scope note: alxmancilla/parquet-demo has no similarity
   * machinery (its compute surface is schema-driven Parquet I/O,
@@ -393,10 +403,11 @@ object Round19Queries {
       "ivf_cell" -> knnGraphIvfFn,
       "ivf_kmeans_cell" -> knnGraphIvfKmeansFn)
 
-  /** (panel label, build) — the four declared kNN-graph builds, each
+  /** (panel label, build) — the five declared kNN-graph builds, each
     * measured by the SAME panel truth: the three sign-LSH widths
-    * (fixture 8-bit, declared 12-bit, in-plan auto) and the IVF-cell
-    * build this round adds as their mid-cosine-regime alternative.
+    * (fixture 8-bit, declared 12-bit, in-plan auto) and the two
+    * IVF-cell builds this round adds as their mid-cosine-regime
+    * alternative (sampled cells, Lloyd-trained cells).
     */
   private val GraphPanel: Seq[(String, String)] = Seq(
     "lsh_fixture" -> "sim_knn_graph",
@@ -471,7 +482,7 @@ object Round19Queries {
     // named-val SQL, nested verbatim — knnGraphDuckSql /
     // knnGraphAutoDuckSql / knnGraphIvfDuckSql, promoted this round)
     // reuse one definition per build, so the audit cannot measure a
-    // drifted copy. Cost IS coverage: the row runs all four declared
+    // drifted copy. Cost IS coverage: the row runs all five declared
     // builds (full graphs — that is what the declared rows compute).
     QueryDef(
       "sim_knn_graph_recall",
@@ -530,9 +541,10 @@ object Round19Queries {
           ON s.build = h.build AND s.query_id = h.query_id
         ORDER BY s.build, s.query_id"""
       },
-      doc = s"Measured edge recall@${Round13Queries.KnnK} of the four " +
+      doc = s"Measured edge recall@${Round13Queries.KnnK} of the five " +
         "declared kNN-graph builds (sign-LSH fixture/scaled/auto " +
-        "widths, IVF-cell) vs exact brute-force truth on a " +
+        "widths, sampled-cell IVF, Lloyd-trained-cell IVF) vs exact " +
+        "brute-force truth on a " +
         s"$KnnRecallPanel-query panel (same rounding and tiebreak), " +
         "denominator = the per-query truth count computed in-plan: " +
         "the τ-graph family's candidate generation priced the way " +
