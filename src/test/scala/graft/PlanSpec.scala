@@ -453,4 +453,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "no window in the BPE loop:\n" + p.take(3000))
   }
+
+  test("sim_knn_graph_ivf: compiled cell pass, keyed candidate join, pruned top-k") {
+    // inspect the un-materialized pipeline (the declared row
+    // localCheckpoints); the persisted cell stage is released after
+    val (res, cells) = graft.queries.Round19Queries.knnGraphIvfPlan(spark, sf())
+    try {
+      res.collect() // finalize AQE so the executed plan is the real one
+      // full plan text (not outerPlan): the compiled cell pass lives
+      // INSIDE the persisted stage's InMemoryRelation
+      val p = res.queryExecution.executedPlan.toString
+      assert(p.contains("pq_argmin_k"),
+        "the cell pass must run the compiled pq_argmin_k expression:\n" +
+          p.take(3000))
+      assert(p.contains("WindowGroupLimit"),
+        "the top-k rollup must carry the WindowGroupLimit prune:\n" +
+          p.take(3000))
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("BroadcastHashJoin"),
+        "candidates must come from a KEYED equi-join on the cell id:\n" +
+          p.take(3000))
+      assert(!p.contains("CartesianProduct"),
+        "no cartesian anywhere in the serving tail:\n" + p.take(3000))
+      // exactly two exchanges beyond the cell stage: the candidate
+      // join's and the top-k window's (plus the final presentation
+      // range sort) — nothing else shuffles
+      assert(p.contains("vec_dot"),
+        "cosine must run as the native codegen'd vec_dot:\n" + p.take(3000))
+    } finally cells.unpersist(false)
+  }
 }
