@@ -155,10 +155,15 @@ object Round19Queries {
     * path to the 1024 cap; past it the two-level routing rule
     * (pipe_semdedup_scaled) is the declared assignment path.
     */
-  private[graft] def knnGraphIvfKmeansPlan(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      nprobe: Int = KnnIvfNprobe)
-      : (DataFrame, Seq[DataFrame]) = {
+  /** The trained quantizer's 1-row broadcast centroid array —
+    * materialized (localCheckpoint) so composing consumers (the graph
+    * build, the ST28 dedup twin, AND the streaming index's static
+    * quantizer — the production posture: train offline, assign online)
+    * read blocks, not the Lloyd lineage. Self-contained: its training
+    * corpus persist is released before returning.
+    */
+  private[graft] def trainedCentArray(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val width = Round17Queries.ivfAutoWidth(
       Round13Queries.vectors(s, dir), Round17Queries.IvfKmeansAutoMaxK)
@@ -166,19 +171,41 @@ object Round19Queries {
       .crossJoin(broadcast(width))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
-    vecs.count()
-    val c0 = vecs
-      .filter(expr(Round17Queries.idHash60Spark("vec_id")) %
-        col("stride") === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val cents = Round11bQueries.kmeansTrainFrom(
-      vecs.select(col("vec_id"), col("v")), c0, Round11bQueries.KmIters)
-    val cells = vecs.crossJoin(broadcast(Round11bQueries.centArray(cents)))
+    try {
+      vecs.count()
+      val c0 = vecs
+        .filter(expr(Round17Queries.idHash60Spark("vec_id")) %
+          col("stride") === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cents = Round11bQueries.kmeansTrainFrom(
+        vecs.select(col("vec_id"), col("v")), c0, Round11bQueries.KmIters)
+      Round11bQueries.centArray(cents).localCheckpoint(true)
+    } finally vecs.unpersist(false)
+  }
+
+  /** Trained-cell stage (vec_id, v, nrm, cells) — the persisted
+    * substrate shared by the V23 graph build and the ST28 dedup twin.
+    */
+  private[graft] def trainedCells(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = KnnIvfNprobe): DataFrame = {
+    val ca = trainedCentArray(s, dir)
+    val cells = Round13Queries.vectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(ca))
       .withColumn("cells", expr(s"pq_argmin_k(v, cents, $nprobe)"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
       .persist()
     cells.count()
-    (cellGraphServe(cells), Seq(vecs, cells))
+    cells
+  }
+
+  private[graft] def knnGraphIvfKmeansPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = KnnIvfNprobe)
+      : (DataFrame, Seq[DataFrame]) = {
+    val cells = trainedCells(s, dir, nprobe)
+    (cellGraphServe(cells), Seq(cells))
   }
 
   /** The declared trained-cell row's fn as a named val — the V21
@@ -198,11 +225,17 @@ object Round19Queries {
     * the round-KmIters trained centroids (dense re-indexed positions —
     * exactly Spark's post-training centroid-array order).
     */
-  private[graft] lazy val knnGraphIvfKmeansDuckSql: String = {
-    import Round13Queries.KnnK
+  /** Shared trained-cell oracle CTE chain — the unrolled Lloyd prefix
+    * plus cell ranks, ending in `assign` (vec_id, v, nrm, pos — the
+    * home cell) and `probes` (query_id, qv, qn, pos — the KnnIvfNprobe
+    * probed cells). Nested by BOTH the V23 graph oracle and the ST28
+    * dedup-twin oracle (one definition, no drift). A def, not a val:
+    * `defs` forces the nested strings during object init.
+    */
+  private def trainedCellDuckCtes: String = {
     val it = Round11bQueries.KmIters
     val ad = VectorOps.duckDist2("a.v", "c.cv")
-    s"""WITH ${Round11bQueries.kmDuckPrefixFrom(
+    s"""${Round11bQueries.kmDuckPrefixFrom(
         Round17Queries.kmeansAutoC0Sql, it)},
       cellranks AS (
         SELECT a.vec_id, a.v, ${VectorOps.duckNorm("a.v")} AS nrm, c.pos,
@@ -213,7 +246,12 @@ object Round19Queries {
         SELECT vec_id, v, nrm, pos FROM cellranks WHERE rn = 1),
       probes AS (
         SELECT vec_id AS query_id, v AS qv, nrm AS qn, pos
-        FROM cellranks WHERE rn <= $KnnIvfNprobe),
+        FROM cellranks WHERE rn <= $KnnIvfNprobe)"""
+  }
+
+  private[graft] def knnGraphIvfKmeansDuckSql: String = {
+    import Round13Queries.KnnK
+    s"""WITH $trainedCellDuckCtes,
       sims AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
           round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6)
@@ -227,6 +265,45 @@ object Round19Queries {
         FROM sims)
     SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
     WHERE rank <= $KnnK ORDER BY vec_id, rank"""
+  }
+
+  /** The ST28 pair rule as a full statement (vec_a, vec_b, cosine) —
+    * DIRECTIONAL by construction: resident a's HOME cell must be among
+    * the later arrival b's PROBED cells (only home cells hold
+    * residents online), a < b, exact cosine ≥ τ. Nested verbatim by
+    * the twin's verdict oracle.
+    */
+  private def annIvfPairsDuckSql: String =
+    s"""SELECT * FROM (
+      WITH $trainedCellDuckCtes
+      SELECT a.vec_id AS vec_a, p.query_id AS vec_b,
+        round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6)
+          AS cosine
+      FROM assign a JOIN probes p
+        ON a.pos = p.pos AND a.vec_id < p.query_id) t
+    WHERE cosine >= ${DedupQueries.CosineTau}"""
+
+  /** ST28 batch-twin pipeline: the trained-cell pair rule reduced by
+    * the shared arrival-order verdict (dup_of = min earlier τ-passing
+    * resident among the arrival's probed cells, arrival order := vec_id
+    * order) — (result, persisted stages).
+    */
+  private[graft] def annIvfTrainedPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val cells = trainedCells(s, dir)
+    val homes = cells.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cells").getItem(0).as("cell"))
+    val probes = cells.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), explode(col("cells")).as("cell"))
+    val pairs = homes.join(probes.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= DedupQueries.CosineTau)
+    (Round17Queries.annVerdict(pairs, cells.select(col("vec_id"))),
+      Seq(cells))
   }
 
   /** The declared row's fn as a named val — the V21 recall audit
@@ -469,6 +546,37 @@ object Round19Queries {
         "rollup); the trained twin of sim_knn_graph_ivf — the " +
         "round-19 audit measures what training the cells buys the " +
         "graph build's edge recall."),
+
+    // ── ST28: incremental ANN dedup over the TRAINED IVF index ───────
+    // The round's measured serving conclusion carried to the ONLINE
+    // index: the streaming dedup service worth running keeps a
+    // Lloyd-trained quantizer (trained OFFLINE — the production
+    // posture: a static broadcast centroid array, refreshed by a batch
+    // re-index event) and per-cell resident state; an arrival assigns
+    // to its KnnIvfNprobe nearest cells in one compiled pass, queries
+    // the residents of all probed cells with exact cosine, and inserts
+    // at its home cell (cells[0]). This twin declares those semantics
+    // with arrival order := vec_id order: the pair rule is DIRECTIONAL
+    // (resident a's HOME cell ∈ later arrival b's PROBED cells — only
+    // home cells hold residents online), reduced by the shared
+    // annVerdict. StreamingIvfDedupSpec pins IvfDedupStream ≡ this row
+    // across multi-file RocksDB replay.
+    QueryDef(
+      "st_incremental_ann_ivf",
+      (s, dir) => {
+        val (out, stages) = annIvfTrainedPlan(s, dir)
+        try out.localCheckpoint(true)
+        finally stages.foreach(_.unpersist(false))
+      },
+      Some(DedupQueries.annVerdictDuckSqlOver(annIvfPairsDuckSql)),
+      doc = "ST28 batch twin: per vector the smallest earlier resident " +
+        "of its probed TRAINED-IVF cells (K = clamp(ceil(sqrt(n)), 4, " +
+        s"1024) Lloyd quantizer, $KnnIvfNprobe probed cells, home = " +
+        "the argmin cell — the directional online candidate rule) " +
+        "with exact cosine >= tau, arrival order := vec_id order; the " +
+        "streaming ANN dedup index at the corpus-appropriate " +
+        "(trained) quantizer, spec-pinned bit-for-bit against " +
+        "IvfDedupStream."),
 
     // ── V21: measured edge recall of the kNN-graph builds ────────────
     // The V18/V20 recall discipline applied to the last approximate
