@@ -46,8 +46,16 @@ object GraftFunctions {
           "pq_argmin_k(sub, codebook, k) takes three arguments")
         require(children(2).foldable,
           "pq_argmin_k's k must be a literal")
+        // validate the evaluated literal before casting: a NULL or
+        // non-integral literal should be a clear analysis error, not a
+        // NullPointerException/ClassCastException from the blind cast
+        val kv = children(2).eval()
+        require(kv != null, "pq_argmin_k's k must not be NULL")
+        require(kv.isInstanceOf[Number],
+          s"pq_argmin_k's k must be an integral literal, got a " +
+            kv.getClass.getSimpleName)
         PqArgminK(children.head, children(1),
-          children(2).eval().asInstanceOf[Number].intValue)
+          kv.asInstanceOf[Number].intValue)
       }),
     (new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),

@@ -365,7 +365,16 @@ object Round19Queries {
   private def bruteKnnPanel(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val all = Round13Queries.vectors(s, dir)
-    val q = all.filter(col("vec_id") < KnnRecallPanel)
+    // The panel is the KnnRecallPanel SMALLEST vec_ids via a rank, NOT
+    // `vec_id < KnnRecallPanel` (round 20 — the same dense-contiguous-id
+    // assumption round 19 retired from centroid sampling: on an
+    // offset/sparse-id corpus with no ids below the constant the truth
+    // panel would be empty and the audit would vacuously pass). On the
+    // fixtures and replica-0-bearing probe corpora the two rules pick
+    // the identical 32 ids, so declared hashes are unchanged.
+    val panel = all.select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(KnnRecallPanel)
+    val q = all.join(broadcast(panel), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -385,8 +394,10 @@ object Round19Queries {
   private def bruteKnnPanelDuckSql: String = {
     import Round13Queries.KnnK
     s"""WITH ${Round13Queries.vectorsDuck},
-      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nvecs
-            WHERE vec_id < $KnnRecallPanel),
+      qsel AS (SELECT vec_id FROM nvecs
+               ORDER BY vec_id LIMIT $KnnRecallPanel),
+      q AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn
+            FROM nvecs n JOIN qsel USING (vec_id)),
       sims AS (
         SELECT q.query_id, a.vec_id AS neighbor_id,
           round(${VectorOps.duckDot("a.v", "q.qv")} / (a.nrm * q.qn), 6)
@@ -414,12 +425,25 @@ object Round19Queries {
       s: org.apache.spark.sql.SparkSession, dir: String,
       builds: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         DataFrame)]): DataFrame = {
-    val truth = bruteKnnPanel(s, dir).localCheckpoint(true)
+    // The panel truth is ≤ KnnRecallPanel·KnnK rows BY CONSTRUCTION —
+    // collect it to the driver and rebuild it as a local relation
+    // (round 20: the round-19 localCheckpoint pinned RDD blocks for the
+    // session's lifetime across the ScaleProbe sweeps, which invoke
+    // this repeatedly; a bounded collect is the documented scalar
+    // pattern). The panel id set rides along for each build's filter —
+    // id-distribution-free, same values as the retired `vec_id <
+    // KnnRecallPanel` on every dense-id corpus.
+    val truthRows = bruteKnnPanel(s, dir).collect().toSeq
+    val panelIds = truthRows.map(_.getLong(0)).distinct.sorted
+    import s.implicits._
+    val truth = broadcast(
+      truthRows.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("query_id", "neighbor_id"))
     val tn = truth.groupBy(col("query_id"))
       .agg(count(lit(1)).as("t_n"))
     builds.map { case (bld, f) =>
       val approx = f(s, dir)
-        .filter(col("vec_id") < KnnRecallPanel)
+        .filter(col("vec_id").isin(panelIds: _*))
         .select(col("vec_id").as("query_id"), col("neighbor_id"))
       val hit = truth
         .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
@@ -618,7 +642,7 @@ object Round19Queries {
           s"""b_$bld AS (
             SELECT vec_id AS query_id, neighbor_id
             FROM (${buildSql(bld)}) s_$bld
-            WHERE vec_id < $KnnRecallPanel)"""
+            WHERE vec_id IN (SELECT vec_id FROM panel))"""
         }.mkString(",\n          ")
         val approxArms = GraphPanel.map { case (bld, _) =>
           s"SELECT '$bld' AS build, query_id, neighbor_id FROM b_$bld"
@@ -628,6 +652,7 @@ object Round19Queries {
         }.mkString(" UNION ALL ")
         s"""WITH truth AS (
             SELECT query_id, neighbor_id FROM ($bruteKnnPanelDuckSql) tt),
+          panel AS (SELECT DISTINCT query_id AS vec_id FROM truth),
           $buildCtes,
           approx AS (
             $approxArms),

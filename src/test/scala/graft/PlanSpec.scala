@@ -475,11 +475,46 @@ class PlanSpec extends SparkSpec {
           p.take(3000))
       assert(!p.contains("CartesianProduct"),
         "no cartesian anywhere in the serving tail:\n" + p.take(3000))
-      // exactly two exchanges beyond the cell stage: the candidate
-      // join's and the top-k window's (plus the final presentation
-      // range sort) — nothing else shuffles
+      // pin the shuffle count (round-20 advice: the comment claimed a
+      // bound no assertion checked). Counted programmatically over the
+      // AQE-final plan graph — InMemoryTableScan is a LEAF there, so
+      // the persisted cell stage's internal exchanges (width scalar,
+      // centroid-array agg, repartition) are naturally excluded and
+      // only the serving tail is priced: the candidate join's two
+      // sides, the top-k window's hash exchange, and the presentation
+      // range sort. A plan regression adding shuffles now fails.
+      val shuffles = PlanSpec.countShuffles(res.queryExecution.executedPlan)
+      assert(shuffles <= 4,
+        s"expected at most 4 shuffle exchanges beyond the cell stage " +
+          s"(candidate join x2, top-k window, range sort), got $shuffles:\n" +
+          p.take(3000))
       assert(p.contains("vec_dot"),
         "cosine must run as the native codegen'd vec_dot:\n" + p.take(3000))
     } finally cells.unpersist(false)
+  }
+}
+
+object PlanSpec {
+
+  /** Shuffle-exchange count over the AQE-final plan graph, descending
+    * into adaptive subtrees and query stages. InMemoryTableScan is a
+    * leaf here (its cached plan is a separate query execution), so a
+    * persisted stage's internal exchanges are excluded by construction
+    * — exactly the "beyond the cached stage" accounting the plan
+    * comments claim.
+    */
+  def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val self = plan match {
+      case _: ShuffleExchangeLike => 1
+      case _ => 0
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case p => p.children
+    }
+    self + kids.map(countShuffles).sum
   }
 }
