@@ -73,7 +73,16 @@ object Plans {
     // cell pass; candidates = ONE within-probed-cell equi-join — no
     // multi-table dedup stage — then one top-k rollup) and its
     // Lloyd-trained twin (same tail over the trained quantizer)
-    "sim_knn_graph_ivf", "sim_knn_graph_ivf_kmeans")
+    "sim_knn_graph_ivf", "sim_knn_graph_ivf_kmeans",
+    // round 19 carried (verdict r19 item 7): the trained-IVF streaming
+    // dedup batch twin and the kNN-graph recall audit
+    "st_incremental_ann_ivf", "sim_knn_graph_recall",
+    // round 20: the bounded-load two-level IVF-cell graph (coarse
+    // broadcast-argmin route, per-coarse compiled sub-quantizers, the
+    // shared serving tail) and one un-materialized NN-Descent round
+    // (co-neighbor self-join with vectors riding the adjacency, slim
+    // cosine dedup, one pruned top-k re-rank)
+    "sim_knn_graph_ivf_scaled", "sim_knn_graph_nnd_round")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -171,6 +180,24 @@ object Plans {
           val (res, stages) =
             graft.queries.Round19Queries.knnGraphIvfKmeansPlan(spark, dir)
           (res, Some(stages))
+        // the declared row checkpoints; dump the un-materialized twin
+        case "st_incremental_ann_ivf" =>
+          val (res, stages) =
+            graft.queries.Round19Queries.annIvfTrainedPlan(spark, dir)
+          (res, Some(stages))
+        case "sim_knn_graph_ivf_scaled" =>
+          val (res, stages) =
+            graft.queries.Round20Queries.knnGraphIvfScaledPlan(spark, dir)
+          (res, Some(stages))
+        // ONE un-materialized NN-Descent round over the checkpointed
+        // seed (the declared row checkpoints every round; the novel
+        // shape is the round body itself)
+        case "sim_knn_graph_nnd_round" =>
+          val (seed, stages) =
+            graft.queries.Round20Queries.knnGraphIvfScaledPlan(spark, dir)
+          val g0 = seed.localCheckpoint(true)
+          (graft.queries.Round20Queries.nndRound(stages.last, g0),
+            Some(stages))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

@@ -749,9 +749,10 @@ object ScaleProbe {
       case "sim_knn_graph_ivf_npr_sweep" =>
         Seq(1, 2, 4).foreach { npr =>
           val t0 = System.nanoTime()
-          val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-            (s, d) => {
-              val (res, cells) = queries.Round19Queries.knnGraphIvfPlan(s, d, npr)
+          val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            base => {
+              val (res, cells) =
+                queries.Round19Queries.knnGraphIvfPlanFrom(base, npr)
               try res.localCheckpoint(true) finally cells.unpersist(false)
             }
           val rec = queries.Round19Queries

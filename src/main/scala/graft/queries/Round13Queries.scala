@@ -350,19 +350,40 @@ object Round13Queries {
     finally all.unpersist(false)
   }
 
+  /** Materializing form over a caller-prepared corpus (see
+    * [[knnGraphPlanFrom]]).
+    */
+  private[graft] def knnGraphFrom(base: DataFrame,
+      bits: Int = NBits): DataFrame = {
+    val (res, all) = knnGraphPlanFrom(base, bits)
+    try res.localCheckpoint(true)
+    finally all.unpersist(false)
+  }
+
   /** The un-materialized kNN pipeline plus its persisted bucket stage —
     * `knnGraph` checkpoints it (so composing consumers read blocks, not
     * lineage); Plans dumps this form, since the checkpointed result's
     * plan is a bare RDD scan.
     */
   private[graft] def knnGraphPlan(s: SparkSession, dir: String,
+      bits: Int = NBits): (DataFrame, DataFrame) =
+    knnGraphPlanFrom(vectors(s, dir), bits)
+
+  /** The same pipeline over a caller-prepared (vec_id, v, nrm) corpus —
+    * the round-20 shared-prepared-corpus seam: the declared rows pass
+    * the raw scan (plan unchanged), the graph-recall audit threads ONE
+    * persisted corpus through every build it prices (the
+    * sim_index_recall discipline).
+    */
+  private[graft] def knnGraphPlanFrom(base: DataFrame,
       bits: Int = NBits): (DataFrame, DataFrame) = {
+    val s = base.sparkSession
     val tables = knnTables(bits)
     def bucketCol(t: Int) = (0 until bits).map { b =>
       when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    val all = vectors(s, dir)
+    val all = base
       .withColumn("b0", bucketCol(0)).withColumn("b1", bucketCol(1))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()

@@ -168,13 +168,21 @@ object Round16Queries {
     */
   private[graft] def knnGraphAutoPlan(
       s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    knnGraphAutoPlanFrom(Round13Queries.vectors(s, dir))
+
+  /** The same pipeline over a caller-prepared (vec_id, v, nrm) corpus —
+    * the round-20 shared-prepared-corpus seam (see
+    * Round13Queries.knnGraphPlanFrom).
+    */
+  private[graft] def knnGraphAutoPlanFrom(base: DataFrame)
       : (DataFrame, DataFrame) = {
+    val s = base.sparkSession
     val tables = Round13Queries.knnTables(KnnAutoMaxBits)
     def sigCol(t: Int) = (0 until KnnAutoMaxBits).map { b =>
       when(VectorOps.dot(col("v"), typedLit(tables(t)(b))) >= 0.0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    val base = Round13Queries.vectors(s, dir)
     val width = base.agg(count(lit(1)).as("n"))
       .select(
         greatest(lit(KnnAutoMinBits), least(lit(KnnAutoMaxBits),

@@ -86,9 +86,19 @@ object Round19Queries {
   private[graft] def knnGraphIvfPlan(
       s: org.apache.spark.sql.SparkSession, dir: String,
       nprobe: Int = KnnIvfNprobe)
+      : (DataFrame, DataFrame) =
+    knnGraphIvfPlanFrom(Round13Queries.vectors(s, dir), nprobe)
+
+  /** The same pipeline over a caller-prepared (vec_id, v, nrm) corpus —
+    * the round-20 shared-prepared-corpus seam (see
+    * Round13Queries.knnGraphPlanFrom).
+    */
+  private[graft] def knnGraphIvfPlanFrom(base: DataFrame,
+      nprobe: Int = KnnIvfNprobe)
       : (DataFrame, DataFrame) = {
+    val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val corpus = Round13Queries.vectors(s, dir)
+    val corpus = base
       .repartition(s.sparkContext.defaultParallelism)
     val width = Round17Queries.ivfAutoWidth(corpus, Round17Queries.IvfAutoMaxK)
     val all = corpus.crossJoin(broadcast(width))
@@ -122,7 +132,7 @@ object Round19Queries {
     * ONE WindowGroupLimit-pruned top-KnnK rollup. ONE definition for
     * the sampled-cell and Lloyd-trained-cell graph builds.
     */
-  private def cellGraphServe(cells: DataFrame): DataFrame = {
+  private[queries] def cellGraphServe(cells: DataFrame): DataFrame = {
     val homes = cells.select(col("vec_id"), col("v"), col("nrm"),
       col("cells").getItem(0).as("cell"))
     val probes = cells.select(col("vec_id").as("query_id"),
@@ -163,11 +173,18 @@ object Round19Queries {
     * corpus persist is released before returning.
     */
   private[graft] def trainedCentArray(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    trainedCentArrayFrom(Round13Queries.vectors(s, dir))
+
+  /** The same trained quantizer over a caller-prepared corpus — the
+    * round-20 shared-prepared-corpus seam.
+    */
+  private[graft] def trainedCentArrayFrom(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val width = Round17Queries.ivfAutoWidth(
-      Round13Queries.vectors(s, dir), Round17Queries.IvfKmeansAutoMaxK)
-    val vecs = Round13Queries.vectors(s, dir)
+      base, Round17Queries.IvfKmeansAutoMaxK)
+    val vecs = base
       .crossJoin(broadcast(width))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
@@ -188,9 +205,14 @@ object Round19Queries {
     */
   private[graft] def trainedCells(
       s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = KnnIvfNprobe): DataFrame =
+    trainedCellsFrom(Round13Queries.vectors(s, dir), nprobe)
+
+  private[graft] def trainedCellsFrom(base: DataFrame,
       nprobe: Int = KnnIvfNprobe): DataFrame = {
-    val ca = trainedCentArray(s, dir)
-    val cells = Round13Queries.vectors(s, dir)
+    val s = base.sparkSession
+    val ca = trainedCentArrayFrom(base)
+    val cells = base
       .repartition(s.sparkContext.defaultParallelism)
       .crossJoin(broadcast(ca))
       .withColumn("cells", expr(s"pq_argmin_k(v, cents, $nprobe)"))
@@ -205,6 +227,13 @@ object Round19Queries {
       nprobe: Int = KnnIvfNprobe)
       : (DataFrame, Seq[DataFrame]) = {
     val cells = trainedCells(s, dir, nprobe)
+    (cellGraphServe(cells), Seq(cells))
+  }
+
+  private[graft] def knnGraphIvfKmeansPlanFrom(base: DataFrame,
+      nprobe: Int = KnnIvfNprobe)
+      : (DataFrame, Seq[DataFrame]) = {
+    val cells = trainedCellsFrom(base, nprobe)
     (cellGraphServe(cells), Seq(cells))
   }
 
@@ -290,8 +319,16 @@ object Round19Queries {
     */
   private[graft] def annIvfTrainedPlan(
       s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    annIvfTrainedPlanFrom(Round13Queries.vectors(s, dir))
+
+  /** The same twin over a caller-prepared corpus — the round-20
+    * re-index contract spec builds the GENERATION-A twin from the
+    * accepted prefix with this seam (StreamingIvfDedupSpec).
+    */
+  private[graft] def annIvfTrainedPlanFrom(base: DataFrame)
       : (DataFrame, Seq[DataFrame]) = {
-    val cells = trainedCells(s, dir)
+    val cells = trainedCellsFrom(base)
     val homes = cells.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cells").getItem(0).as("cell"))
     val probes = cells.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -362,9 +399,7 @@ object Round19Queries {
     * family's k. (query_id, neighbor_id) projection: the recall joins
     * need sets, not scores.
     */
-  private def bruteKnnPanel(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val all = Round13Queries.vectors(s, dir)
+  private def bruteKnnPanelFrom(all: DataFrame): DataFrame = {
     // The panel is the KnnRecallPanel SMALLEST vec_ids via a rank, NOT
     // `vec_id < KnnRecallPanel` (round 20 — the same dense-contiguous-id
     // assumption round 19 retired from centroid sampling: on an
@@ -411,51 +446,72 @@ object Round19Queries {
     SELECT query_id, neighbor_id FROM ranked WHERE rank <= $KnnK"""
   }
 
-  private def defFn(defs: Seq[QueryDef], name: String) =
-    defs.find(_.name == name)
-      .getOrElse(sys.error(s"no declared query named $name")).fn
-
-  /** Recall arithmetic over ANY set of (label, build fn) — ONE
-    * definition for the declared four-build row and the ScaleProbe's
-    * scale-path subset (at probe corpora the fixture 8-bit build is
-    * the known-quadratic teaching config; probing the auto/ivf recall
-    * trajectory must not pay its n²/2⁸ wall).
+  /** Recall arithmetic over ANY set of (label, build-over-corpus fn) —
+    * ONE definition for the declared multi-build row and the
+    * ScaleProbe's scale-path subset (at probe corpora the fixture
+    * 8-bit build is the known-quadratic teaching config; probing the
+    * auto/ivf recall trajectory must not pay its n²/2⁸ wall).
+    *
+    * ONE prepared corpus is threaded through the panel truth and every
+    * build (round 20 — the r17 serve-over-prepared-corpus move applied
+    * to the audit: each build re-scanned and re-normalized the parquet
+    * corpus itself). Safe to release in the finally: every build fn
+    * materializes its graph (localCheckpoint) before returning, and
+    * the truth is a bounded driver-side collect.
     */
   private[graft] def graphRecallOver(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      builds: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
-        DataFrame)]): DataFrame = {
-    // The panel truth is ≤ KnnRecallPanel·KnnK rows BY CONSTRUCTION —
-    // collect it to the driver and rebuild it as a local relation
-    // (round 20: the round-19 localCheckpoint pinned RDD blocks for the
-    // session's lifetime across the ScaleProbe sweeps, which invoke
-    // this repeatedly; a bounded collect is the documented scalar
-    // pattern). The panel id set rides along for each build's filter —
-    // id-distribution-free, same values as the retired `vec_id <
-    // KnnRecallPanel` on every dense-id corpus.
-    val truthRows = bruteKnnPanel(s, dir).collect().toSeq
-    val panelIds = truthRows.map(_.getLong(0)).distinct.sorted
-    import s.implicits._
-    val truth = broadcast(
-      truthRows.map(r => (r.getLong(0), r.getLong(1)))
-        .toDF("query_id", "neighbor_id"))
-    val tn = truth.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("t_n"))
-    builds.map { case (bld, f) =>
-      val approx = f(s, dir)
-        .filter(col("vec_id").isin(panelIds: _*))
-        .select(col("vec_id").as("query_id"), col("neighbor_id"))
-      val hit = truth
-        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-      tn.join(hit, Seq("query_id"), "left")
-        .select(lit(bld).as("build"), col("query_id"),
-          coalesce(col("h"), lit(0L)).as("hits"),
-          (coalesce(col("h"), lit(0L)).cast("double") /
-            col("t_n").cast("double")).as("recall"))
-    }.reduce(_ unionByName _)
-      .orderBy(col("build"), col("query_id"))
+      builds: Seq[(String, DataFrame => DataFrame)]): DataFrame = {
+    val base = Round13Queries.vectors(s, dir).persist()
+    try {
+      base.count()
+      // The panel truth is ≤ KnnRecallPanel·KnnK rows BY CONSTRUCTION —
+      // collect it to the driver and rebuild it as a local relation
+      // (round 20: the round-19 localCheckpoint pinned RDD blocks for
+      // the session's lifetime across the ScaleProbe sweeps, which
+      // invoke this repeatedly; a bounded collect is the documented
+      // scalar pattern). The panel id set rides along for each build's
+      // filter — id-distribution-free, same values as the retired
+      // `vec_id < KnnRecallPanel` on every dense-id corpus.
+      val truthRows = bruteKnnPanelFrom(base).collect().toSeq
+      val panelIds = truthRows.map(_.getLong(0)).distinct.sorted
+      import s.implicits._
+      val truth = broadcast(
+        truthRows.map(r => (r.getLong(0), r.getLong(1)))
+          .toDF("query_id", "neighbor_id"))
+      val tn = truth.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("t_n"))
+      builds.map { case (bld, f) =>
+        val approx = f(base)
+          .filter(col("vec_id").isin(panelIds: _*))
+          .select(col("vec_id").as("query_id"), col("neighbor_id"))
+        val hit = truth
+          .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        tn.join(hit, Seq("query_id"), "left")
+          .select(lit(bld).as("build"), col("query_id"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") /
+              col("t_n").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("build"), col("query_id"))
+    } finally base.unpersist(false)
   }
+
+  /** Materializing From-forms of the two round-19 builds, shared by
+    * the recall audit (the declared rows' (s, dir) fns delegate to the
+    * IDENTICAL PlanFrom bodies — one definition, no drift).
+    */
+  private[graft] val knnGraphIvfFromFn: DataFrame => DataFrame =
+    base => {
+      val (res, cells) = knnGraphIvfPlanFrom(base)
+      try res.localCheckpoint(true) finally cells.unpersist(false)
+    }
+  private[graft] val knnGraphIvfKmeansFromFn: DataFrame => DataFrame =
+    base => {
+      val (res, stages) = knnGraphIvfKmeansPlanFrom(base)
+      try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
+    }
 
   /** Attribution twin for the BASELINE round-19 recall table — NOT a
     * declared row: V2b's serving pipeline with the RETIRED dense-id
@@ -494,28 +550,41 @@ object Round19Queries {
     } finally corpus.unpersist(false)
   }
 
-  /** The scale-path builds alone (auto-width LSH, IVF-cell) — the
-    * ScaleProbe recall-trajectory subset.
+  /** Materializing From-form of the auto-width LSH build (audit use). */
+  private[graft] val knnGraphAutoFromFn: DataFrame => DataFrame =
+    base => {
+      val (res, all) = Round16Queries.knnGraphAutoPlanFrom(base)
+      try res.localCheckpoint(true) finally all.unpersist(false)
+    }
+
+  /** The scale-path builds alone (auto-width LSH, the IVF-cell family,
+    * the NN-Descent-refined chain) — the ScaleProbe recall-trajectory
+    * subset.
     */
   private[graft] def scalePathBuilds
-      : Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+      : Seq[(String, DataFrame => DataFrame)] =
     Seq(
-      "lsh_auto" -> defFn(Round16Queries.defs, "sim_knn_graph_auto"),
-      "ivf_cell" -> knnGraphIvfFn,
-      "ivf_kmeans_cell" -> knnGraphIvfKmeansFn)
+      "lsh_auto" -> knnGraphAutoFromFn,
+      "ivf_cell" -> knnGraphIvfFromFn,
+      "ivf_kmeans_cell" -> knnGraphIvfKmeansFromFn,
+      "ivf_scaled_cell" -> Round20Queries.knnGraphIvfScaledFromFn,
+      "nnd" -> Round20Queries.knnGraphNndFromFn)
 
-  /** (panel label, build) — the five declared kNN-graph builds, each
+  /** (panel label, build) — the seven declared kNN-graph builds, each
     * measured by the SAME panel truth: the three sign-LSH widths
-    * (fixture 8-bit, declared 12-bit, in-plan auto) and the two
-    * IVF-cell builds this round adds as their mid-cosine-regime
-    * alternative (sampled cells, Lloyd-trained cells).
+    * (fixture 8-bit, declared 12-bit, in-plan auto), the two
+    * round-19 IVF-cell builds (sampled cells, Lloyd-trained cells),
+    * and the round-20 scale path (bounded-load cells, NN-Descent
+    * refinement over them).
     */
   private val GraphPanel: Seq[(String, String)] = Seq(
     "lsh_fixture" -> "sim_knn_graph",
     "lsh_scaled" -> "sim_knn_graph_scaled",
     "lsh_auto" -> "sim_knn_graph_auto",
     "ivf_cell" -> "sim_knn_graph_ivf",
-    "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans")
+    "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans",
+    "ivf_scaled_cell" -> "sim_knn_graph_ivf_scaled",
+    "nnd" -> "sim_knn_graph_nnd")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -619,14 +688,18 @@ object Round19Queries {
     QueryDef(
       "sim_knn_graph_recall",
       (s, dir) => {
-        val buildFn = Map(
-          "sim_knn_graph" -> defFn(Round13Queries.defs, "sim_knn_graph"),
+        val buildFn = Map[String, DataFrame => DataFrame](
+          "sim_knn_graph" ->
+            (base => Round13Queries.knnGraphFrom(base)),
           "sim_knn_graph_scaled" ->
-            defFn(Round13Queries.defs, "sim_knn_graph_scaled"),
-          "sim_knn_graph_auto" ->
-            defFn(Round16Queries.defs, "sim_knn_graph_auto"),
-          "sim_knn_graph_ivf" -> knnGraphIvfFn,
-          "sim_knn_graph_ivf_kmeans" -> knnGraphIvfKmeansFn)
+            (base => Round13Queries.knnGraphFrom(base,
+              Round13Queries.KnnScaledBits)),
+          "sim_knn_graph_auto" -> knnGraphAutoFromFn,
+          "sim_knn_graph_ivf" -> knnGraphIvfFromFn,
+          "sim_knn_graph_ivf_kmeans" -> knnGraphIvfKmeansFromFn,
+          "sim_knn_graph_ivf_scaled" ->
+            Round20Queries.knnGraphIvfScaledFromFn,
+          "sim_knn_graph_nnd" -> Round20Queries.knnGraphNndFromFn)
         graphRecallOver(s, dir,
           GraphPanel.map { case (bld, name) => bld -> buildFn(name) })
       },
@@ -637,7 +710,9 @@ object Round19Queries {
             Round13Queries.knnGraphDuckSql(Round13Queries.KnnScaledBits),
           "lsh_auto" -> Round16Queries.knnGraphAutoDuckSql,
           "ivf_cell" -> knnGraphIvfDuckSql,
-          "ivf_kmeans_cell" -> knnGraphIvfKmeansDuckSql)
+          "ivf_kmeans_cell" -> knnGraphIvfKmeansDuckSql,
+          "ivf_scaled_cell" -> Round20Queries.knnGraphIvfScaledDuckSql,
+          "nnd" -> Round20Queries.knnGraphNndDuckSql)
         val buildCtes = GraphPanel.map { case (bld, _) =>
           s"""b_$bld AS (
             SELECT vec_id AS query_id, neighbor_id
@@ -674,15 +749,18 @@ object Round19Queries {
           ON s.build = h.build AND s.query_id = h.query_id
         ORDER BY s.build, s.query_id"""
       },
-      doc = s"Measured edge recall@${Round13Queries.KnnK} of the five " +
+      doc = s"Measured edge recall@${Round13Queries.KnnK} of the seven " +
         "declared kNN-graph builds (sign-LSH fixture/scaled/auto " +
-        "widths, sampled-cell IVF, Lloyd-trained-cell IVF) vs exact " +
+        "widths, sampled-cell IVF, Lloyd-trained-cell IVF, " +
+        "bounded-load IVF, NN-Descent-refined) vs exact " +
         "brute-force truth on a " +
         s"$KnnRecallPanel-query panel (same rounding and tiebreak), " +
-        "denominator = the per-query truth count computed in-plan: " +
-        "the τ-graph family's candidate generation priced the way " +
-        "V18/V20 price the serving indexes — the declared rows' own " +
-        "fn and named-val oracles are reused verbatim so the audit " +
-        "cannot drift from what it measures."),
+        "denominator = the per-query truth count computed in-plan, " +
+        "ONE prepared corpus threaded through the truth and every " +
+        "build (round 20): the τ-graph family's candidate generation " +
+        "priced the way V18/V20 price the serving indexes — the " +
+        "declared rows' fns and the audit delegate to the IDENTICAL " +
+        "PlanFrom bodies and named-val oracles, so the audit cannot " +
+        "drift from what it measures."),
   )
 }

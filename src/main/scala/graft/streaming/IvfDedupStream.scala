@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   * `handleInputRows` stays O(batch × cell load) and state is the
   * accepted-index size.
   *
+  * RE-INDEX CONTRACT (round 20 — the declared state bound): state
+  * LIFETIME is one quantizer generation. Cell ids are positions in a
+  * specific centroid array, so a refreshed quantizer makes old state
+  * meaningless by construction — the re-index event (an offline Lloyd
+  * retrain over the accepted corpus) starts a FRESH query (new
+  * checkpoint) that re-ingests the accepted corpus under the new
+  * centroids and continues with new arrivals. Per-cell residency is
+  * therefore bounded by the re-index cadence: ~n_since_refresh /
+  * K_generation, and K is count-derived at each retrain (K = ⌈√n⌉
+  * clamped), so the per-cell load re-levels at every refresh instead
+  * of growing without bound past a fixed K. StreamingIvfDedupSpec's
+  * re-index arm pins the contract: a generation-A stream (prefix-
+  * trained quantizer over the accepted prefix) equals the prefix twin,
+  * and the refresh path (full retrain + fresh checkpoint + re-ingest)
+  * lands exactly on the declared full-corpus batch twin with zero
+  * generation-A state leakage.
+  *
   * Reference scope: [EXT] — the reference's streaming surface is a
   * thread-pooled Mongo ingest (examples/ingest_parquet_to_mongo_stream
   * .py:130-160); this is the LLM-pipeline crossover (SURVEY §2.7).

@@ -121,7 +121,9 @@ class Round19Spec extends SparkSpec {
       "lsh_scaled" -> "sim_knn_graph_scaled",
       "lsh_auto" -> "sim_knn_graph_auto",
       "ivf_cell" -> "sim_knn_graph_ivf",
-      "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans")
+      "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans",
+      "ivf_scaled_cell" -> "sim_knn_graph_ivf_scaled",
+      "nnd" -> "sim_knn_graph_nnd")
     // scaffold: every (build, panel query) present exactly once
     assert(audit.size == builds.size * math.min(KnnRecallPanel, vecs.length),
       s"scaffold incomplete: ${audit.size} rows")

@@ -106,4 +106,66 @@ class StreamingIvfDedupSpec extends SparkSpec {
       assertSameRows(reduceVerdict(got), batchDups())
     }
   }
+
+  test("ST28 re-index contract: quantizer refresh rebuilds from the accepted corpus") {
+    // The declared state bound (round 20): state LIFETIME is one
+    // quantizer generation — cell ids are positions in a specific
+    // centroid array, so a refresh makes old state meaningless by
+    // construction and the re-index event starts a FRESH query over
+    // the re-ingested accepted corpus. Pinned here end-to-end:
+    //  - generation A (quantizer trained on the accepted PREFIX only,
+    //    streamed over the prefix) ≡ the prefix batch twin;
+    //  - the refresh path (full retrain, fresh checkpoint, re-ingest)
+    //    ≡ the DECLARED full-corpus batch twin — zero generation-A
+    //    leakage, exact landing on the oracle-checked semantics.
+    withRocksDb {
+      import graft.queries.{Round19Queries, VectorOps}
+      def vecsOf(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val allEmb = graft.Tables.load(spark, fixture, "embeddings")
+      val prefixEmb = allEmb.filter(col("vec_id") < 340L)
+
+      // generation A: prefix-trained quantizer, prefix stream
+      val caA = Round19Queries.trainedCentArrayFrom(vecsOf(prefixEmb))
+      val dA = tmpDir("ivf-reindex-genA")
+      prefixEmb.coalesce(1).write.mode("overwrite").parquet(dA)
+      val gotA = EventStreams.runToMemoryAvailableNow(
+        IvfDedupStream.incrementalIvfDedup(
+          AnnDedupStream.readEmbeddings(spark, dA), caA).toDF(),
+        "conv_ivfdedup_genA", "append")
+      val (twinA, stagesA) =
+        Round19Queries.annIvfTrainedPlanFrom(vecsOf(prefixEmb))
+      val dupsA =
+        try twinA.filter(col("status") === "dup")
+          .select(col("vec_id"), col("dup_of"), col("cosine"))
+          .localCheckpoint(true)
+        finally stagesA.foreach(_.unpersist(false))
+      assert(dupsA.count() > 0, "prefix must contain trained-cell dups")
+      assertSameRows(reduceVerdict(gotA), dupsA)
+
+      // the refresh is REAL: the retrained quantizer must re-assign at
+      // least one prefix vector (otherwise the arm could pass with
+      // identical generations and prove nothing)
+      val caB = Round19Queries.trainedCentArray(spark, fixture)
+      graft.functions.GraftFunctions.register(spark)
+      def homes(ca: DataFrame): DataFrame = vecsOf(prefixEmb)
+        .crossJoin(broadcast(ca))
+        .select(col("vec_id"), expr("pq_argmin_k(v, cents, 1)[0]").as("home"))
+      val moved = homes(caA).withColumnRenamed("home", "home_a")
+        .join(homes(caB), Seq("vec_id"))
+        .filter(col("home_a") =!= col("home")).count()
+      assert(moved > 0, "refresh must re-assign at least one vector")
+
+      // generation B: full retrain + fresh checkpoint + re-ingest of
+      // the accepted corpus — must land exactly on the DECLARED twin
+      val dB = tmpDir("ivf-reindex-genB")
+      allEmb.coalesce(1).write.mode("overwrite").parquet(dB)
+      val gotB = EventStreams.runToMemoryAvailableNow(
+        IvfDedupStream.incrementalIvfDedup(
+          AnnDedupStream.readEmbeddings(spark, dB), caB).toDF(),
+        "conv_ivfdedup_genB", "append")
+      assertSameRows(reduceVerdict(gotB), batchDups())
+    }
+  }
 }
