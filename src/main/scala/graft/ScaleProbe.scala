@@ -765,6 +765,82 @@ object ScaleProbe {
           spark.catalog.clearCache()
         }
         spark.range(1).toDF("ok")
+      // rounds sensitivity of the NN-Descent refinement: recall + wall
+      // at rounds = 1/2/3 through the SAME shared recall arithmetic —
+      // the measured price curve behind the declared KnnNndRounds
+      case "sim_knn_graph_nnd_rounds_sweep" =>
+        Seq(1, 2, 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            base => {
+              val (res, stages) =
+                queries.Round20Queries.knnGraphNndPlanFrom(base, r)
+              try res.localCheckpoint(true)
+              finally stages.foreach(_.unpersist(false))
+            }
+          val rec = queries.Round19Queries
+            .graphRecallOver(spark, dir, Seq(s"nnd_r$r" -> fn))
+            .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"knn_graph_nnd_rounds","multiplier":$m,""" +
+            s""""rounds":$r,"mean_recall":${rec.getDouble(0)},""" +
+            s""""hits":${rec.getLong(1)},"sec":$dt}""")
+          spark.catalog.clearCache()
+        }
+        spark.range(1).toDF("ok")
+      // attribution twins for the NND convergence question: does the
+      // refinement stall because the SEED has no signal (bounded-load
+      // cells at ×m probe ~nprobe·load of n) or because mid-cosine
+      // neighborhoods aren't transitive (then no seed converges)?
+      // kmseed = the trained-cell stage served at K' feeding the same
+      // rounds; w20 = the bounded-load seed at twice the width
+      case "sim_knn_graph_nnd_kmseed_sweep" =>
+        Seq(0, 1, 2, 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            base => {
+              val cells = queries.Round19Queries.trainedCellsFrom(base)
+              try {
+                var g = queries.Round19Queries
+                  .cellGraphServe(cells, queries.Round20Queries.KnnNndWidth)
+                  .localCheckpoint(true)
+                val corpus = base.persist()
+                for (_ <- 1 to r)
+                  g = queries.Round20Queries.nndRound(corpus, g)
+                    .localCheckpoint(true)
+                try g.filter(col("rank") <= queries.Round13Queries.KnnK)
+                  .localCheckpoint(true)
+                finally corpus.unpersist(false)
+              } finally cells.unpersist(false)
+            }
+          val rec = queries.Round19Queries
+            .graphRecallOver(spark, dir, Seq(s"nnd_km_r$r" -> fn))
+            .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"knn_graph_nnd_kmseed","multiplier":$m,""" +
+            s""""rounds":$r,"mean_recall":${rec.getDouble(0)},""" +
+            s""""hits":${rec.getLong(1)},"sec":$dt}""")
+          spark.catalog.clearCache()
+        }
+        spark.range(1).toDF("ok")
+      // attribution twin: the SAMPLED-coarse two-level build (the
+      // retired V24 first draft — identical shape/cost, coarse level a
+      // hash residue instead of the Lloyd quantizer) priced by the
+      // same recall arithmetic — the sampled-vs-trained-coarse table
+      case "sim_knn_graph_scaled_sampled_recall" =>
+        val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          base => {
+            val stages = queries.Round20Queries.sampledCellsFrom(base)
+            try queries.Round19Queries.cellGraphServe(stages.head)
+              .localCheckpoint(true)
+            finally stages.foreach(_.unpersist(false))
+          }
+        val rec = queries.Round19Queries
+          .graphRecallOver(spark, dir, Seq("sampled_coarse" -> fn))
+          .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+        println(s"""{"metric":"knn_graph_scaled_sampled","multiplier":$m,""" +
+          s""""mean_recall":${rec.getDouble(0)},"hits":${rec.getLong(1)}}""")
+        spark.range(1).toDF("ok")
       case "sim_knn_graph_ivf_cells" =>
         val (_, cells) = queries.Round19Queries.knnGraphIvfPlan(spark, dir)
         try cells.agg(sum(expr("cells[0]"))).localCheckpoint(true)

@@ -102,9 +102,9 @@ object Round17Queries {
     * 15 hex chars) — the Round15b h60 recipe over a BIGINT id; shared
     * by the hash-residue centroid sample and its DuckDB replay.
     */
-  private[queries] def idHash60Spark(idCol: String): String =
+  private[graft] def idHash60Spark(idCol: String): String =
     s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)"
-  private[queries] def idHash60Duck(idCol: String): String =
+  private[graft] def idHash60Duck(idCol: String): String =
     s"CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   /** Count-derived IVF serving over a caller-prepared (and persisted)

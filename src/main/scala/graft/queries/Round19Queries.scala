@@ -132,7 +132,8 @@ object Round19Queries {
     * ONE WindowGroupLimit-pruned top-KnnK rollup. ONE definition for
     * the sampled-cell and Lloyd-trained-cell graph builds.
     */
-  private[queries] def cellGraphServe(cells: DataFrame): DataFrame = {
+  private[graft] def cellGraphServe(cells: DataFrame,
+      k: Int = Round13Queries.KnnK): DataFrame = {
     val homes = cells.select(col("vec_id"), col("v"), col("nrm"),
       col("cells").getItem(0).as("cell"))
     val probes = cells.select(col("vec_id").as("query_id"),
@@ -146,7 +147,7 @@ object Round19Queries {
         round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= Round13Queries.KnnK)
+      .filter(col("rank") <= k)
       .select(col("query_id").as("vec_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy(col("vec_id"), col("rank"))

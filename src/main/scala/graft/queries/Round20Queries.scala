@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** Round-20 rows — the round-19 verdict's two leads, closed:
   *
-  *  - V24 `sim_knn_graph_ivf_scaled`: the bounded-LOAD IVF-cell kNN
-  *    graph — the D7b `pipe_semdedup_scaled` load-constant discipline
-  *    applied to the graph family, retiring the K clamp the verdict
-  *    graded V22/V23 `weak` on: cell COUNT grows ∝ n (fine cells =
-  *    an id-distribution-free hash-residue sample at a CONSTANT
-  *    expected load), so candidate volume is n·nprobe·load = LINEAR
-  *    at any corpus size, and assignment is HIERARCHICAL (coarse
-  *    route → in-cell fine argmin, both compiled) instead of the flat
-  *    O(n·K) argmin that is Θ(n^1.5) at K ~ √n and quadratic past the
-  *    4096/1024 caps.
+  *  - V24 `sim_knn_graph_ivf_scaled`: the TRAINED-COARSE bounded-LOAD
+  *    IVF-cell kNN graph — the D7b `pipe_semdedup_scaled` load-constant
+  *    discipline applied to the graph family, retiring the K clamp the
+  *    verdict graded V22/V23 `weak` on. Two levels, each with a job:
+  *    coarse = STRUCTURE (the V9b Lloyd-trained quantizer — a sampled
+  *    coarse level at identical cost measured recall 0.02 at ×10 vs
+  *    0.16 trained), fine = COST (hash-residue sample at constant
+  *    expected load, so fine cell COUNT grows ∝ n and candidate
+  *    volume is n·cnprobe·fnprobe·load = LINEAR at any corpus size);
+  *    assignment is fully compiled and zero-shuffle (pq_argmin_k over
+  *    the trained array, then per-coarse sub-quantizer arrays).
   *  - V25 `sim_knn_graph_nnd`: NN-Descent refinement (Dong et al.,
   *    WWW 2011) over the bounded-load seed — the named fix for the
   *    family's measured recall gap ("a recall-flat bounded-cost kNN
@@ -49,13 +50,23 @@ object Round20Queries {
   val KnnCellLoad = 16
 
   /** NN-Descent refinement rounds over the seed graph. Each round is
-    * one bounded self-join (≤ n·(2·KnnK)² co-neighbor candidates — the
-    * forward lists are k-bounded by construction and the reverse lists
-    * are k-capped below, the paper's sample bound) + exact cosine +
-    * re-rank; recall converges geometrically in rounds (measured in
-    * BASELINE round 20), so a small declared constant, not a knob.
+    * one bounded self-join (≤ n·(2·KnnNndWidth)² co-neighbor candidates
+    * — the forward lists are width-bounded by construction and the
+    * reverse lists are width-capped below, the paper's sample bound) +
+    * exact cosine + re-rank; the rounds/width curve is measured in
+    * BASELINE round 20 — declared constants, not knobs.
     */
   val KnnNndRounds = 2
+
+  /** INTERNAL refinement width K' (the NN-Descent paper's K): the
+    * convergence engine is the co-neighbor join, and at the output
+    * k=5 the lists are too narrow to propagate structure from a sparse
+    * bounded-load seed (measured at ×10: recall stalled at 0.03 over 3
+    * rounds). Refining at K'=2k and emitting the top k at the end is
+    * the paper's own discipline — candidates stay ≤ n·(2K')² per
+    * round, still linear in n.
+    */
+  val KnnNndWidth = 2 * Round13Queries.KnnK
 
   /** 1-row width table (n, fk, ck, fstride, cstride) derived from the
     * corpus count — fine cells target n/KnnCellLoad (load ≈
@@ -75,8 +86,8 @@ object Round20Queries {
       .withColumn("cstride",
         greatest(lit(1L), floor(col("n") / col("ck")).cast("long")))
 
-  /** The matching DuckDB width CTE body (over `nvecs`). */
-  private def cellLoadWidthSql: String =
+  /** The matching DuckDB width CTE body (over `src`). */
+  private def cellLoadWidthSql(src: String): String =
     s"""SELECT n, fk, ck,
         greatest(1, CAST(floor(CAST(n AS DOUBLE) / fk) AS BIGINT)) AS fstride,
         greatest(1, CAST(floor(CAST(n AS DOUBLE) / ck) AS BIGINT)) AS cstride
@@ -86,32 +97,124 @@ object Round20Queries {
             AS fk,
           greatest(4, CAST(ceil(CAST(n AS DOUBLE) /
             ${KnnCellLoad * KnnCellLoad}) AS BIGINT)) AS ck
-        FROM (SELECT count(*) AS n FROM nvecs))"""
+        FROM (SELECT count(*) AS n FROM $src))"""
 
-  /** Bounded-load IVF-cell kNN pipeline over a caller-prepared
-    * (vec_id, v, nrm) corpus — (result, persisted stages: cells,
-    * corpus). The two-level assignment is the D7b shape with both
-    * levels COMPILED:
-    *  - coarse route: one zero-shuffle broadcast pq_argmin pass over
-    *    the ~n/load² coarse centroids;
-    *  - fine argmin: the fine centroids (~n/load, hash-residue sample)
-    *    are routed to their coarse cell once and collected into
-    *    PER-COARSE sub-quantizer arrays (cid-ordered, so pq_argmin_k's
-    *    lowest-position tiebreak IS the oracle's ORDER BY d2, cid);
-    *    each vector joins its ONE coarse cell's array and runs one
-    *    compiled pq_argmin_k over ~load entries — O(n·load) fine
-    *    probes instead of the flat O(n·K) = O(n²/load).
-    * The sub-quantizer join is a broadcast (n/load² rows of ~load·dim
-    * doubles ≈ corpus/load² bytes); past ~10⁸ vectors it flips to a
-    * shuffle-hash join on c2 and past ~10¹⁰ the coarse level recurses
-    * (three-level routing) — both declared seams, neither changes the
-    * candidate volume, which is n·nprobe·load at ANY n. Serving is the
-    * SHARED cellGraphServe tail (homes = cells[0], one candidate
-    * equi-join, one pruned top-k rollup).
+  /** Probed coarse cells per vector in the trained-coarse two-level
+    * build. The trained coarse level carries the neighbor structure
+    * (the round-19 "TRAINING co-locates, sampling tiles" result), so a
+    * true neighbor missing from the home coarse cell is usually in the
+    * runner-up — a second probed coarse cell doubles the reachable
+    * fine set at constant per-vector cost (the BASELINE round-20
+    * attribution probes price it).
+    */
+  val KnnCoarseNprobe = 2
+
+  /** Bounded-load TRAINED-COARSE IVF-cell kNN pipeline over a
+    * caller-prepared (vec_id, v, nrm) corpus — (result, persisted
+    * stages: cells, corpus). Two levels, both with a declared job:
+    *  - COARSE = the V9b Lloyd-trained count-derived quantizer
+    *    (K = clamp(⌈√n⌉, 4, 1024), hash-residue init, 3 shared Lloyd
+    *    rounds) — structure: trained cells co-locate neighbors
+    *    (round-19 measured: sampled coarse cells at the same cost read
+    *    recall 0.02 where trained read 0.16 at ×10 — the BASELINE
+    *    round-20 attribution table); assignment is one zero-shuffle
+    *    compiled pq_argmin_k pass, O(n·K) ≤ O(n·1024) — linear past
+    *    the cap;
+    *  - FINE = an id-distribution-free hash-residue sample at CONSTANT
+    *    expected load (the D7b discipline) routed once to its coarse
+    *    cell and collected into PER-COARSE cid-ordered sub-quantizer
+    *    arrays — cost: candidates are within-probed-FINE-cell pairs,
+    *    n·cnprobe·fnprobe·load = LINEAR at any n (the round-19
+    *    verdict's weak grade was exactly the n·nprobe·(n/K) volume
+    *    growing past the K clamp — the fine level retires it).
+    * Each vector probes its KnnCoarseNprobe nearest coarse cells (one
+    * compiled pass) and, within each, its fnprobe nearest fine cells
+    * (one broadcast sub-quantizer join + compiled pq_argmin_k per
+    * probed coarse — zero shuffle); cells array order = (coarse rank,
+    * fine rank), so home = cells[0] is the nearest fine cell of the
+    * nearest fine-bearing coarse cell. Serving is the SHARED
+    * cellGraphServe tail (one candidate equi-join — a fine cell
+    * belongs to exactly one coarse cell, so a pair still meets at most
+    * once — one pruned top-k rollup). The sub-quantizer broadcast is
+    * ~corpus/load² bytes; past ~10⁸ vectors it flips to a shuffle-hash
+    * join on c2 — a declared seam that changes no semantics.
     */
   private[graft] def knnGraphIvfScaledPlanFrom(base: DataFrame,
-      nprobe: Int = Round19Queries.KnnIvfNprobe)
+      fnprobe: Int = Round19Queries.KnnIvfNprobe)
       : (DataFrame, Seq[DataFrame]) = {
+    val stages = trainedCoarseCellsFrom(base, fnprobe)
+    (Round19Queries.cellGraphServe(stages.head), stages)
+  }
+
+  /** The trained-coarse bounded-load cell stage — (cells, corpus),
+    * both persisted; shared by the declared V24 row (k=KnnK serve) and
+    * the V25 NN-Descent seed (width-K' serve over the SAME stage).
+    */
+  private[graft] def trainedCoarseCellsFrom(base: DataFrame,
+      fnprobe: Int = Round19Queries.KnnIvfNprobe): Seq[DataFrame] = {
+    val s = base.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val corpus = base
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    corpus.count()
+    val ca = Round19Queries.trainedCentArrayFrom(corpus)
+    val width = cellLoadWidth(corpus)
+    val h60 = Round17Queries.idHash60Spark("vec_id")
+    val fine = corpus.crossJoin(broadcast(width))
+      .filter(expr(h60) % col("fstride") === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val fineRouted = fine.crossJoin(broadcast(ca))
+      .withColumn("c2", expr("pq_argmin(cv, cents)"))
+      .select(col("c2"), col("cid"), col("cv"))
+    // per-coarse fine sub-quantizers: parallel (ids, vectors) arrays in
+    // cid order — pq_argmin_k positions map back to GLOBAL fine cids
+    val fineByCoarse = fineRouted
+      .groupBy(col("c2"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("fs"))
+      .select(col("c2"),
+        expr("transform(fs, x -> x.cid)").as("fids"),
+        expr("transform(fs, x -> x.cv)").as("fcvs"))
+    val routed = corpus.crossJoin(broadcast(ca))
+      .withColumn("cc", expr(s"pq_argmin_k(v, cents, $KnnCoarseNprobe)"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cc"))
+    // one LEFT broadcast join per probed coarse rank (KnnCoarseNprobe
+    // is a small declared constant): a probed coarse cell with no fine
+    // routed to it contributes an empty slice, and a vector with no
+    // reachable fine cell at all drops out of the graph on BOTH
+    // engines (the oracle's join replays the same absence)
+    val picked = (0 until KnnCoarseNprobe).foldLeft(routed) { (df, i) =>
+      df.withColumn("c2", col("cc").getItem(i))
+        .join(broadcast(fineByCoarse), Seq("c2"), "left")
+        .withColumn(s"cells$i",
+          coalesce(
+            expr(s"transform(pq_argmin_k(v, fcvs, $fnprobe), p -> fids[p])"),
+            expr("CAST(array() AS array<bigint>)")))
+        .drop("c2", "fids", "fcvs")
+    }
+    val cells = picked
+      .withColumn("cells",
+        concat((0 until KnnCoarseNprobe).map(i => col(s"cells$i")): _*))
+      .filter(size(col("cells")) > 0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
+      .persist()
+    cells.count()
+    Seq(cells, corpus)
+  }
+
+  /** The SAMPLED-coarse bounded-load cell stage — the retired first
+    * draft of V24, kept as the attribution twin behind the BASELINE
+    * round-20 sampled-vs-trained-coarse recall table (the ScaleProbe
+    * `sim_knn_graph_scaled_sampled_recall` pseudo-name): identical
+    * two-level shape and cost, only the coarse level is a hash-residue
+    * sample instead of the Lloyd-trained quantizer. Measured at ×10:
+    * recall 0.02 vs the trained coarse's 0.16 at the same candidate
+    * volume — the round-19 "training co-locates, sampling tiles"
+    * result reproduced at the two-level composition, and the reason
+    * the declared row trains its coarse level.
+    */
+  private[graft] def sampledCellsFrom(base: DataFrame,
+      nprobe: Int = Round19Queries.KnnIvfNprobe): Seq[DataFrame] = {
     val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val corpus = base
@@ -147,7 +250,7 @@ object Round20Queries {
       .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
       .persist()
     cells.count()
-    (Round19Queries.cellGraphServe(cells), Seq(cells, corpus))
+    Seq(cells, corpus)
   }
 
   private[graft] def knnGraphIvfScaledPlan(
@@ -174,46 +277,60 @@ object Round20Queries {
       try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
     }
 
-  /** The bounded-load oracle CTE chain, ending in `ranked` (query_id,
-    * neighbor_id, cosine, rank) — nested by the row statement, the V21
-    * recall audit, and the τ-edge oracle (one definition, no drift).
+  /** The trained-coarse bounded-load oracle CTE chain, ending in
+    * `ranked` (query_id, neighbor_id, cosine, rank) — nested by the
+    * row statement, the V21 recall audit, and (at KnnNndWidth) the V25
+    * seed (one definition, no drift). The coarse level replays the
+    * SHARED unrolled Lloyd chain (`kmDuckPrefixFrom` over the
+    * named-val init sample — identical to the V23/ST28 oracles); the
+    * fine level replays the residue sample, the routing argmin, and
+    * the per-(vector, probed-coarse) fine ranks; `ordered` replays the
+    * Spark cells-array order (coarse rank, fine rank) so home =
+    * overall rn 1 on both engines.
     */
   private[graft] def knnGraphIvfScaledDuckCtes: String = {
+    val it = Round11bQueries.KmIters
     val h60 = Round17Queries.idHash60Duck("vec_id")
-    val cd = VectorOps.duckDist2("f.cv", "c.cv")
-    val vd = VectorOps.duckDist2("a.v", "c.cv")
-    val fd = VectorOps.duckDist2("a.v", "f.cv")
-    s"""${Round13Queries.vectorsDuck},
-      width AS ($cellLoadWidthSql),
-      coarse AS (
-        SELECT vec_id AS cid, v AS cv FROM nvecs CROSS JOIN width
-        WHERE $h60 % cstride = 0),
-      cpos AS (
-        SELECT row_number() OVER (ORDER BY cid) - 1 AS pos, cv FROM coarse),
+    val cd = VectorOps.duckDist2("a.v", "c.cv")
+    val fcd = VectorOps.duckDist2("f.cv", "c.cv")
+    val fd = VectorOps.duckDist2("p.v", "f.cv")
+    s"""${Round11bQueries.kmDuckPrefixFrom(
+        Round17Queries.kmeansAutoC0Sql, it)},
+      width AS (${cellLoadWidthSql("vecs")}),
+      coarseranks AS (
+        SELECT a.vec_id, a.v, c.pos,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY $cd ASC, c.pos ASC) AS crn
+        FROM vecs a CROSS JOIN c$it c),
       fine AS (
-        SELECT vec_id AS cid, v AS cv FROM nvecs CROSS JOIN width
+        SELECT vec_id AS cid, v AS cv FROM vecs CROSS JOIN width
         WHERE $h60 % fstride = 0),
       frouted AS (
         SELECT cid, cv, c2 FROM (
           SELECT f.cid, f.cv, c.pos AS c2,
             row_number() OVER (PARTITION BY f.cid
-              ORDER BY $cd ASC, c.pos ASC) AS crn
-          FROM fine f CROSS JOIN cpos c) WHERE crn = 1),
-      vrouted AS (
-        SELECT vec_id, v, nrm, c2 FROM (
-          SELECT a.vec_id, a.v, a.nrm, c.pos AS c2,
-            row_number() OVER (PARTITION BY a.vec_id
-              ORDER BY $vd ASC, c.pos ASC) AS crn
-          FROM nvecs a CROSS JOIN cpos c) WHERE crn = 1),
+              ORDER BY $fcd ASC, c.pos ASC) AS rn
+          FROM fine f CROSS JOIN c$it c) WHERE rn = 1),
+      vprobes AS (
+        SELECT vec_id, v, pos AS c2, crn FROM coarseranks
+        WHERE crn <= $KnnCoarseNprobe),
       cellranks AS (
-        SELECT a.vec_id, a.v, a.nrm, f.cid AS cell,
-          row_number() OVER (PARTITION BY a.vec_id
-            ORDER BY $fd ASC, f.cid ASC) AS rn
-        FROM vrouted a JOIN frouted f USING (c2)),
-      assign AS (SELECT vec_id, v, nrm, cell FROM cellranks WHERE rn = 1),
+        SELECT p.vec_id, p.v, p.crn, f.cid AS cell,
+          row_number() OVER (PARTITION BY p.vec_id, p.crn
+            ORDER BY $fd ASC, f.cid ASC) AS frn
+        FROM vprobes p JOIN frouted f ON f.c2 = p.c2),
+      ordered AS (
+        SELECT vec_id, v, cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY crn ASC, frn ASC) AS rn
+        FROM cellranks WHERE frn <= ${Round19Queries.KnnIvfNprobe}),
+      assign AS (
+        SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm, cell
+        FROM ordered WHERE rn = 1),
       probes AS (
-        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell
-        FROM cellranks WHERE rn <= ${Round19Queries.KnnIvfNprobe}),
+        SELECT vec_id AS query_id, v AS qv, ${VectorOps.duckNorm("v")} AS qn,
+          cell
+        FROM ordered),
       sims AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
           round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6)
@@ -227,10 +344,16 @@ object Round20Queries {
         FROM sims)"""
   }
 
-  private[graft] def knnGraphIvfScaledDuckSql: String =
+  /** Width-parameterized statement: the declared row at KnnK, the V25
+    * seed nests it at KnnNndWidth (same chain, one definition).
+    */
+  private[graft] def knnGraphIvfScaledDuckSqlAt(k: Int): String =
     s"""WITH $knnGraphIvfScaledDuckCtes
       SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-      WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""
+      WHERE rank <= $k ORDER BY vec_id, rank"""
+
+  private[graft] def knnGraphIvfScaledDuckSql: String =
+    knnGraphIvfScaledDuckSqlAt(Round13Queries.KnnK)
 
   /** One NN-Descent round over a materialized k-edge table: undirected
     * co-neighbor adjacency (forward lists are k-bounded; reverse lists
@@ -242,15 +365,14 @@ object Round20Queries {
     * lesson), then one max-dedup (duplicates score identically) unioned
     * with the incumbent edges and one top-k re-rank.
     */
-  private[graft] def nndRound(corpus: DataFrame, edges: DataFrame)
-      : DataFrame = {
-    import Round13Queries.KnnK
+  private[graft] def nndRound(corpus: DataFrame, edges: DataFrame,
+      k: Int = KnnNndWidth): DataFrame = {
     val fwd = edges.select(col("vec_id").as("node"),
       col("neighbor_id").as("nb"))
     val wr = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     val rev = edges.withColumn("rrn", row_number().over(wr))
-      .filter(col("rrn") <= KnnK)
+      .filter(col("rrn") <= k)
       .select(col("neighbor_id").as("node"), col("vec_id").as("nb"))
     val adj = fwd.unionByName(rev).distinct()
     val av = adj.join(
@@ -273,23 +395,27 @@ object Round20Queries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
+      .filter(col("rank") <= k)
       .select(col("query_id").as("vec_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
   }
 
-  /** Seed (the bounded-load build) + KnnNndRounds refinement rounds,
-    * each localCheckpoint'ed (the kmeansTrainFrom flat-plan recipe) —
+  /** Width-K' seed (the bounded-load cell stage served at KnnNndWidth)
+    * + `rounds` refinement rounds at K', each localCheckpoint'ed (the
+    * kmeansTrainFrom flat-plan recipe), then the top KnnK of the final
+    * width-K' lists (ranks 1..k of the same ordering — no re-rank) —
     * (result, persisted stages).
     */
   private[graft] def knnGraphNndPlanFrom(base: DataFrame,
       rounds: Int = KnnNndRounds): (DataFrame, Seq[DataFrame]) = {
-    val (seed, stages) = knnGraphIvfScaledPlanFrom(base)
+    val stages = trainedCoarseCellsFrom(base)
     val corpus = stages.last
-    var g = seed.localCheckpoint(true)
+    var g = Round19Queries.cellGraphServe(stages.head, KnnNndWidth)
+      .localCheckpoint(true)
     for (_ <- 1 to rounds)
       g = nndRound(corpus, g).localCheckpoint(true)
-    (g.orderBy(col("vec_id"), col("rank")), stages)
+    (g.filter(col("rank") <= Round13Queries.KnnK)
+      .orderBy(col("vec_id"), col("rank")), stages)
   }
 
   private[graft] def knnGraphNndPlan(
@@ -319,7 +445,6 @@ object Round20Queries {
     */
   private[graft] def knnGraphNndDuckCtes(rounds: Int = KnnNndRounds)
       : String = {
-    import Round13Queries.KnnK
     val roundCtes = (1 to rounds).map { r =>
       s"""adj$r AS (
           SELECT query_id AS node, neighbor_id AS nb FROM e${r - 1}
@@ -328,7 +453,7 @@ object Round20Queries {
             SELECT neighbor_id AS node, query_id AS nb,
               row_number() OVER (PARTITION BY neighbor_id
                 ORDER BY cosine DESC, query_id ASC) AS rrn
-            FROM e${r - 1}) WHERE rrn <= $KnnK),
+            FROM e${r - 1}) WHERE rrn <= $KnnNndWidth),
         cand$r AS (
           SELECT x.nb AS query_id, y.nb AS neighbor_id
           FROM adj$r x JOIN adj$r y ON x.node = y.node AND x.nb <> y.nb
@@ -346,12 +471,12 @@ object Round20Queries {
             SELECT query_id, neighbor_id, cosine,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM scored$r) WHERE rank <= $KnnK)"""
+            FROM scored$r) WHERE rank <= $KnnNndWidth)"""
     }.mkString(",\n        ")
     s"""${Round13Queries.vectorsDuck},
       e0 AS (
         SELECT vec_id AS query_id, neighbor_id, cosine
-        FROM ($knnGraphIvfScaledDuckSql) seed),
+        FROM (${knnGraphIvfScaledDuckSqlAt(KnnNndWidth)}) seed),
       $roundCtes,
       ranked AS (
         SELECT query_id, neighbor_id, cosine, rank FROM e$rounds)"""
@@ -360,7 +485,7 @@ object Round20Queries {
   private[graft] def knnGraphNndDuckSql: String =
     s"""WITH ${knnGraphNndDuckCtes()}
       SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
-      ORDER BY vec_id, rank"""
+      WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""
 
   /** The refined graph, materialized — the production semantic-cluster
     * composition's kNN build (V12h rides this; the collapsed auto-LSH
@@ -372,27 +497,33 @@ object Round20Queries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ── V24: bounded-LOAD IVF-cell kNN graph ─────────────────────────
+    // ── V24: trained-coarse bounded-LOAD IVF-cell kNN graph ──────────
     // Retires the K clamp (the round-19 verdict's only weak grade): at
     // K = clamp(⌈√n⌉, 4, cap) the candidate volume n·nprobe·(n/K) is
-    // Θ(n^1.5) and quadratic past the cap; with cell count ∝ n the
-    // per-cell load is the declared constant and candidates are
-    // n·nprobe·load at ANY n. Assignment is the D7b two-level shape,
-    // both levels compiled (pq_argmin coarse route, per-coarse
-    // pq_argmin_k sub-quantizers).
+    // Θ(n^1.5) and quadratic past the cap; with FINE cell count ∝ n
+    // the per-cell load is the declared constant and candidates are
+    // n·cnprobe·fnprobe·load at ANY n. The coarse level is TRAINED
+    // (the V9b Lloyd quantizer) because structure must come from
+    // somewhere: the sampled-coarse twin at identical cost measured
+    // recall 0.02 at ×10 where this build reads 0.16 (BASELINE round
+    // 20) — the round-19 "training co-locates, sampling tiles" result,
+    // reproduced at the two-level composition.
     QueryDef(
       "sim_knn_graph_ivf_scaled",
       knnGraphIvfScaledFn,
       Some(knnGraphIvfScaledDuckSql),
-      doc = s"Bounded-load IVF-cell kNN graph (k=${Round13Queries.KnnK}" +
-        s"): fine cells = hash-residue sample at constant expected " +
-        s"load $KnnCellLoad (cell count grows with n — the D7b " +
-        "load-constant discipline), two-level compiled assignment " +
-        "(broadcast coarse argmin route, per-coarse-cell fine " +
-        s"pq_argmin_k), ${Round19Queries.KnnIvfNprobe} probed cells, " +
-        "shared within-probed-cell candidate join and top-k rollup; " +
-        "candidate volume n*nprobe*load = LINEAR at any corpus size " +
-        "(retires V22/V23's K clamp), recall-priced by " +
+      doc = s"Trained-coarse bounded-load IVF-cell kNN graph " +
+        s"(k=${Round13Queries.KnnK}): coarse = the V9b Lloyd " +
+        "quantizer (K = clamp(ceil(sqrt(n)), 4, 1024) — assignment " +
+        "one compiled pass, linear past the cap), fine = hash-residue " +
+        s"sample at constant expected load $KnnCellLoad routed into " +
+        "per-coarse cid-ordered sub-quantizer arrays (the D7b " +
+        s"load-constant discipline); $KnnCoarseNprobe probed coarse " +
+        s"cells x ${Round19Queries.KnnIvfNprobe} fine cells each, " +
+        "cells ordered (coarse rank, fine rank), shared " +
+        "within-probed-cell candidate join and top-k rollup; " +
+        "candidate volume n*cnprobe*fnprobe*load = LINEAR at any " +
+        "corpus size (retires V22/V23's K clamp), recall-priced by " +
         "sim_knn_graph_recall."),
 
     // ── V25: NN-Descent refinement over the bounded-load seed ────────
@@ -410,16 +541,18 @@ object Round20Queries {
       knnGraphNndFn,
       Some(knnGraphNndDuckSql),
       doc = s"NN-Descent-refined kNN graph (k=${Round13Queries.KnnK}, " +
-        s"$KnnNndRounds rounds, Dong et al. WWW 2011): seed = " +
-        "sim_knn_graph_ivf_scaled (linear bounded-load build), each " +
-        "round proposes co-neighbor candidates from the CURRENT graph " +
-        "(self-join of the k-edge table on the shared endpoint, " +
-        "reverse lists k-capped so every adjacency is <= 2k), scores " +
-        "them exactly in-task (vectors ride the adjacency; the dedup " +
-        "shuffles cosines, not vectors), unions the incumbents, " +
-        "re-ranks top-k; the family's declared 100 TB path — linear " +
-        "seed + bounded refinement, recall-priced per round by " +
-        "sim_knn_graph_recall."),
+        s"$KnnNndRounds rounds at internal width K'=$KnnNndWidth, Dong " +
+        "et al. WWW 2011): seed = the bounded-load cell stage served " +
+        "at K' (the paper's own discipline — k=5 lists are too narrow " +
+        "to propagate structure), each round proposes co-neighbor " +
+        "candidates from the CURRENT graph (self-join of the K'-edge " +
+        "table on the shared endpoint, reverse lists K'-capped so " +
+        "every adjacency is <= 2K'), scores them exactly in-task " +
+        "(vectors ride the adjacency; the dedup shuffles cosines, not " +
+        "vectors), unions the incumbents, re-ranks top-K'; output = " +
+        "the top k of the final width-K' lists; the family's declared " +
+        "100 TB path — linear seed + bounded refinement, recall-priced " +
+        "per round by sim_knn_graph_recall."),
 
     // ── V12g: canonical τ-edges of the refined graph ─────────────────
     QueryDef(

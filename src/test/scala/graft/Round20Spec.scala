@@ -77,9 +77,16 @@ class Round20Spec extends SparkSpec {
     // query's list is pointwise at-least-as-good (cosine at each rank
     // non-decreasing, lists only grow). A regression in the candidate
     // union or the re-rank breaks this before any oracle runs.
-    val (seed, stages) = Round20Queries.knnGraphIvfScaledPlan(spark, sf())
+    import graft.queries.{Round19Queries, Round20Queries}
+    val stages = Round20Queries.trainedCoarseCellsFrom(
+      graft.Tables.load(spark, sf(), "embeddings")
+        .select(col("vec_id"),
+          graft.queries.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.queries.VectorOps.norm(col("v"))))
     locally {
-      val g0 = seed.localCheckpoint(true)
+      val g0 = Round19Queries
+        .cellGraphServe(stages.head, Round20Queries.KnnNndWidth)
+        .localCheckpoint(true)
       try {
         val corpus = stages.last
         val g1 = Round20Queries.nndRound(corpus, g0).localCheckpoint(true)
@@ -104,7 +111,8 @@ class Round20Spec extends SparkSpec {
         val declared = run("sim_knn_graph_nnd").collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
           .sortBy(x => (x._1, x._2))
-        val replay = g2.orderBy(col("vec_id"), col("rank")).collect()
+        val replay = g2.filter(col("rank") <= Round13Queries.KnnK)
+          .orderBy(col("vec_id"), col("rank")).collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
         assert(declared.toSeq == replay.toSeq,
           "declared row != seed + 2 unrolled rounds")
