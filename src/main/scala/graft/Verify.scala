@@ -62,7 +62,8 @@ object Verify {
     // would otherwise profile a STALE parquet left by a previous sweep
     // and label it as this run's output (round-19 advice)
     Seq("sim_semantic_clusters", "sim_semantic_clusters_scaled",
-        "sim_semantic_clusters_auto").foreach { name =>
+        "sim_semantic_clusters_auto", "sim_semantic_clusters_ivf")
+      .foreach { name =>
       if (written(name) && Files.exists(Paths.get(s"$outDir/$name")))
         try {
           import org.apache.spark.sql.functions._

@@ -18,14 +18,16 @@ import org.apache.spark.sql.functions._
   *    assignment is fully compiled and zero-shuffle (pq_argmin_k over
   *    the trained array, then per-coarse sub-quantizer arrays).
   *  - V25 `sim_knn_graph_nnd`: NN-Descent refinement (Dong et al.,
-  *    WWW 2011) over the bounded-load seed — the named fix for the
-  *    family's measured recall gap ("a recall-flat bounded-cost kNN
-  *    graph needs a structure neither build provides"): each round
-  *    proposes co-neighbor pairs from the CURRENT graph (a self-join
-  *    of the k-edge table on the shared endpoint — bounded n·(2k)²
-  *    candidates, no index needed), scores them exactly, and re-ranks
-  *    top-k. The whole chain (linear seed + bounded refinement) is
-  *    the family's declared 100 TB path.
+  *    WWW 2011) over the V24 seed served at internal width K'=2k — the
+  *    named fix for the family's measured recall gap ("a recall-flat
+  *    bounded-cost kNN graph needs a structure neither build
+  *    provides"): each round proposes co-neighbor pairs from the
+  *    CURRENT width-K' graph (a self-join of the edge table on the
+  *    shared endpoint — bounded n·(2K')² candidates, no index
+  *    needed), scores them exactly, re-ranks top-K', and the row
+  *    emits the top k. The whole chain (linear seed + bounded
+  *    refinement) is the family's declared 100 TB path — and on the
+  *    fixture it reads recall 0.625, the best of all seven builds.
   *  - V12g/V12h `sim_semantic_edges_ivf` / `sim_semantic_clusters_ivf`:
   *    the PRODUCTION semantic-clusters composition re-based from the
   *    measured-collapsed auto-width LSH build (V21: edge recall 0.006

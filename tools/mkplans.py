@@ -13,6 +13,28 @@ RAW = sys.argv[1]
 OLD = "PLANS.md"
 
 NEW_HEADERS = {
+    "st_incremental_ann_ivf":
+        "ST28 batch twin: the trained-cell directional pair join "
+        "(home cell of the earlier vector among the later arrival's "
+        "probed cells) reduced to arrival-order verdicts, left-joined "
+        "over the corpus (round 19; dumped round 20)",
+    "sim_knn_graph_recall":
+        "kNN-graph recall audit: one prepared corpus threaded through "
+        "seven checkpointed builds, a driver-collected panel truth "
+        "re-broadcast as a local relation, per-build left-semi hit "
+        "joins unioned over the in-plan truth denominators (round 20)",
+    "sim_knn_graph_ivf_scaled":
+        "trained-coarse bounded-load IVF-cell kNN graph: zero-shuffle "
+        "compiled two-level assignment (pq_argmin_k over the trained "
+        "coarse array, LEFT broadcast sub-quantizer joins per coarse "
+        "rank), shared within-probed-cell candidate join and pruned "
+        "top-k rollup (round 20)",
+    "sim_knn_graph_nnd_round":
+        "one NN-Descent refinement round (un-materialized): K'-capped "
+        "undirected adjacency with vectors riding it, co-neighbor "
+        "self-join on the shared endpoint scoring cosines in-task, "
+        "slim max-dedup union with incumbents, one pruned top-K' "
+        "re-rank (round 20)",
     "sim_knn_graph_ivf":
         "IVF-cell kNN graph: zero-shuffle broadcast-argmin cell pass "
         "(pq_argmin_k over ~K hash-residue-sampled centroids), ONE "
