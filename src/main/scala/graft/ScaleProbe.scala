@@ -827,6 +827,54 @@ object ScaleProbe {
       // retired V24 first draft — identical shape/cost, coarse level a
       // hash residue instead of the Lloyd quantizer) priced by the
       // same recall arithmetic — the sampled-vs-trained-coarse table
+      // fine-iters sensitivity of the hierarchical (trained-fine)
+      // build: recall + wall at fineIters = 0/1/2/3 through the SAME
+      // shared recall arithmetic — the measured price curve behind the
+      // declared KnnFineIters (0 = V24's sampled fine tiling, the
+      // attribution anchor: everything above it is what TRAINING the
+      // fine level buys)
+      case "sim_knn_graph_hier_fiters_sweep" =>
+        Seq(0, 1, 2, 3).foreach { fi =>
+          val t0 = System.nanoTime()
+          val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            base => {
+              val (res, stages) = queries.Round20Queries
+                .knnGraphIvfHierPlanFrom(base, fineIters = fi)
+              try res.localCheckpoint(true)
+              finally stages.foreach(_.unpersist(false))
+            }
+          val rec = queries.Round19Queries
+            .graphRecallOver(spark, dir, Seq(s"hier_fi$fi" -> fn))
+            .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"knn_graph_hier_fiters","multiplier":$m,""" +
+            s""""fine_iters":$fi,"mean_recall":${rec.getDouble(0)},""" +
+            s""""hits":${rec.getLong(1)},"sec":$dt}""")
+          spark.catalog.clearCache()
+        }
+        spark.range(1).toDF("ok")
+      // NND-over-hier rounds curve — the V27 counterpart of the V25
+      // rounds sweep (same shared recall arithmetic)
+      case "sim_knn_graph_nnd_hier_rounds_sweep" =>
+        Seq(1, 2, 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            base => {
+              val (res, stages) = queries.Round20Queries
+                .knnGraphNndHierPlanFrom(base, r)
+              try res.localCheckpoint(true)
+              finally stages.foreach(_.unpersist(false))
+            }
+          val rec = queries.Round19Queries
+            .graphRecallOver(spark, dir, Seq(s"nnd_hier_r$r" -> fn))
+            .agg(avg(col("recall")).as("r"), sum(col("hits")).as("h")).head
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"knn_graph_nnd_hier_rounds","multiplier":$m,""" +
+            s""""rounds":$r,"mean_recall":${rec.getDouble(0)},""" +
+            s""""hits":${rec.getLong(1)},"sec":$dt}""")
+          spark.catalog.clearCache()
+        }
+        spark.range(1).toDF("ok")
       case "sim_knn_graph_scaled_sampled_recall" =>
         val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           base => {

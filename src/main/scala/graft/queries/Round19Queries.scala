@@ -569,14 +569,17 @@ object Round19Queries {
       "ivf_cell" -> knnGraphIvfFromFn,
       "ivf_kmeans_cell" -> knnGraphIvfKmeansFromFn,
       "ivf_scaled_cell" -> Round20Queries.knnGraphIvfScaledFromFn,
-      "nnd" -> Round20Queries.knnGraphNndFromFn)
+      "nnd" -> Round20Queries.knnGraphNndFromFn,
+      "ivf_hier_cell" -> Round20Queries.knnGraphIvfHierFromFn,
+      "nnd_hier" -> Round20Queries.knnGraphNndHierFromFn)
 
-  /** (panel label, build) — the seven declared kNN-graph builds, each
+  /** (panel label, build) — the nine declared kNN-graph builds, each
     * measured by the SAME panel truth: the three sign-LSH widths
     * (fixture 8-bit, declared 12-bit, in-plan auto), the two
     * round-19 IVF-cell builds (sampled cells, Lloyd-trained cells),
-    * and the round-20 scale path (bounded-load cells, NN-Descent
-    * refinement over them).
+    * and the round-20 scale path (bounded-load cells, the
+    * hierarchical trained-fine stage, NN-Descent refinement over
+    * each).
     */
   private val GraphPanel: Seq[(String, String)] = Seq(
     "lsh_fixture" -> "sim_knn_graph",
@@ -585,7 +588,9 @@ object Round19Queries {
     "ivf_cell" -> "sim_knn_graph_ivf",
     "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans",
     "ivf_scaled_cell" -> "sim_knn_graph_ivf_scaled",
-    "nnd" -> "sim_knn_graph_nnd")
+    "nnd" -> "sim_knn_graph_nnd",
+    "ivf_hier_cell" -> "sim_knn_graph_ivf_hier",
+    "nnd_hier" -> "sim_knn_graph_nnd_hier")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -700,7 +705,11 @@ object Round19Queries {
           "sim_knn_graph_ivf_kmeans" -> knnGraphIvfKmeansFromFn,
           "sim_knn_graph_ivf_scaled" ->
             Round20Queries.knnGraphIvfScaledFromFn,
-          "sim_knn_graph_nnd" -> Round20Queries.knnGraphNndFromFn)
+          "sim_knn_graph_nnd" -> Round20Queries.knnGraphNndFromFn,
+          "sim_knn_graph_ivf_hier" ->
+            Round20Queries.knnGraphIvfHierFromFn,
+          "sim_knn_graph_nnd_hier" ->
+            Round20Queries.knnGraphNndHierFromFn)
         graphRecallOver(s, dir,
           GraphPanel.map { case (bld, name) => bld -> buildFn(name) })
       },
@@ -713,7 +722,9 @@ object Round19Queries {
           "ivf_cell" -> knnGraphIvfDuckSql,
           "ivf_kmeans_cell" -> knnGraphIvfKmeansDuckSql,
           "ivf_scaled_cell" -> Round20Queries.knnGraphIvfScaledDuckSql,
-          "nnd" -> Round20Queries.knnGraphNndDuckSql)
+          "nnd" -> Round20Queries.knnGraphNndDuckSql,
+          "ivf_hier_cell" -> Round20Queries.knnGraphIvfHierDuckSql,
+          "nnd_hier" -> Round20Queries.knnGraphNndHierDuckSql)
         val buildCtes = GraphPanel.map { case (bld, _) =>
           s"""b_$bld AS (
             SELECT vec_id AS query_id, neighbor_id
@@ -750,10 +761,11 @@ object Round19Queries {
           ON s.build = h.build AND s.query_id = h.query_id
         ORDER BY s.build, s.query_id"""
       },
-      doc = s"Measured edge recall@${Round13Queries.KnnK} of the seven " +
+      doc = s"Measured edge recall@${Round13Queries.KnnK} of the nine " +
         "declared kNN-graph builds (sign-LSH fixture/scaled/auto " +
         "widths, sampled-cell IVF, Lloyd-trained-cell IVF, " +
-        "bounded-load IVF, NN-Descent-refined) vs exact " +
+        "bounded-load IVF, hierarchical trained-fine IVF, and the " +
+        "NN-Descent refinement over each) vs exact " +
         "brute-force truth on a " +
         s"$KnnRecallPanel-query panel (same rounding and tiebreak), " +
         "denominator = the per-query truth count computed in-plan, " +

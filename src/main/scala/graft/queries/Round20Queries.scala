@@ -446,7 +446,15 @@ object Round20Queries {
     * co-neighbor candidates ∪ incumbents, exact re-score, top-k.
     */
   private[graft] def knnGraphNndDuckCtes(rounds: Int = KnnNndRounds)
-      : String = {
+      : String =
+    knnGraphNndDuckCtesOver(knnGraphIvfScaledDuckSqlAt(KnnNndWidth), rounds)
+
+  /** The same rounds over an ARBITRARY width-K' seed statement — ONE
+    * definition of the refinement replay for the V25 (bounded-load
+    * seed) and V27 (trained-fine seed) oracles.
+    */
+  private[graft] def knnGraphNndDuckCtesOver(seedSql: String,
+      rounds: Int = KnnNndRounds): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""adj$r AS (
           SELECT query_id AS node, neighbor_id AS nb FROM e${r - 1}
@@ -478,7 +486,7 @@ object Round20Queries {
     s"""${Round13Queries.vectorsDuck},
       e0 AS (
         SELECT vec_id AS query_id, neighbor_id, cosine
-        FROM (${knnGraphIvfScaledDuckSqlAt(KnnNndWidth)}) seed),
+        FROM ($seedSql) seed),
       $roundCtes,
       ranked AS (
         SELECT query_id, neighbor_id, cosine, rank FROM e$rounds)"""
@@ -496,6 +504,319 @@ object Round20Queries {
   private def prodGraph(s: org.apache.spark.sql.SparkSession, dir: String)
       : DataFrame =
     knnGraphNndFn(s, dir)
+
+  // ════ V26/V27: the TRAINED-FINE (hierarchical k-means) build ════════
+
+  /** Fine-level Lloyd iterations inside each coarse cell. The BASELINE
+    * round-20 trajectory table names the remaining recall gap of the
+    * bounded-load build precisely: the trained coarse cells co-locate
+    * neighbors at K≈√n granularity, but the constant-load FINE tiling
+    * inside them is still a random sample — "the documented next step
+    * is training the FINE level too". Per-round cost is one broadcast
+    * compiled argmin pass (O(n·fines-per-coarse·dim) — the same flops
+    * as V24's one fine-assignment pass) plus one grouped exact-mean
+    * update (ONE shuffle of n·dim (cell, idx, decimal) rows with
+    * map-side partial aggregation) — linear in n per round. The
+    * declared value sits where the measured recall curve plateaus
+    * (BASELINE round 20 fine-iters sweep).
+    */
+  val KnnFineIters = 2
+
+  /** Packing base for global fine-cell ids: cell = c2·2³² + f. Fine
+    * positions are dense per coarse cell and bounded by the per-coarse
+    * fine count (≪ 2³² at any conceivable per-coarse population), so
+    * the packing is collision-free; both engines compute the identical
+    * arithmetic.
+    */
+  private val FineCellBase = 1L << 32
+
+  /** Per-coarse fine-centroid sub-quantizer arrays: (c2, fcvs), fcvs
+    * in fine-position order (f is dense per coarse, so sort_array on
+    * the (f, cv) struct puts position p = f — the pq_argmin strict-<
+    * tiebreak is then the oracle's ORDER BY d2, f).
+    */
+  private def fineArr(fcents: DataFrame): DataFrame =
+    fcents.groupBy(col("c2"))
+      .agg(sort_array(collect_list(struct(col("f"), col("cv")))).as("fs"))
+      .select(col("c2"), expr("transform(fs, x -> x.cv)").as("fcvs"))
+
+  /** Hierarchical-k-means cell stage — (cells, corpus), both persisted:
+    * V24's trained-coarse bounded-load stage with the fine level
+    * TRAINED instead of sampled. Three passes:
+    *  - COARSE (shared with V24): the V9b Lloyd quantizer; ONE compiled
+    *    pq_argmin_k pass ranks every vector's KnnCoarseNprobe nearest
+    *    coarse cells (cc[0] is the training home — the argmin IS rank 1
+    *    of the same order);
+    *  - FINE INIT (V24's exact fine geometry): the id-distribution-free
+    *    hash-residue sample at expected load KnnCellLoad, each sampled
+    *    point homed to ITS nearest coarse cell; identity becomes
+    *    (c2, f) with f = the sample's vec_id rank within the coarse
+    *    cell — at zero fine iterations this stage IS V24 (same cells,
+    *    same candidates, same edges; Round20Spec pins the equality);
+    *  - FINE LLOYD (KnnFineIters rounds, grouped by coarse home): each
+    *    vector re-assigns to the nearest fine centroid OF ITS HOME
+    *    COARSE CELL (one broadcast join + compiled pq_argmin pass),
+    *    update = the shared exact-mean recipe (round-9 decimal sums,
+    *    one double division) grouped by (c2, f), positions re-indexed
+    *    dense per coarse — empty fine cells compact identically on
+    *    both engines.
+    * Serving assignment and tail are V24's: KnnCoarseNprobe probed
+    * coarse cells × fnprobe fine cells each through zero-shuffle
+    * compiled passes, cells ordered (coarse rank, fine rank), global
+    * cell id = c2·2³² + f, shared cellGraphServe. Fine cell COUNT
+    * still grows ∝ n (the init sample fixes it), so candidate volume
+    * stays n·cnprobe·fnprobe·load = LINEAR — training moves the
+    * centroids, not the budget.
+    */
+  private[graft] def hierCellsFrom(base: DataFrame,
+      fnprobe: Int = Round19Queries.KnnIvfNprobe,
+      fineIters: Int = KnnFineIters): Seq[DataFrame] = {
+    val s = base.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val corpus = base
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    corpus.count()
+    val ca = Round19Queries.trainedCentArrayFrom(corpus)
+    val width = cellLoadWidth(corpus)
+    val h60 = Round17Queries.idHash60Spark("vec_id")
+    val routed = corpus.crossJoin(broadcast(ca))
+      .withColumn("cc", expr(s"pq_argmin_k(v, cents, $KnnCoarseNprobe)"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cc"))
+      .persist()
+    routed.count()
+    val wInit = Window.partitionBy(col("c2")).orderBy(col("cid"))
+    var fc = routed.crossJoin(broadcast(width))
+      .filter(expr(h60) % col("fstride") === 0)
+      .select(col("cc").getItem(0).as("c2"), col("vec_id").as("cid"),
+        col("v").as("cv"))
+      .withColumn("f", (row_number().over(wInit) - 1).cast("int"))
+      .select(col("c2"), col("f"), col("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to fineIters) {
+      val assigned = routed
+        .select(col("cc").getItem(0).as("c2"), col("v"))
+        .join(broadcast(fineArr(fc)), Seq("c2"))
+        .withColumn("f", expr("pq_argmin(v, fcvs)"))
+        .select(col("c2"), col("f"), col("v"))
+      val wRe = Window.partitionBy(col("c2")).orderBy(col("f"))
+      fc = assigned
+        .select(col("c2"), col("f"), posexplode(col("v")).as(Seq("idx", "val")))
+        .groupBy(col("c2"), col("f"), col("idx"))
+        .agg(
+          sum(expr("cast(round(val, 9) as decimal(28,9))")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .withColumn("mn", round(col("sm").cast("double") / col("cnt"), 9))
+        .groupBy(col("c2"), col("f"))
+        .agg(sort_array(collect_list(struct(col("idx"), col("mn")))).as("ms"))
+        .select(col("c2"),
+          ((row_number().over(wRe)) - 1).cast("int").as("fnew"),
+          expr("transform(ms, x -> x.mn)").as("cv"))
+        .withColumnRenamed("fnew", "f")
+        .localCheckpoint()
+    }
+    val fbc = fineArr(fc)
+    val picked = (0 until KnnCoarseNprobe).foldLeft(routed) { (df, i) =>
+      df.withColumn("c2", col("cc").getItem(i))
+        .join(broadcast(fbc), Seq("c2"), "left")
+        .withColumn(s"cells$i",
+          coalesce(
+            expr(s"transform(pq_argmin_k(v, fcvs, $fnprobe), " +
+              s"p -> cast(c2 as bigint) * $FineCellBase + p)"),
+            expr("CAST(array() AS array<bigint>)")))
+        .drop("c2", "fcvs")
+    }
+    val cells = picked
+      .withColumn("cells",
+        concat((0 until KnnCoarseNprobe).map(i => col(s"cells$i")): _*))
+      .filter(size(col("cells")) > 0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cells"))
+      .persist()
+    cells.count()
+    routed.unpersist(false)
+    Seq(cells, corpus)
+  }
+
+  private[graft] def knnGraphIvfHierPlanFrom(base: DataFrame,
+      fnprobe: Int = Round19Queries.KnnIvfNprobe,
+      fineIters: Int = KnnFineIters): (DataFrame, Seq[DataFrame]) = {
+    val stages = hierCellsFrom(base, fnprobe, fineIters)
+    (Round19Queries.cellGraphServe(stages.head), stages)
+  }
+
+  private[graft] def knnGraphIvfHierPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    knnGraphIvfHierPlanFrom(Round13Queries.vectors(s, dir))
+
+  /** The declared row's fn as a named val (audit-shared). */
+  private[graft] val knnGraphIvfHierFn
+      : (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (res, stages) = knnGraphIvfHierPlan(s, dir)
+      try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
+    }
+
+  /** Materializing From-form for the recall audit. */
+  private[graft] val knnGraphIvfHierFromFn: DataFrame => DataFrame =
+    base => {
+      val (res, stages) = knnGraphIvfHierPlanFrom(base)
+      try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
+    }
+
+  /** The hierarchical-k-means oracle CTE chain, ending in `ranked` —
+    * the V24 chain with the fine level's grouped Lloyd rounds unrolled:
+    * f0 = the residue sample homed to its coarse cell (f = cid rank per
+    * coarse), each round = a per-vector argmin WITHIN the home coarse
+    * cell (d2 asc, f asc — pq_argmin's strict-< tiebreak over the
+    * f-ordered array), the shared round-9 decimal-mean update grouped
+    * by (c2, f), and a dense per-coarse re-index (empty cells compact
+    * identically). `hv` (rank-1 of coarseranks) is the training home;
+    * serving replays V24's (crn, frn) order over the TRAINED fine
+    * table with cell = c2·2³² + f.
+    */
+  private[graft] def knnGraphIvfHierDuckCtes(
+      fineIters: Int = KnnFineIters): String = {
+    val it = Round11bQueries.KmIters
+    val h60 = Round17Queries.idHash60Duck("vec_id")
+    val cd = VectorOps.duckDist2("a.v", "c.cv")
+    val scd = VectorOps.duckDist2("f.cv", "c.cv")
+    val fad = VectorOps.duckDist2("a.v", "c.cv")
+    val fd = VectorOps.duckDist2("p.v", "c.cv")
+    val dim = Round11bQueries.Dim
+    val fineRounds = (1 to fineIters).map { i =>
+      s"""fa$i AS (
+          SELECT vec_id, v, c2, f FROM (
+            SELECT a.vec_id, a.v, a.c2, c.f,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $fad ASC, c.f ASC) AS rn
+            FROM hv a JOIN f${i - 1} c ON c.c2 = a.c2) WHERE rn = 1),
+        fu$i AS (
+          SELECT c2, f, u.j AS idx,
+            round(CAST(sum(CAST(round(v[u.j + 1], 9) AS DECIMAL(28,9))) AS DOUBLE)
+                  / count(*), 9) AS mn
+          FROM fa$i, unnest(range(0, $dim)) u(j)
+          GROUP BY c2, f, u.j),
+        f$i AS (
+          SELECT c2, CAST(row_number() OVER (PARTITION BY c2 ORDER BY f) - 1
+            AS INT) AS f, cv
+          FROM (
+            SELECT c2, f, list(mn ORDER BY idx) AS cv FROM fu$i
+            GROUP BY c2, f))"""
+    }.mkString(",\n      ")
+    s"""${Round11bQueries.kmDuckPrefixFrom(
+        Round17Queries.kmeansAutoC0Sql, it)},
+      width AS (${cellLoadWidthSql("vecs")}),
+      coarseranks AS (
+        SELECT a.vec_id, a.v, c.pos,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY $cd ASC, c.pos ASC) AS crn
+        FROM vecs a CROSS JOIN c$it c),
+      hv AS (
+        SELECT vec_id, v, pos AS c2 FROM coarseranks WHERE crn = 1),
+      fsamp AS (
+        SELECT vec_id AS cid, v AS cv FROM vecs CROSS JOIN width
+        WHERE $h60 % fstride = 0),
+      f0r AS (
+        SELECT cid, cv, c2 FROM (
+          SELECT f.cid, f.cv, c.pos AS c2,
+            row_number() OVER (PARTITION BY f.cid
+              ORDER BY $scd ASC, c.pos ASC) AS rn
+          FROM fsamp f CROSS JOIN c$it c) WHERE rn = 1),
+      f0 AS (
+        SELECT c2, CAST(row_number() OVER (PARTITION BY c2 ORDER BY cid) - 1
+          AS INT) AS f, cv
+        FROM f0r),
+      $fineRounds,
+      vprobes AS (
+        SELECT vec_id, v, pos AS c2, crn FROM coarseranks
+        WHERE crn <= $KnnCoarseNprobe),
+      cellranks AS (
+        SELECT p.vec_id, p.v, p.crn,
+          p.c2 * $FineCellBase + c.f AS cell,
+          row_number() OVER (PARTITION BY p.vec_id, p.crn
+            ORDER BY $fd ASC, c.f ASC) AS frn
+        FROM vprobes p JOIN f$fineIters c ON c.c2 = p.c2),
+      ordered AS (
+        SELECT vec_id, v, cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY crn ASC, frn ASC) AS rn
+        FROM cellranks WHERE frn <= ${Round19Queries.KnnIvfNprobe}),
+      assign AS (
+        SELECT vec_id, v, ${VectorOps.duckNorm("v")} AS nrm, cell
+        FROM ordered WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, ${VectorOps.duckNorm("v")} AS qn,
+          cell
+        FROM ordered),
+      sims AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(${VectorOps.duckDot("a.v", "p.qv")} / (a.nrm * p.qn), 6)
+            AS cosine
+        FROM assign a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims)"""
+  }
+
+  /** Width-parameterized statement: the declared row at KnnK, the V27
+    * seed nests it at KnnNndWidth (same chain, one definition).
+    */
+  private[graft] def knnGraphIvfHierDuckSqlAt(k: Int): String =
+    s"""WITH ${knnGraphIvfHierDuckCtes()}
+      SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= $k ORDER BY vec_id, rank"""
+
+  private[graft] def knnGraphIvfHierDuckSql: String =
+    knnGraphIvfHierDuckSqlAt(Round13Queries.KnnK)
+
+  /** NN-Descent over the TRAINED-FINE seed — the V25 refinement rounds
+    * (same nndRound, same width/rounds constants) re-seeded on the
+    * hierarchical cell stage: the seed-structure gap V25's trajectory
+    * table names is exactly what the trained fine level closes, and
+    * NN-Descent's measured percolation physics (refinement amplifies
+    * seed signal) makes the recall gain compound.
+    */
+  private[graft] def knnGraphNndHierPlanFrom(base: DataFrame,
+      rounds: Int = KnnNndRounds): (DataFrame, Seq[DataFrame]) = {
+    val stages = hierCellsFrom(base)
+    val corpus = stages.last
+    var g = Round19Queries.cellGraphServe(stages.head, KnnNndWidth)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      g = nndRound(corpus, g).localCheckpoint(true)
+    (g.filter(col("rank") <= Round13Queries.KnnK)
+      .orderBy(col("vec_id"), col("rank")), stages)
+  }
+
+  private[graft] def knnGraphNndHierPlan(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int = KnnNndRounds): (DataFrame, Seq[DataFrame]) =
+    knnGraphNndHierPlanFrom(Round13Queries.vectors(s, dir), rounds)
+
+  /** The declared row's fn as a named val (audit-shared). */
+  private[graft] val knnGraphNndHierFn
+      : (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (res, stages) = knnGraphNndHierPlan(s, dir)
+      try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
+    }
+
+  /** Materializing From-form for the recall audit. */
+  private[graft] val knnGraphNndHierFromFn: DataFrame => DataFrame =
+    base => {
+      val (res, stages) = knnGraphNndHierPlanFrom(base)
+      try res.localCheckpoint(true) finally stages.foreach(_.unpersist(false))
+    }
+
+  private[graft] def knnGraphNndHierDuckSql: String =
+    s"""WITH ${knnGraphNndDuckCtesOver(
+        knnGraphIvfHierDuckSqlAt(KnnNndWidth))}
+      SELECT query_id AS vec_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= ${Round13Queries.KnnK} ORDER BY vec_id, rank"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -585,5 +906,49 @@ object Round20Queries {
         "split (SURVEY §5 note 14): rows-only here; " +
         "sim_semantic_edges_ivf is the hash-green edge half, " +
         "Round20Spec union-finds the closure."),
+
+    // ── V26: hierarchical-k-means (trained-fine) bounded-load graph ──
+    // The BASELINE round-20 trajectory table's named next step: V24's
+    // remaining recall gap to the Θ(n^1.5) flat-trained line is
+    // exactly the seed-structure gap — trained coarse cells co-locate
+    // neighbors at K≈√n granularity, but the constant-load fine tiling
+    // inside them is still a random sample. Training the fine level
+    // (per-coarse Lloyd over ~load-sized sub-populations) moves the
+    // fine centroids onto the local neighbor structure at the SAME
+    // cell count and candidate budget — the chain stays linear.
+    QueryDef(
+      "sim_knn_graph_ivf_hier",
+      knnGraphIvfHierFn,
+      Some(knnGraphIvfHierDuckSql),
+      doc = s"Hierarchical-k-means bounded-load IVF-cell kNN graph " +
+        s"(k=${Round13Queries.KnnK}): V24's trained-coarse / " +
+        "constant-load-fine stage with the FINE level Lloyd-TRAINED " +
+        s"per coarse cell ($KnnFineIters grouped rounds — assignment " +
+        "within the home coarse cell via one broadcast compiled " +
+        "pq_argmin pass, the shared round-9 decimal-mean update " +
+        "grouped by (coarse, fine), dense per-coarse re-index); fine " +
+        "INIT = V24's residue sample (identical geometry at zero " +
+        "rounds — Round20Spec pins the edge-set equality), fine cell " +
+        "COUNT still grows with n so candidate volume stays " +
+        "n*cnprobe*fnprobe*load = LINEAR; cell id = coarse*2^32 + " +
+        "fine position, shared cellGraphServe tail; recall-priced by " +
+        "sim_knn_graph_recall."),
+
+    // ── V27: NN-Descent over the trained-fine seed ───────────────────
+    // V25's measured percolation physics (refinement amplifies seed
+    // signal: over a 0.02-recall seed the rounds stall, over a
+    // 0.16-recall seed they climb) applied to the best linear seed:
+    // the same declared rounds/width over the hierarchical stage.
+    QueryDef(
+      "sim_knn_graph_nnd_hier",
+      knnGraphNndHierFn,
+      Some(knnGraphNndHierDuckSql),
+      doc = s"NN-Descent-refined hierarchical kNN graph " +
+        s"(k=${Round13Queries.KnnK}, $KnnNndRounds rounds at internal " +
+        s"width K'=$KnnNndWidth): the V25 refinement re-seeded on the " +
+        "trained-fine bounded-load stage — same co-neighbor rounds, " +
+        "same constants, better seed signal for the percolation to " +
+        "amplify; the family's highest-recall fully-linear chain, " +
+        "recall-priced per leg by sim_knn_graph_recall."),
   )
 }

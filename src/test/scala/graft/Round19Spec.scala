@@ -123,7 +123,9 @@ class Round19Spec extends SparkSpec {
       "ivf_cell" -> "sim_knn_graph_ivf",
       "ivf_kmeans_cell" -> "sim_knn_graph_ivf_kmeans",
       "ivf_scaled_cell" -> "sim_knn_graph_ivf_scaled",
-      "nnd" -> "sim_knn_graph_nnd")
+      "nnd" -> "sim_knn_graph_nnd",
+      "ivf_hier_cell" -> "sim_knn_graph_ivf_hier",
+      "nnd_hier" -> "sim_knn_graph_nnd_hier")
     // scaffold: every (build, panel query) present exactly once
     assert(audit.size == builds.size * math.min(KnnRecallPanel, vecs.length),
       s"scaffold incomplete: ${audit.size} rows")

@@ -150,6 +150,110 @@ class Round20Spec extends SparkSpec {
     assert(sizes.values.max > 1, "no genuine merging on the fixture")
   }
 
+  test("sim_knn_graph_ivf_hier at ZERO fine rounds is exactly the bounded-load build") {
+    import graft.queries.Round20Queries
+    // the scaffold pin: the hierarchical stage's fine INIT is V24's
+    // residue sample homed to its coarse cell, and its (c2, f) identity
+    // ranks fine cells by sampled vec_id within each coarse cell —
+    // exactly V24's global-cid tiebreak restricted to the shared coarse
+    // cell. So with no fine training the geometry, candidates, and
+    // edges must be BIT-IDENTICAL to the declared V24 row; everything
+    // the declared KnnFineIters rounds change is what training buys.
+    def edges(res: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      res.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val base = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.queries.VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.queries.VectorOps.norm(col("v")))
+    val (h0, hs) = Round20Queries.knnGraphIvfHierPlanFrom(base, fineIters = 0)
+    val hierEdges = try edges(h0) finally hs.foreach(_.unpersist(false))
+    val (v24, vs) = Round20Queries.knnGraphIvfScaledPlan(spark, sf())
+    val scaledEdges = try edges(v24) finally vs.foreach(_.unpersist(false))
+    assert(hierEdges.nonEmpty, "fixture graph must be non-empty")
+    assert(hierEdges == scaledEdges,
+      "hier(fineIters=0) edges != sim_knn_graph_ivf_scaled edges")
+  }
+
+  test("sim_knn_graph_ivf_hier: trained fine level keeps the load discipline") {
+    import graft.queries.{Round13Queries, Round20Queries}
+    val (res, stages) = Round20Queries.knnGraphIvfHierPlan(spark, sf())
+    try {
+      val out = res.collect()
+      assert(out.nonEmpty, "fixture graph must be non-empty")
+      // training moves centroids, not the budget: the cell count must
+      // still track n/load and the home-load p99 must stay near the
+      // declared constant (Lloyd REBALANCES load toward the mean, so
+      // the sampled build's bound holds a fortiori)
+      val cells = stages.head
+      val loads = cells.select(expr("cells[0]").as("home"))
+        .groupBy(col("home")).agg(count(lit(1)).as("load"))
+        .agg(expr("CAST(percentile(load, 0.99) AS DOUBLE)").as("p99"),
+          count(lit(1)).as("ncells"))
+        .head
+      val n = cells.count()
+      val expectedCells = n.toDouble / Round20Queries.KnnCellLoad
+      assert(loads.getLong(1) > expectedCells / 2,
+        s"cell count ${loads.getLong(1)} must track n/load ~ $expectedCells")
+      assert(loads.getDouble(0) <= 8.0 * Round20Queries.KnnCellLoad,
+        s"p99 home load ${loads.getDouble(0)} must stay near the " +
+          s"declared constant ${Round20Queries.KnnCellLoad}")
+      // fine training must actually move the fine-level ASSIGNMENTS off
+      // the init tiling (a no-op Lloyd round would silently degrade the
+      // declared row back to V24). Edge-level gain is a probe-scale
+      // property (at n=500 there are ~1.4 fine cells per coarse and 4
+      // probed, so the fixture's top-k edges are saturated by coarse
+      // probing alone — the recall sweeps price the gain where it
+      // exists); what IS observable at any scale is the cell tiling.
+      val base = graft.Tables.load(spark, sf(), "embeddings")
+        .select(col("vec_id"),
+          graft.queries.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.queries.VectorOps.norm(col("v")))
+      val zs = Round20Queries.hierCellsFrom(base, fineIters = 0)
+      val zeroCells = try zs.head.select(col("vec_id"), col("cells"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        finally zs.foreach(_.unpersist(false))
+      val trainedCells = cells.select(col("vec_id"), col("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(trainedCells != zeroCells,
+        "declared fine rounds left every cell assignment unchanged — " +
+          "training is a no-op?")
+      out.groupBy(_.getLong(0)).values.foreach { rows =>
+        val ranks = rows.map(_.getInt(1)).sorted
+        assert(ranks.head == 1 && ranks.toSeq == (1 to ranks.length),
+          s"ranks must be contiguous 1..k, got ${ranks.toSeq}")
+        assert(ranks.length <= Round13Queries.KnnK)
+      }
+    } finally stages.foreach(_.unpersist(false))
+  }
+
+  test("sim_knn_graph_nnd_hier is seed + KnnNndRounds unrolled rounds") {
+    import graft.queries.{Round13Queries, Round19Queries, Round20Queries}
+    val stages = Round20Queries.hierCellsFrom(
+      graft.Tables.load(spark, sf(), "embeddings")
+        .select(col("vec_id"),
+          graft.queries.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.queries.VectorOps.norm(col("v"))))
+    try {
+      val corpus = stages.last
+      var g = Round19Queries
+        .cellGraphServe(stages.head, Round20Queries.KnnNndWidth)
+        .localCheckpoint(true)
+      for (_ <- 1 to Round20Queries.KnnNndRounds)
+        g = Round20Queries.nndRound(corpus, g).localCheckpoint(true)
+      val replay = g.filter(col("rank") <= Round13Queries.KnnK)
+        .orderBy(col("vec_id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val declared = run("sim_knn_graph_nnd_hier").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(declared.nonEmpty, "fixture graph must be non-empty")
+      assert(declared.toSeq == replay.toSeq,
+        "declared row != hier seed + unrolled rounds")
+    } finally stages.foreach(_.unpersist(false))
+  }
+
   test("sim_knn_graph_ivf_scaled: compiled two-level pass, keyed join, pruned top-k") {
     import graft.queries.Round20Queries
     val (res, stages) = Round20Queries.knnGraphIvfScaledPlan(spark, sf())
