@@ -82,7 +82,12 @@ object Plans {
     // shared serving tail) and one un-materialized NN-Descent round
     // (co-neighbor self-join with vectors riding the adjacency, slim
     // cosine dedup, one pruned top-k re-rank)
-    "sim_knn_graph_ivf_scaled", "sim_knn_graph_nnd_round")
+    "sim_knn_graph_ivf_scaled", "sim_knn_graph_nnd_round",
+    // round 20 (trained-fine): the hierarchical build's serving tail
+    // over the trained fine table and one un-materialized grouped
+    // fine-Lloyd round (broadcast per-coarse argmin assignment, slim
+    // exploded decimal-mean update, dense per-coarse re-index)
+    "sim_knn_graph_ivf_hier", "sim_knn_graph_hier_fine_round")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -198,6 +203,29 @@ object Plans {
           val g0 = seed.localCheckpoint(true)
           (graft.queries.Round20Queries.nndRound(stages.last, g0),
             Some(stages))
+        case "sim_knn_graph_ivf_hier" =>
+          val (res, stages) =
+            graft.queries.Round20Queries.knnGraphIvfHierPlan(spark, dir)
+          (res, Some(stages))
+        // ONE un-materialized grouped fine-Lloyd round over the
+        // persisted coarse-routed corpus and the checkpointed fine
+        // init (the build checkpoints every round; the novel shape is
+        // the round body itself)
+        case "sim_knn_graph_hier_fine_round" =>
+          import org.apache.spark.sql.functions.col
+          val corpus = graft.Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"),
+              graft.queries.VectorOps.toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", graft.queries.VectorOps.norm(col("v")))
+            .persist()
+          corpus.count()
+          val routed = graft.queries.Round20Queries
+            .coarseRouted(corpus).persist()
+          routed.count()
+          val init = graft.queries.Round20Queries
+            .fineInit(routed, corpus).localCheckpoint()
+          (graft.queries.Round20Queries.fineLloydRound(routed, init),
+            Some(Seq(routed, corpus)))
         case _ => (SparkEntry.queries(name)(spark, dir), None)
       }
       df.collect() // finalize AQE so the printed plan is the executed one

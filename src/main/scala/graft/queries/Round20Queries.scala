@@ -530,6 +530,72 @@ object Round20Queries {
     */
   private val FineCellBase = 1L << 32
 
+  /** One grouped fine-Lloyd round over the coarse-routed corpus:
+    * assignment = every vector to the nearest fine centroid OF ITS
+    * HOME COARSE CELL (one broadcast join + compiled pq_argmin pass —
+    * O(n·fines-per-coarse·dim), the flops of one V24 fine-assignment
+    * pass), update = the shared exact-mean recipe (round-9 decimal
+    * sums, ONE double division — the Round11bQueries.update shape,
+    * grouped by (c2, f) instead of cluster), positions re-indexed
+    * dense per coarse so empty fine cells compact identically on both
+    * engines. The update's ONE shuffle carries n·dim slim (c2, f, idx,
+    * decimal) rows with map-side partial aggregation — linear in n.
+    */
+  private[graft] def fineLloydRound(routed: DataFrame, fc: DataFrame)
+      : DataFrame = {
+    val assigned = routed
+      .select(col("cc").getItem(0).as("c2"), col("v"))
+      .join(broadcast(fineArr(fc)), Seq("c2"))
+      .withColumn("f", expr("pq_argmin(v, fcvs)"))
+      .select(col("c2"), col("f"), col("v"))
+    val wRe = Window.partitionBy(col("c2")).orderBy(col("f"))
+    assigned
+      .select(col("c2"), col("f"), posexplode(col("v")).as(Seq("idx", "val")))
+      .groupBy(col("c2"), col("f"), col("idx"))
+      .agg(
+        sum(expr("cast(round(val, 9) as decimal(28,9))")).as("sm"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mn", round(col("sm").cast("double") / col("cnt"), 9))
+      .groupBy(col("c2"), col("f"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("mn")))).as("ms"))
+      .select(col("c2"),
+        ((row_number().over(wRe)) - 1).cast("int").as("fnew"),
+        expr("transform(ms, x -> x.mn)").as("cv"))
+      .withColumnRenamed("fnew", "f")
+  }
+
+  /** Fine INIT (V24's exact fine geometry over the routed corpus): the
+    * id-distribution-free hash-residue sample at expected load
+    * KnnCellLoad, each sampled point homed to ITS nearest coarse cell
+    * (cc[0] — the argmin IS rank 1 of the routing order); identity =
+    * (c2, f) with f = the sample's vec_id rank within the coarse cell.
+    */
+  private[graft] def fineInit(routed: DataFrame, corpus: DataFrame)
+      : DataFrame = {
+    val h60 = Round17Queries.idHash60Spark("vec_id")
+    val wInit = Window.partitionBy(col("c2")).orderBy(col("cid"))
+    routed.crossJoin(broadcast(cellLoadWidth(corpus)))
+      .filter(expr(h60) % col("fstride") === 0)
+      .select(col("cc").getItem(0).as("c2"), col("vec_id").as("cid"),
+        col("v").as("cv"))
+      .withColumn("f", (row_number().over(wInit) - 1).cast("int"))
+      .select(col("c2"), col("f"), col("cv"))
+  }
+
+  /** The coarse-routed corpus (vec_id, v, nrm, cc) — the persisted
+    * substrate the fine init, every fine-Lloyd round, and the serving
+    * assignment all read; exposed for the Plans dump of one fine
+    * round.
+    */
+  private[graft] def coarseRouted(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val ca = Round19Queries.trainedCentArrayFrom(corpus)
+    corpus.crossJoin(broadcast(ca))
+      .withColumn("cc", expr(s"pq_argmin_k(v, cents, $KnnCoarseNprobe)"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cc"))
+  }
+
   /** Per-coarse fine-centroid sub-quantizer arrays: (c2, fcvs), fcvs
     * in fine-position order (f is dense per coarse, so sort_array on
     * the (f, cv) struct puts position p = f — the pq_argmin strict-<
@@ -577,44 +643,11 @@ object Round20Queries {
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
     corpus.count()
-    val ca = Round19Queries.trainedCentArrayFrom(corpus)
-    val width = cellLoadWidth(corpus)
-    val h60 = Round17Queries.idHash60Spark("vec_id")
-    val routed = corpus.crossJoin(broadcast(ca))
-      .withColumn("cc", expr(s"pq_argmin_k(v, cents, $KnnCoarseNprobe)"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cc"))
-      .persist()
+    val routed = coarseRouted(corpus).persist()
     routed.count()
-    val wInit = Window.partitionBy(col("c2")).orderBy(col("cid"))
-    var fc = routed.crossJoin(broadcast(width))
-      .filter(expr(h60) % col("fstride") === 0)
-      .select(col("cc").getItem(0).as("c2"), col("vec_id").as("cid"),
-        col("v").as("cv"))
-      .withColumn("f", (row_number().over(wInit) - 1).cast("int"))
-      .select(col("c2"), col("f"), col("cv"))
-      .localCheckpoint()
-    for (_ <- 1 to fineIters) {
-      val assigned = routed
-        .select(col("cc").getItem(0).as("c2"), col("v"))
-        .join(broadcast(fineArr(fc)), Seq("c2"))
-        .withColumn("f", expr("pq_argmin(v, fcvs)"))
-        .select(col("c2"), col("f"), col("v"))
-      val wRe = Window.partitionBy(col("c2")).orderBy(col("f"))
-      fc = assigned
-        .select(col("c2"), col("f"), posexplode(col("v")).as(Seq("idx", "val")))
-        .groupBy(col("c2"), col("f"), col("idx"))
-        .agg(
-          sum(expr("cast(round(val, 9) as decimal(28,9))")).as("sm"),
-          count(lit(1)).as("cnt"))
-        .withColumn("mn", round(col("sm").cast("double") / col("cnt"), 9))
-        .groupBy(col("c2"), col("f"))
-        .agg(sort_array(collect_list(struct(col("idx"), col("mn")))).as("ms"))
-        .select(col("c2"),
-          ((row_number().over(wRe)) - 1).cast("int").as("fnew"),
-          expr("transform(ms, x -> x.mn)").as("cv"))
-        .withColumnRenamed("fnew", "f")
-        .localCheckpoint()
-    }
+    var fc = fineInit(routed, corpus).localCheckpoint()
+    for (_ <- 1 to fineIters)
+      fc = fineLloydRound(routed, fc).localCheckpoint()
     val fbc = fineArr(fc)
     val picked = (0 until KnnCoarseNprobe).foldLeft(routed) { (df, i) =>
       df.withColumn("c2", col("cc").getItem(i))

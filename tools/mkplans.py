@@ -20,9 +20,22 @@ NEW_HEADERS = {
         "over the corpus (round 19; dumped round 20)",
     "sim_knn_graph_recall":
         "kNN-graph recall audit: one prepared corpus threaded through "
-        "seven checkpointed builds, a driver-collected panel truth "
+        "nine checkpointed builds, a driver-collected panel truth "
         "re-broadcast as a local relation, per-build left-semi hit "
         "joins unioned over the in-plan truth denominators (round 20)",
+    "sim_knn_graph_ivf_hier":
+        "hierarchical-k-means bounded-load kNN graph: the V24 serving "
+        "tail over the TRAINED fine table (per-coarse grouped Lloyd, "
+        "checkpointed away) — zero-shuffle compiled two-level "
+        "assignment, packed (coarse<<32)+fine cell ids, shared "
+        "within-probed-cell candidate join and pruned top-k rollup "
+        "(round 20)",
+    "sim_knn_graph_hier_fine_round":
+        "one grouped fine-Lloyd round (un-materialized): broadcast "
+        "per-coarse sub-quantizer argmin assignment within the home "
+        "coarse cell, slim exploded (c2, f, idx, decimal) mean update "
+        "with map-side partials, dense per-coarse re-index window "
+        "(round 20)",
     "sim_knn_graph_ivf_scaled":
         "trained-coarse bounded-load IVF-cell kNN graph: zero-shuffle "
         "compiled two-level assignment (pq_argmin_k over the trained "
