@@ -90,6 +90,14 @@ object Plans {
     "sim_knn_graph_ivf_hier", "sim_knn_graph_hier_fine_round")
 
   def main(args: Array[String]): Unit = {
+    // optional `-o <dir>`: additionally write each query's FULL
+    // explain("formatted") to <dir>/<name>.txt (the round-20
+    // optimization evidence files under plans/r20/)
+    val (outDir, rest) = args.toSeq match {
+      case "-o" +: d +: tail => (Some(d), tail)
+      case other => (None, other)
+    }
+    outDir.foreach(d => new java.io.File(d).mkdirs())
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -97,7 +105,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else flagships
+    val names = if (rest.nonEmpty) rest else flagships
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       // sim_knn_graph materializes via localCheckpoint (its executed
@@ -201,8 +209,9 @@ object Plans {
           val (seed, stages) =
             graft.queries.Round20Queries.knnGraphIvfScaledPlan(spark, dir)
           val g0 = seed.localCheckpoint(true)
-          (graft.queries.Round20Queries.nndRound(stages.last, g0),
-            Some(stages))
+          val (round1, av) =
+            graft.queries.Round20Queries.nndRoundStaged(stages.last, g0)
+          (round1, Some(stages :+ av))
         case "sim_knn_graph_ivf_hier" =>
           val (res, stages) =
             graft.queries.Round20Queries.knnGraphIvfHierPlan(spark, dir)
@@ -231,6 +240,12 @@ object Plans {
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(8000))
+      outDir.foreach { d =>
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, s"$name.txt"), formatted)
+      }
       // release the pinned stages (persist-scoping discipline — the
       // builders leave them cached for the caller to scope);
       // releaseCheckpoint dispatches on the materialization, so it

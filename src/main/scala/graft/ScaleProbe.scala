@@ -807,7 +807,6 @@ object ScaleProbe {
                 val corpus = base.persist()
                 for (_ <- 1 to r)
                   g = queries.Round20Queries.nndRound(corpus, g)
-                    .localCheckpoint(true)
                 try g.filter(col("rank") <= queries.Round13Queries.KnnK)
                   .localCheckpoint(true)
                 finally corpus.unpersist(false)

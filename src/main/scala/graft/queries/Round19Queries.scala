@@ -210,9 +210,12 @@ object Round19Queries {
     trainedCellsFrom(Round13Queries.vectors(s, dir), nprobe)
 
   private[graft] def trainedCellsFrom(base: DataFrame,
-      nprobe: Int = KnnIvfNprobe): DataFrame = {
+      nprobe: Int = KnnIvfNprobe,
+      ca0: Option[DataFrame] = None): DataFrame = {
     val s = base.sparkSession
-    val ca = trainedCentArrayFrom(base)
+    // ca0: caller-precomputed trained quantizer over the same corpus
+    // (the recall audit trains once and threads it; None = self-train)
+    val ca = ca0.getOrElse(trainedCentArrayFrom(base))
     val cells = base
       .repartition(s.sparkContext.defaultParallelism)
       .crossJoin(broadcast(ca))
@@ -232,9 +235,10 @@ object Round19Queries {
   }
 
   private[graft] def knnGraphIvfKmeansPlanFrom(base: DataFrame,
-      nprobe: Int = KnnIvfNprobe)
+      nprobe: Int = KnnIvfNprobe,
+      ca0: Option[DataFrame] = None)
       : (DataFrame, Seq[DataFrame]) = {
-    val cells = trainedCellsFrom(base, nprobe)
+    val cells = trainedCellsFrom(base, nprobe, ca0)
     (cellGraphServe(cells), Seq(cells))
   }
 
@@ -694,6 +698,31 @@ object Round19Queries {
     QueryDef(
       "sim_knn_graph_recall",
       (s, dir) => {
+        // Round-20 optimization (the r17 serve-over-prepared-corpus
+        // move, one level deeper): the five TRAINED builds of this
+        // audit train the IDENTICAL coarse quantizer over the ONE
+        // prepared corpus, and the two NND chains refine the SAME cell
+        // stages their seed rows serve — so train once, build each
+        // cell stage once, and compose every build from the SAME named
+        // bodies the declared rows use (cellGraphServe / nndChainOver /
+        // the *CellsFrom stage builders — one definition, no drift).
+        // Scoped to THIS evaluation: the cache key is the closure, the
+        // substrates are built over the audit's own corpus when first
+        // demanded, and the finally releases them — nothing survives
+        // the call, so every bench/oracle run still computes from the
+        // parquet inputs.
+        val cache = scala.collection.mutable.Map.empty[String, AnyRef]
+        def ca(base: DataFrame): DataFrame =
+          cache.getOrElseUpdate("ca", trainedCentArrayFrom(base))
+            .asInstanceOf[DataFrame]
+        def coarse(base: DataFrame): Seq[DataFrame] =
+          cache.getOrElseUpdate("coarse",
+            Round20Queries.trainedCoarseCellsFrom(base,
+              ca0 = Some(ca(base)))).asInstanceOf[Seq[DataFrame]]
+        def hier(base: DataFrame): Seq[DataFrame] =
+          cache.getOrElseUpdate("hier",
+            Round20Queries.hierCellsFrom(base,
+              ca0 = Some(ca(base)))).asInstanceOf[Seq[DataFrame]]
         val buildFn = Map[String, DataFrame => DataFrame](
           "sim_knn_graph" ->
             (base => Round13Queries.knnGraphFrom(base)),
@@ -702,16 +731,32 @@ object Round19Queries {
               Round13Queries.KnnScaledBits)),
           "sim_knn_graph_auto" -> knnGraphAutoFromFn,
           "sim_knn_graph_ivf" -> knnGraphIvfFromFn,
-          "sim_knn_graph_ivf_kmeans" -> knnGraphIvfKmeansFromFn,
-          "sim_knn_graph_ivf_scaled" ->
-            Round20Queries.knnGraphIvfScaledFromFn,
-          "sim_knn_graph_nnd" -> Round20Queries.knnGraphNndFromFn,
-          "sim_knn_graph_ivf_hier" ->
-            Round20Queries.knnGraphIvfHierFromFn,
-          "sim_knn_graph_nnd_hier" ->
-            Round20Queries.knnGraphNndHierFromFn)
-        graphRecallOver(s, dir,
+          "sim_knn_graph_ivf_kmeans" -> (base => {
+            val (res, stages) =
+              knnGraphIvfKmeansPlanFrom(base, ca0 = Some(ca(base)))
+            try res.localCheckpoint(true)
+            finally stages.foreach(_.unpersist(false))
+          }),
+          "sim_knn_graph_ivf_scaled" -> (base =>
+            cellGraphServe(coarse(base).head).localCheckpoint(true)),
+          "sim_knn_graph_nnd" -> (base =>
+            Round20Queries.nndChainOver(coarse(base))
+              .localCheckpoint(true)),
+          "sim_knn_graph_ivf_hier" -> (base =>
+            cellGraphServe(hier(base).head).localCheckpoint(true)),
+          "sim_knn_graph_nnd_hier" -> (base =>
+            Round20Queries.nndChainOver(hier(base))
+              .localCheckpoint(true)))
+        try graphRecallOver(s, dir,
           GraphPanel.map { case (bld, name) => bld -> buildFn(name) })
+        finally cache.values.foreach {
+          // the shared cell stages are persisted by their builders —
+          // release them here (every consumer checkpointed its graph);
+          // the 1-row ca is localCheckpoint-materialized, GC-released
+          case stages: Seq[_] => stages.asInstanceOf[Seq[DataFrame]]
+            .foreach(_.unpersist(false))
+          case _ => ()
+        }
       },
       Some {
         val buildSql = Map(

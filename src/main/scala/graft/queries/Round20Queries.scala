@@ -153,14 +153,20 @@ object Round20Queries {
     * the V25 NN-Descent seed (width-K' serve over the SAME stage).
     */
   private[graft] def trainedCoarseCellsFrom(base: DataFrame,
-      fnprobe: Int = Round19Queries.KnnIvfNprobe): Seq[DataFrame] = {
+      fnprobe: Int = Round19Queries.KnnIvfNprobe,
+      ca0: Option[DataFrame] = None): Seq[DataFrame] = {
     val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val corpus = base
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
     corpus.count()
-    val ca = Round19Queries.trainedCentArrayFrom(corpus)
+    // ca0: a caller-precomputed trained quantizer over the SAME corpus
+    // (the round-20 optimization seam — the recall audit trains ONCE
+    // and threads the materialized array through every trained build;
+    // training is order-insensitive, so corpus-vs-base routing changes
+    // nothing). None = self-train, the declared rows' standalone path.
+    val ca = ca0.getOrElse(Round19Queries.trainedCentArrayFrom(corpus))
     val width = cellLoadWidth(corpus)
     val h60 = Round17Queries.idHash60Spark("vec_id")
     val fine = corpus.crossJoin(broadcast(width))
@@ -366,9 +372,33 @@ object Round20Queries {
     * bytes of cosine, never vectors (the knnGraphPlan shuffle-payload
     * lesson), then one max-dedup (duplicates score identically) unioned
     * with the incumbent edges and one top-k re-rank.
+    *
+    * Round-20 optimization (same pairs, same cosines, same ranks —
+    * guide §2.4 "remove shuffles outright"): the first form planned 9
+    * exchanges per round and executed the vector-attach join TWICE —
+    * the co-neighbor self-join's two sides were different projections
+    * of `av`, which defeated exchange reuse (and exchange reuse does
+    * not fire across cached-table subtrees under AQE even when the
+    * projections agree).
+    *  - `av` is now materialized ONCE, repartitioned by the shared
+    *    endpoint, so the self-join consumes the cache CO-PARTITIONED
+    *    with ZERO exchanges on either side (the repo's co-partitioned
+    *    LPA-round recipe) and the attach join executes once; the
+    *    persisted stage is returned for the caller to release;
+    *  - the adjacency dedup is repartition(nb) + distinct: hash(nb)
+    *    satisfies the (node, nb) grouping AND is the attach join's
+    *    required distribution — one exchange where distinct-then-join
+    *    paid two;
+    *  - the candidate dedup is repartition(query_id) + group-max:
+    *    hash(query_id) satisfies the (query_id, neighbor_id) grouping
+    *    AND the re-rank window's clustering — one exchange where
+    *    group-then-window paid two.
+    * 9 exchanges + a doubled join → 5 exchanges, every stage once.
+    * Returns (round result, persisted av stage) — callers unpersist
+    * the stage after materializing the result.
     */
-  private[graft] def nndRound(corpus: DataFrame, edges: DataFrame,
-      k: Int = KnnNndWidth): DataFrame = {
+  private[graft] def nndRoundStaged(corpus: DataFrame, edges: DataFrame,
+      k: Int = KnnNndWidth): (DataFrame, DataFrame) = {
     val fwd = edges.select(col("vec_id").as("node"),
       col("neighbor_id").as("nb"))
     val wr = Window.partitionBy(col("neighbor_id"))
@@ -376,30 +406,42 @@ object Round20Queries {
     val rev = edges.withColumn("rrn", row_number().over(wr))
       .filter(col("rrn") <= k)
       .select(col("neighbor_id").as("node"), col("vec_id").as("nb"))
-    val adj = fwd.unionByName(rev).distinct()
+    val adj = fwd.unionByName(rev).repartition(col("nb")).distinct()
     val av = adj.join(
       corpus.select(col("vec_id").as("nb"), col("v"), col("nrm"))
         .hint("shuffle_hash"), Seq("nb"))
-    val x = av.select(col("node"), col("nb").as("query_id"),
-      col("v").as("qv"), col("nrm").as("qn"))
-    val y = av.select(col("node"), col("nb").as("neighbor_id"),
-      col("v"), col("nrm"))
-    val co = x.join(y.hint("shuffle_hash"), Seq("node"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorOps.cosine(col("v"), col("qv"), col("nrm"), col("qn")), 6)
-          .as("cosine"))
+      .select(col("node"), col("nb"), col("v"), col("nrm"))
+      .repartition(col("node"))
+      .persist() // lazy: the first task to touch a partition fills it,
+                 // the self-join's second read of the same block hits it
+    val co = av.as("x").join(av.as("y").hint("shuffle_hash"),
+        col("x.node") === col("y.node"))
+      .filter(col("x.nb") =!= col("y.nb"))
+      .select(col("x.nb").as("query_id"), col("y.nb").as("neighbor_id"),
+        round(VectorOps.cosine(col("y.v"), col("x.v"),
+          col("y.nrm"), col("x.nrm")), 6).as("cosine"))
     val cand = co.unionByName(
         edges.select(col("vec_id").as("query_id"), col("neighbor_id"),
           col("cosine")))
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    val res = cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id").as("vec_id"), col("rank"),
         col("neighbor_id"), col("cosine"))
+    (res, av)
+  }
+
+  /** Materializing round wrapper: one NN-Descent round checkpointed,
+    * its av stage released — the shape every caller wants.
+    */
+  private[graft] def nndRound(corpus: DataFrame, edges: DataFrame,
+      k: Int = KnnNndWidth): DataFrame = {
+    val (res, av) = nndRoundStaged(corpus, edges, k)
+    try res.localCheckpoint(true) finally av.unpersist(false)
   }
 
   /** Width-K' seed (the bounded-load cell stage served at KnnNndWidth)
@@ -408,16 +450,29 @@ object Round20Queries {
     * width-K' lists (ranks 1..k of the same ordering — no re-rank) —
     * (result, persisted stages).
     */
-  private[graft] def knnGraphNndPlanFrom(base: DataFrame,
-      rounds: Int = KnnNndRounds): (DataFrame, Seq[DataFrame]) = {
-    val stages = trainedCoarseCellsFrom(base)
+  /** The refinement tail over ANY prepared (cells, corpus) stage pair:
+    * width-K' seed (the cell stage served at KnnNndWidth) + `rounds`
+    * refinement rounds at K', each localCheckpoint'ed (the
+    * kmeansTrainFrom flat-plan recipe), then the top KnnK of the final
+    * width-K' lists (ranks 1..k of the same ordering — no re-rank).
+    * ONE definition for the V25 (bounded-load) and V27 (trained-fine)
+    * chains and for the recall audit's shared-stage composition.
+    */
+  private[graft] def nndChainOver(stages: Seq[DataFrame],
+      rounds: Int = KnnNndRounds): DataFrame = {
     val corpus = stages.last
     var g = Round19Queries.cellGraphServe(stages.head, KnnNndWidth)
       .localCheckpoint(true)
     for (_ <- 1 to rounds)
-      g = nndRound(corpus, g).localCheckpoint(true)
-    (g.filter(col("rank") <= Round13Queries.KnnK)
-      .orderBy(col("vec_id"), col("rank")), stages)
+      g = nndRound(corpus, g) // checkpoints itself, releases its stage
+    g.filter(col("rank") <= Round13Queries.KnnK)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  private[graft] def knnGraphNndPlanFrom(base: DataFrame,
+      rounds: Int = KnnNndRounds): (DataFrame, Seq[DataFrame]) = {
+    val stages = trainedCoarseCellsFrom(base)
+    (nndChainOver(stages, rounds), stages)
   }
 
   private[graft] def knnGraphNndPlan(
@@ -587,10 +642,11 @@ object Round20Queries {
     * assignment all read; exposed for the Plans dump of one fine
     * round.
     */
-  private[graft] def coarseRouted(corpus: DataFrame): DataFrame = {
+  private[graft] def coarseRouted(corpus: DataFrame,
+      ca0: Option[DataFrame] = None): DataFrame = {
     val s = corpus.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val ca = Round19Queries.trainedCentArrayFrom(corpus)
+    val ca = ca0.getOrElse(Round19Queries.trainedCentArrayFrom(corpus))
     corpus.crossJoin(broadcast(ca))
       .withColumn("cc", expr(s"pq_argmin_k(v, cents, $KnnCoarseNprobe)"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cc"))
@@ -636,14 +692,15 @@ object Round20Queries {
     */
   private[graft] def hierCellsFrom(base: DataFrame,
       fnprobe: Int = Round19Queries.KnnIvfNprobe,
-      fineIters: Int = KnnFineIters): Seq[DataFrame] = {
+      fineIters: Int = KnnFineIters,
+      ca0: Option[DataFrame] = None): Seq[DataFrame] = {
     val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val corpus = base
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
     corpus.count()
-    val routed = coarseRouted(corpus).persist()
+    val routed = coarseRouted(corpus, ca0).persist()
     routed.count()
     var fc = fineInit(routed, corpus).localCheckpoint()
     for (_ <- 1 to fineIters)
@@ -816,13 +873,7 @@ object Round20Queries {
   private[graft] def knnGraphNndHierPlanFrom(base: DataFrame,
       rounds: Int = KnnNndRounds): (DataFrame, Seq[DataFrame]) = {
     val stages = hierCellsFrom(base)
-    val corpus = stages.last
-    var g = Round19Queries.cellGraphServe(stages.head, KnnNndWidth)
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds)
-      g = nndRound(corpus, g).localCheckpoint(true)
-    (g.filter(col("rank") <= Round13Queries.KnnK)
-      .orderBy(col("vec_id"), col("rank")), stages)
+    (nndChainOver(stages, rounds), stages)
   }
 
   private[graft] def knnGraphNndHierPlan(

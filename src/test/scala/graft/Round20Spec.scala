@@ -89,8 +89,8 @@ class Round20Spec extends SparkSpec {
         .localCheckpoint(true)
       try {
         val corpus = stages.last
-        val g1 = Round20Queries.nndRound(corpus, g0).localCheckpoint(true)
-        val g2 = Round20Queries.nndRound(corpus, g1).localCheckpoint(true)
+        val g1 = Round20Queries.nndRound(corpus, g0)
+        val g2 = Round20Queries.nndRound(corpus, g1)
         def lists(df: org.apache.spark.sql.DataFrame)
             : Map[Long, Seq[Double]] =
           df.collect().groupBy(_.getLong(0)).view
@@ -241,7 +241,7 @@ class Round20Spec extends SparkSpec {
         .cellGraphServe(stages.head, Round20Queries.KnnNndWidth)
         .localCheckpoint(true)
       for (_ <- 1 to Round20Queries.KnnNndRounds)
-        g = Round20Queries.nndRound(corpus, g).localCheckpoint(true)
+        g = Round20Queries.nndRound(corpus, g)
       val replay = g.filter(col("rank") <= Round13Queries.KnnK)
         .orderBy(col("vec_id"), col("rank")).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
