@@ -54,8 +54,12 @@ object Probe20 {
       queries.Round19Queries.trainedCentArrayFrom(corpus)
     }
     ca.count()
+    // ca0 = Some(ca): the stage labeled "rest" must measure only the
+    // post-training work (round-20 advice — without threading the
+    // precomputed quantizer the builder re-ran the full Lloyd coarse
+    // training here and the attribution double-counted it)
     val stages = timed("coarse_cells_rest") {
-      queries.Round20Queries.trainedCoarseCellsFrom(base)
+      queries.Round20Queries.trainedCoarseCellsFrom(base, ca0 = Some(ca))
     }
     timed("serve_k5") {
       queries.Round19Queries.cellGraphServe(stages.head).count()

@@ -116,6 +116,46 @@ object Layouts {
     }
   }
 
+  /** Size-derived round-robin spread width for a single-file (or
+    * few-file) table scan feeding a compute-heavy pipeline — the
+    * round-21 replacement for the fixed
+    * `repartition(defaultParallelism)` at 43 query-builder sites.
+    *
+    * Why not the constant: the spread width is the MAP-task count of
+    * every downstream exchange, and each map task writes
+    * `spark.sql.shuffle.partitions` block files (sort-based shuffle).
+    * On the bench fixtures (≤ 11 MB tables) the constant turned every
+    * one of the kNN/NND family's ~50 exchanges into 32 map tasks × 32
+    * files of ~60 rows each — thread dumps during `sim_knn_graph_nnd`
+    * show the executor pool parked with the few live tasks inside
+    * `BypassMergeSortShuffleWriter.write`, and the family runs FASTER
+    * at 8 cores than 32 (PERF_r20 scaling 0.55–0.8): quadratic
+    * shuffle-block growth (guide §2.2) as pure fixed cost. Deriving
+    * the width from the INPUT SIZE (guide §2: scale-adaptive
+    * partitioning, not a constant tuned for either local mode or the
+    * cluster) removes it where it cannot pay: one partition per
+    * `spark.sql.files.maxPartitionBytes` of estimated input — the same
+    * knob that sizes scan splits, already deployment-tuned — floored
+    * at 1, capped at `defaultParallelism`. At cluster volumes the cap
+    * binds and the width is EXACTLY the previous constant; below it
+    * the width tracks the data. Estimated size comes from the
+    * optimized plan's stats (driver-side, no job); unknown/huge stats
+    * saturate at the cap, i.e. fall back to the old behavior.
+    */
+  def scaledParallelism(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val target = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val cap = BigInt(math.max(1, spark.sparkContext.defaultParallelism))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes + target - 1) / target
+    want.max(BigInt(1)).min(cap).toInt
+  }
+
+  /** `df.repartition(scaledParallelism(df))` — the one-line form the
+    * query builders use. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(scaledParallelism(df))
+
   /** Free a materialized round's blocks, whatever materialized it:
     * localCheckpoint → unpersist the checkpointed RDD directly (see
     * class scaladoc — `Dataset.unpersist` never finds those blocks);

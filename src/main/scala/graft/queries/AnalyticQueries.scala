@@ -874,7 +874,7 @@ object AnalyticQueries {
           // bigram — O(words²) per document (measured ×23 at a ×10
           // corpus before this form).
           .select(split(lower(col("text")), " ").as("tk"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(explode(expr(
             "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))"))
             .as("bigram"))

@@ -44,7 +44,7 @@ object CurationQueries {
     */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
 
   private val tokenizedDuck =
@@ -413,7 +413,7 @@ object CurationQueries {
         // DESC, so an empty doc in a regenerated fixture would silently
         // break oracle parity (ADVICE r10)
         Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("doc_id"), col("lang"), col("n_chars"),
             expr(s"round(ln((${h60Spark("cast(doc_id as string)")} + 1) " +
               "/ 1152921504606846976.0) / greatest(n_chars, 1), 12)").as("skey"))
@@ -447,7 +447,7 @@ object CurationQueries {
         val k = 20
         val topk = udaf(graft.operators.TopKAgg(k))
         Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("doc_id"), col("lang"),
             expr(s"round(ln((${h60Spark("cast(doc_id as string)")} + 1) " +
               "/ 1152921504606846976.0) / greatest(n_chars, 1), 12)").as("skey"))

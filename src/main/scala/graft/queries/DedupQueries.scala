@@ -142,7 +142,7 @@ object DedupQueries {
       // ONCE here and referenced by name in the lambda (never re-split
       // per element — that textual-inlining trap is what made
       // text_ngram_freq O(words²) before round 2).
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles",
@@ -213,7 +213,7 @@ object DedupQueries {
       maxHamming: Int = SimhashMaxHamming): (DataFrame, DataFrame) = {
     val bandDefs = simhashBandDefs(maxHamming)
     val docs = simhashSigs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     val bandVals = array(bandDefs.map { case (off, w) =>
       expr(s"shiftright(simhash, $off) & ${(1L << w) - 1}L")
@@ -274,7 +274,7 @@ object DedupQueries {
       : (DataFrame, DataFrame) = {
     val bandDefs = simhashBandDefs(maxHamming)
     val docs = simhashSigs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     val bandVals = array(bandDefs.map { case (off, w) =>
       expr(s"shiftright(simhash, $off) & ${(1L << w) - 1}L")
@@ -562,7 +562,7 @@ object DedupQueries {
           // a single parquet file scans as ONE partition: persist the
           // (tiny) signature table so the interpreted aggregate runs once,
           // and spread the all-pairs stream side across all cores.
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .persist()
         selfContained(
           docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -652,7 +652,7 @@ object DedupQueries {
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
           // single-file scan = one partition; spread the O(n²) stream side
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .persist()
         selfContained(
           v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -789,7 +789,7 @@ object DedupQueries {
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     def sigCol(t: Int): Column = annSigCol(t, bits)
     // all tables' signatures in ONE corpus pass; persisted because the

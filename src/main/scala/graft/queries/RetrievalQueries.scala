@@ -175,7 +175,7 @@ object RetrievalQueries {
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
 
   private val tokenizedDuck =

@@ -80,7 +80,7 @@ object Round10Queries {
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
 
   private val tokenizedDuck =
@@ -282,7 +282,7 @@ object Round10Queries {
         val all = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
         val cents = all.filter(col("vec_id") % CentroidEvery === 0 &&
             col("vec_id") < CentroidEvery * CentroidCap)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -343,7 +343,7 @@ object Round10Queries {
         val all = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
         val coarse = all.filter(col("vec_id") % CoarseEvery === 0)
           .select(col("vec_id").as("c2"), col("v").as("c2v"))
         val fine = all.filter(col("vec_id") % CentroidEvery === 0)
@@ -740,7 +740,7 @@ object Round10Queries {
       (s, dir) => {
         import graft.streaming.DocumentStreams
         val docs = Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
         val b = DocumentStreams.bandedSigs(docs).persist()
         val cand = b.as("a").join(b.as("b"),
             col("a.band_idx") === col("b.band_idx") &&

@@ -91,7 +91,7 @@ object Round11Queries {
   /** documents → (doc_id, lang, toks), spread over every core. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
 
   private val tokenizedDuck =

@@ -106,24 +106,29 @@ object Round11bQueries {
     vecs.crossJoin(broadcast(centArray(cents)))
       .withColumn("cluster", expr("pq_argmin(v, cents)"))
 
-  /** Lloyd update: element-wise mean per cluster. The posexplode fans
-    * each vector to (cluster, idx, val) rows, but the groupBy has only
-    * K·Dim groups, so the map-side partial aggregate collapses every
-    * task to ≤ K·Dim rows before the ONE exchange — the same
-    * ship-partial-sums shape a hand-written treeAggregate would have.
-    * Means are exact: round(val,9) → DECIMAL(28,9) sums (order-free),
-    * ONE double division at the end. */
-  private[queries] def update(assigned: DataFrame): DataFrame =
+  /** Lloyd update: element-wise mean per cluster, as ONE aggregation —
+    * Dim decimal sum columns plus a count, grouped by cluster (round
+    * 21, guide §2.4: the previous posexplode form fanned every vector
+    * to Dim (cluster, idx, val) rows and paid TWO exchanges — the
+    * (cluster, idx) partial-mean rollup and the per-cluster
+    * collect_list — where one hash aggregate with a Dim-wide buffer
+    * ships the identical partial sums through ONE exchange and
+    * rebuilds the centroid array with a no-shuffle projection).
+    * Means stay exact and order-free: round(val,9) → DECIMAL(28,9)
+    * sums per element, ONE double division at the end — the same
+    * values, element order = array position by construction. */
+  private[queries] def update(assigned: DataFrame): DataFrame = {
+    val sums = (0 until Dim).map { i =>
+      sum(expr(s"cast(round(v[$i], 9) as decimal(28,9))")).as(s"s$i")
+    } :+ count(lit(1)).as("cnt")
+    val means = (0 until Dim).map { i =>
+      round(col(s"s$i").cast(DoubleType) / col("cnt"), 9)
+    }
     assigned
-      .select(col("cluster"), posexplode(col("v")).as(Seq("idx", "val")))
-      .groupBy(col("cluster"), col("idx"))
-      .agg(
-        sum(expr("cast(round(val, 9) as decimal(28,9))")).as("sm"),
-        count(lit(1)).as("cnt"))
-      .withColumn("mn", round(col("sm").cast(DoubleType) / col("cnt"), 9))
       .groupBy(col("cluster"))
-      .agg(sort_array(collect_list(struct(col("idx"), col("mn")))).as("ms"))
-      .select(col("cluster").as("cid"), expr("transform(ms, x -> x.mn)").as("cv"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("cluster").as("cid"), array(means: _*).as("cv"))
+  }
 
   /** Final labeled output: (vec_id, cluster, d2). */
   private def kmeansFinish(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -161,13 +166,25 @@ object Round11bQueries {
   /** The Lloyd loop from an ARBITRARY init centroid table — the rounds
     * themselves are k-agnostic (the centroid set is data, not a
     * literal), which is what lets sim_ivf_kmeans_topk_auto derive K
-    * from the runtime corpus count (round 17). */
+    * from the runtime corpus count (round 17).
+    *
+    * Round 21: the per-iteration localCheckpoint is gone — each round's
+    * centroid table is consumed exactly ONCE (inside the next round's
+    * broadcast `centArray` subtree), so the unrolled plan nests linearly
+    * (depth = iters, a fixed small constant) and the whole training
+    * chain executes as ONE checkpoint action's job tree instead of
+    * `iters` checkpoint jobs + block writes per training. The single
+    * END-of-training checkpoint keeps every consumer's plan free of the
+    * training exchanges (Round11bSpec pins the final assignment pass
+    * hash-shuffle-free). kmeansUntil keeps its own per-round
+    * checkpoints (its convergence collect genuinely re-reads each
+    * round). */
   private[queries] def kmeansTrainFrom(
       vecs: DataFrame, c0: DataFrame, iters: Int): DataFrame = {
     var cents = c0
     for (_ <- 1 to iters)
-      cents = update(assign(vecs, cents)).localCheckpoint()
-    cents
+      cents = update(assign(vecs, cents))
+    if (iters > 0) cents.localCheckpoint() else cents
   }
 
   /** Oracle WITH-fragment: vecs + c0..c{iters} (the trained centroid
@@ -251,7 +268,7 @@ object Round11bQueries {
   /** Shared feature extraction (identical expression text in Duck). */
   private def lrFeatures(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(
         col("doc_id"),
         expr(s"CASE WHEN length(text) >= $LrThresh THEN 1 ELSE 0 END").as("y"),

@@ -207,7 +207,7 @@ object Round11cQueries {
       "text_tfidf_topterms",
       (s, dir) => {
         val tk = Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("tok"))
         val tf = tk.groupBy(col("doc_id"), col("tok"))

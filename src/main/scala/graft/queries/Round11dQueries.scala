@@ -93,7 +93,7 @@ object Round11dQueries {
       "pipe_doremi_mix",
       (s, dir) => {
         val tk = Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("doc_id"), col("source"),
             explode(split(lower(col("text")), " ")).as("tok"))
         val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

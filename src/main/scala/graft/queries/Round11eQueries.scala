@@ -41,7 +41,7 @@ object Round11eQueries {
   /** documents → (doc_id, toks), spread over every core. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
 
   private val tokenizedDuck =
@@ -180,20 +180,25 @@ object Round11eQueries {
       "text_lm_trigram_backoff_sharded",
       (s, dir) => {
         val tk3 = tokenized(s, dir).filter(size(col("toks")) >= 3)
-        val tg = tk3.select(col("doc_id"), explode(expr(
+        val tgRaw = tk3.select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(toks) - 3), " +
               "i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))")).as("t"))
           .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
             col("t.w3").as("w3"))
-          // Pinned partition count: a bare repartition(cols) is
-          // AQE-optimizable (coalesced reads lose co-partition
-          // compatibility and the stream re-exchanges per join —
-          // observed on the fixture); REPARTITION_BY_NUM is left
-          // alone. With both shard joins keyed on exactly (w1,w2)
-          // (see trig3 below) this one exchange fully satisfies both
-          // joins' distributions — no EnsureRequirements re-exchange.
-          .repartition(s.sparkContext.defaultParallelism,
-            col("w1"), col("w2"))
+        // Pinned partition count: a bare repartition(cols) is
+        // AQE-optimizable (coalesced reads lose co-partition
+        // compatibility and the stream re-exchanges per join —
+        // observed on the fixture); REPARTITION_BY_NUM is left
+        // alone, but the count itself is size-derived (round 21:
+        // Layouts.scaledParallelism — the cluster cap binds at scale,
+        // tiny corpora stop fanning every map task into
+        // shuffle.partitions block files). With both shard joins keyed
+        // on exactly (w1,w2) (see trig3 below) this one exchange fully
+        // satisfies both joins' distributions — no EnsureRequirements
+        // re-exchange.
+        val tg = tgRaw.repartition(
+          graft.operators.Layouts.scaledParallelism(tgRaw),
+          col("w1"), col("w2"))
         val train3 = tg.filter(expr("doc_id % 2 = 0"))
         // The shard ROW is the paper's actual store layout: one row per
         // (w1,w2) CONTEXT carrying its continuation distribution as a

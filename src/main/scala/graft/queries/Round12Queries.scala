@@ -68,7 +68,7 @@ object Round12Queries {
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
 
   private val tokenizedDuck =
@@ -81,7 +81,7 @@ object Round12Queries {
     */
   private[graft] def ccnetScored(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("tok"))
     val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -526,7 +526,7 @@ object Round12Queries {
       "pipe_corpus_drift",
       (s, dir) => {
         val tk = Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"),
             explode(split(lower(col("text")), " ")).as("tok"))
         val cnt = tk.groupBy(col("lang"), col("tok")).agg(

@@ -61,7 +61,7 @@ object Round12bQueries {
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
 
   /** Standalone so pipe_quality_ensemble can reference it without a
@@ -227,7 +227,7 @@ object Round12bQueries {
         }.reduce(_ + _)
         val bucketed = all.crossJoin(broadcast(mx))
           .withColumn("bucket", bucketCol)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .persist()
         // query bucket: q' = [q; 0] ⇒ sign(dot(q, h[0..63])) — M > 0
         // scales, never flips
@@ -301,7 +301,7 @@ object Round12bQueries {
           .withColumn("ws3", expr(rep("ws2", "p3")))
           .select(col("w"), size(split(col("ws3"), " ")).cast("long").as("n_post"))
         Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
           .join(vocab, Seq("w"))
           .groupBy(col("lang"))
@@ -525,7 +525,7 @@ object Round12bQueries {
       (s, dir) => {
         val k = 8
         val sh = Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.operators.Layouts.spread)
           .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
           .filter(size(col("toks")) >= k)
           .select(col("doc_id"), explode(array_distinct(expr(

@@ -94,7 +94,7 @@ object Round13Queries {
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(lower(col("text")), " ")).as("tok"))
 
@@ -385,7 +385,7 @@ object Round13Queries {
     }.reduce(_ + _)
     val all = base
       .withColumn("b0", bucketCol(0)).withColumn("b1", bucketCol(1))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     // per table: own bucket + the `bits` Hamming-1 flips; the table
     // index is folded into the join key so tables never cross-match

@@ -192,7 +192,7 @@ object Round16Queries {
       .crossJoin(broadcast(width))
       .withColumn("s0", sigCol(0))
       .withColumn("s1", sigCol(1))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     all.count()
     // per table: masked own bucket + the `bits` Hamming-1 flips of
@@ -289,7 +289,7 @@ object Round16Queries {
       .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), bits) - 1"))
     val v = base
       .crossJoin(broadcast(width))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     def sigCol(t: Int) = (0 until AnnAutoMaxBits).map { b =>
       when(VectorOps.dot(col("v"),

@@ -149,7 +149,7 @@ object Round17Queries {
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val corpus = SimilarityQueries.vectors(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     (ivfTopkAutoServe(corpus), corpus)
   }

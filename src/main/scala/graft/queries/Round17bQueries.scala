@@ -62,7 +62,7 @@ object Round17bQueries {
       eagerTruth: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     import SimilarityQueries._
     val all = vectors(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     val truthRaw = bruteTopk(all, IvfTopK)
       .select(col("query_id"), col("neighbor_id"))

@@ -116,7 +116,7 @@ object Round18Queries {
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
     val corpus = SimilarityQueries.vectors(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     (lshTopkAutoServe(corpus), Seq(corpus))
   }

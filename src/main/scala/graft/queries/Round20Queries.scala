@@ -158,7 +158,7 @@ object Round20Queries {
     val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val corpus = base
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     corpus.count()
     // ca0: a caller-precomputed trained quantizer over the SAME corpus
@@ -226,7 +226,7 @@ object Round20Queries {
     val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val corpus = base
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     corpus.count()
     val width = cellLoadWidth(corpus)
@@ -459,12 +459,31 @@ object Round20Queries {
     * chains and for the recall audit's shared-stage composition.
     */
   private[graft] def nndChainOver(stages: Seq[DataFrame],
-      rounds: Int = KnnNndRounds): DataFrame = {
-    val corpus = stages.last
-    var g = Round19Queries.cellGraphServe(stages.head, KnnNndWidth)
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds)
+      rounds: Int = KnnNndRounds): DataFrame =
+    nndChainOverSeed(stages.last,
+      // the SEED is internal: nndRound repartitions it immediately, so
+      // the serve's presentation sort is skipped (round 21; same rows)
+      Round19Queries.cellGraphServe(stages.head, KnnNndWidth,
+        sorted = false).localCheckpoint(true),
+      rounds, releaseSeed = true)
+
+  /** The refinement rounds over an ALREADY-MATERIALIZED width-K' seed —
+    * the round-21 audit seam: the recall audit serves each cell stage
+    * ONCE at K' and derives both the k-serve row (ranks 1..k of the
+    * same window) and this chain from it. `releaseSeed` frees the
+    * seed's checkpoint blocks as soon as round 1 has materialized
+    * (true for the self-built chain; the audit owns its shared seeds
+    * and releases them in its own finally).
+    */
+  private[graft] def nndChainOverSeed(corpus: DataFrame, seed: DataFrame,
+      rounds: Int = KnnNndRounds, releaseSeed: Boolean = false)
+      : DataFrame = {
+    var g = seed
+    for (r <- 1 to rounds) {
       g = nndRound(corpus, g) // checkpoints itself, releases its stage
+      if (r == 1 && releaseSeed)
+        graft.operators.Layouts.releaseCheckpoint(seed)
+    }
     g.filter(col("rank") <= Round13Queries.KnnK)
       .orderBy(col("vec_id"), col("rank"))
   }
@@ -598,24 +617,30 @@ object Round20Queries {
     */
   private[graft] def fineLloydRound(routed: DataFrame, fc: DataFrame)
       : DataFrame = {
+    val dim = Round11bQueries.Dim
     val assigned = routed
       .select(col("cc").getItem(0).as("c2"), col("v"))
       .join(broadcast(fineArr(fc)), Seq("c2"))
       .withColumn("f", expr("pq_argmin(v, fcvs)"))
       .select(col("c2"), col("f"), col("v"))
     val wRe = Window.partitionBy(col("c2")).orderBy(col("f"))
+    // one hash aggregate with a Dim-wide decimal buffer instead of the
+    // posexplode + two-exchange rollup (round 21 — the same reshape as
+    // Round11bQueries.update: identical order-free decimal sums, one
+    // double division, element order = array position)
+    val sums = (0 until dim).map { i =>
+      sum(expr(s"cast(round(v[$i], 9) as decimal(28,9))")).as(s"s$i")
+    } :+ count(lit(1)).as("cnt")
+    val means = (0 until dim).map { i =>
+      round(col(s"s$i").cast("double") / col("cnt"), 9)
+    }
     assigned
-      .select(col("c2"), col("f"), posexplode(col("v")).as(Seq("idx", "val")))
-      .groupBy(col("c2"), col("f"), col("idx"))
-      .agg(
-        sum(expr("cast(round(val, 9) as decimal(28,9))")).as("sm"),
-        count(lit(1)).as("cnt"))
-      .withColumn("mn", round(col("sm").cast("double") / col("cnt"), 9))
       .groupBy(col("c2"), col("f"))
-      .agg(sort_array(collect_list(struct(col("idx"), col("mn")))).as("ms"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("c2"), col("f"), array(means: _*).as("cv"))
       .select(col("c2"),
         ((row_number().over(wRe)) - 1).cast("int").as("fnew"),
-        expr("transform(ms, x -> x.mn)").as("cv"))
+        col("cv"))
       .withColumnRenamed("fnew", "f")
   }
 
@@ -697,7 +722,7 @@ object Round20Queries {
     val s = base.sparkSession
     graft.functions.GraftFunctions.register(s)
     val corpus = base
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     corpus.count()
     val routed = coarseRouted(corpus, ca0).persist()

@@ -241,7 +241,7 @@ object SimilarityQueries {
   private[queries] def lshTopkPlan(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val corpus = vectors(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Layouts.spread)
       .persist()
     (lshServe(corpus), corpus)
   }
