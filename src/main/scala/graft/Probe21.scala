@@ -29,6 +29,11 @@ object Probe21 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // AQE off gives classic multi-stage jobs whose stages carry the
+      // real submitting callsite — per-operator attribution the AQE
+      // stage-materialization jobs hide (diagnostic only)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,6 +48,8 @@ object Probe21 {
     @volatile var deserMs = 0L
     @volatile var gcMs = 0L
     @volatile var resSerMs = 0L
+    @volatile var swMs = 0L
+    @volatile var fetchMs = 0L
     val byStage = scala.collection.mutable.Map.empty[String, (Long, Int)]
     val stageTime = scala.collection.mutable.Map.empty[Int, Long]
     val listener = new SparkListener {
@@ -52,7 +59,13 @@ object Probe21 {
         synchronized {
           stages += 1
           tasks += s.stageInfo.numTasks
-          val key = s.stageInfo.name
+          // label by the first graft frame in the callsite stack — the
+          // stage NAME of AQE shuffle jobs is an opaque thread-pool
+          // frame, useless for attribution
+          val key = s.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("Probe21"))
+            .map(_.trim.replaceFirst("^at ", ""))
+            .getOrElse(s.stageInfo.name)
           val ms = stageTime.getOrElse(s.stageInfo.stageId, 0L)
           val (pm, pc) = byStage.getOrElse(key, (0L, 0))
           byStage(key) = (pm + ms, pc + 1)
@@ -68,6 +81,8 @@ object Probe21 {
               deserMs += t.taskMetrics.executorDeserializeTime
               gcMs += t.taskMetrics.jvmGCTime
               resSerMs += t.taskMetrics.resultSerializationTime
+              swMs += t.taskMetrics.shuffleWriteMetrics.writeTime / 1000000L
+              fetchMs += t.taskMetrics.shuffleReadMetrics.fetchWaitTime
             }
           }
         }
@@ -94,6 +109,7 @@ object Probe21 {
       synchronized {
         jobs = 0; stages = 0; tasks = 0; taskMs = 0L
         runMs = 0L; deserMs = 0L; gcMs = 0L; resSerMs = 0L
+        swMs = 0L; fetchMs = 0L
         byStage.clear(); stageTime.clear()
       }
       val t0 = System.nanoTime()
@@ -107,7 +123,7 @@ object Probe21 {
         .map { case (k, (ms, c)) =>
           f""""${k.replace('"', ' ').take(90)}":[${ms / 1e3}%.2f,$c]""" }
         .mkString("{", ",", "}")
-      println(f"""{"query":"$name","wall":$wall%.3f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_sec":${taskMs / 1e3}%.3f,"run_sec":${runMs / 1e3}%.3f,"deser_sec":${deserMs / 1e3}%.3f,"gc_sec":${gcMs / 1e3}%.3f,"res_ser_sec":${resSerMs / 1e3}%.3f,"top_stages":$top}""")
+      println(f"""{"query":"$name","wall":$wall%.3f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_sec":${taskMs / 1e3}%.3f,"run_sec":${runMs / 1e3}%.3f,"deser_sec":${deserMs / 1e3}%.3f,"gc_sec":${gcMs / 1e3}%.3f,"res_ser_sec":${resSerMs / 1e3}%.3f,"shuf_write_sec":${swMs / 1e3}%.3f,"fetch_wait_sec":${fetchMs / 1e3}%.3f,"top_stages":$top}""")
     }
     spark.stop()
   }

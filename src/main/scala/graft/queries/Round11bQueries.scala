@@ -168,23 +168,22 @@ object Round11bQueries {
     * literal), which is what lets sim_ivf_kmeans_topk_auto derive K
     * from the runtime corpus count (round 17).
     *
-    * Round 21: the per-iteration localCheckpoint is gone — each round's
-    * centroid table is consumed exactly ONCE (inside the next round's
-    * broadcast `centArray` subtree), so the unrolled plan nests linearly
-    * (depth = iters, a fixed small constant) and the whole training
-    * chain executes as ONE checkpoint action's job tree instead of
-    * `iters` checkpoint jobs + block writes per training. The single
-    * END-of-training checkpoint keeps every consumer's plan free of the
-    * training exchanges (Round11bSpec pins the final assignment pass
-    * hash-shuffle-free). kmeansUntil keeps its own per-round
-    * checkpoints (its convergence collect genuinely re-reads each
-    * round). */
+    * Round 21 A/B note: a no-per-iteration-checkpoint variant (the
+    * whole chain as one action's nested-broadcast job tree) was
+    * measured SLOWER same-window on every training consumer
+    * (sim_kmeans 3.07 vs 2.22 s, st_incremental_ann_ivf 4.84 vs
+    * 2.60 s, sim_knn_graph_ivf_scaled 4.87 vs 2.97 s at sf0.1) — AQE
+    * re-plans the deep chain per materialization and the nested
+    * broadcast builds serialize, costing more than the K-row
+    * checkpoint writes save. The per-iteration checkpoint stays; the
+    * win this round is inside `update` (one exchange per round instead
+    * of two). */
   private[queries] def kmeansTrainFrom(
       vecs: DataFrame, c0: DataFrame, iters: Int): DataFrame = {
     var cents = c0
     for (_ <- 1 to iters)
-      cents = update(assign(vecs, cents))
-    if (iters > 0) cents.localCheckpoint() else cents
+      cents = update(assign(vecs, cents)).localCheckpoint()
+    cents
   }
 
   /** Oracle WITH-fragment: vecs + c0..c{iters} (the trained centroid
