@@ -431,9 +431,14 @@ class PlanSpec extends SparkSpec {
 
   test("pipe_quality_classifier scores in one narrow pass + one doc rollup") {
     val p = plan("pipe_quality_classifier")
+    // AT MOST one hash shuffle (round 21): with the size-derived spread
+    // width (Layouts.spread) the sf0.001 corpus is a single partition,
+    // which satisfies the doc rollup's distribution outright — the plan
+    // is partial→final aggregate with ZERO exchanges. At widths > 1 the
+    // rollup pays exactly its one hash shuffle, never more.
     val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashShuffles == 1,
-      s"hash-and-score must stay narrow — expected 1 hash shuffle, saw $hashShuffles:\n" +
+    assert(hashShuffles <= 1,
+      s"hash-and-score must stay narrow — expected <= 1 hash shuffle, saw $hashShuffles:\n" +
         p.take(3000))
     assert(p.contains("partial_"),
       "the doc rollup must partial-aggregate map-side:\n" + p.take(3000))
